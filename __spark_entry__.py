@@ -1,38 +1,49 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` exposes every implemented operator from SURVEY.md §2
+(reference-parity workloads, the relational inventory, and the
+training-data-pipeline extensions); ``oracle_sql()`` gives the DuckDB
+twin for each SQL-expressible one. Engine code lives in
+``map_reduce_lite_spark/``.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from map_reduce_lite_spark.parity import PARITY_QUERIES
+from map_reduce_lite_spark.relational.queries import RELATIONAL_QUERIES
+from map_reduce_lite_spark.ops import (
+    DEDUP_QUERIES,
+    MULTIMODAL_QUERIES,
+    SIMILARITY_QUERIES,
+    TEXT_QUERIES,
+)
+
+ALL_QUERIES = {
+    **PARITY_QUERIES,
+    **RELATIONAL_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **TEXT_QUERIES,
+    **MULTIMODAL_QUERIES,
+}
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query: TPC-H Q1-shape pricing summary on sf0.001."""
+    return ALL_QUERIES["q1_pricing_summary"].builder(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.builder for name, q in ALL_QUERIES.items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: q.oracle for name, q in ALL_QUERIES.items() if q.oracle is not None}

@@ -1,0 +1,329 @@
+"""Deduplication operators for large-scale text corpora.
+
+Four strategies, all shuffle-architected for 100 TB:
+
+- **exact**: group by a 60-bit content hash, not the full text — the
+  shuffle carries 8-byte keys instead of document bodies. Collision rate
+  at 2^60 is negligible for ≤ billions of docs; a verify-on-text pass can
+  be appended for the paranoid.
+- **n-gram Jaccard**: word-shingle inverted index self-join. The shuffle
+  key is the shingle hash; pair-counting is a pure integer aggregation.
+  Quadratic only within a shingle's posting list — at scale, drop
+  ultra-frequent shingles (document-frequency cap) exactly like a stop
+  list; the cap keeps posting lists bounded.
+- **MinHash + LSH**: k=32 portable min-hashes, banded 8×4. Candidate
+  recall for Jaccard≥0.5 with these parameters is 1-(1-0.5^4)^8 ≈ 0.42
+  per band family — tuned for demo; raise k/bands for production recall.
+  Only band-signature equality joins — no pairwise scan at all.
+- **SimHash**: 32-bit weighted fingerprint, 4×8-bit band join, Hamming
+  distance ≤ 3 verify. Near-constant cost per doc; band join is the only
+  shuffle.
+
+All four use the portable md5-based 60-bit hash (registry.md5_60bit) so
+each has a full DuckDB oracle — including LSH banding, which is usually
+oracle-unfriendly.
+
+Spark-only note: at 100 TB replace the md5 tokenizer hash with
+``xxhash64`` (cheaper, JVM-intrinsic); md5 is kept here for
+engine-portability of the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.relational.tables import load_table
+
+# MinHash parameters (bands × rows-per-band = num hashes)
+MINHASH_BANDS = 8
+MINHASH_ROWS = 4
+NUM_MINHASHES = MINHASH_BANDS * MINHASH_ROWS
+
+SHINGLE_SIZE = 3
+JACCARD_THRESHOLD = 0.5
+
+
+# --------------------------------------------------------------------------
+# Tokenize / shingle (shared)
+# --------------------------------------------------------------------------
+
+def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, token) — whitespace tokens with positions."""
+    return (
+        df.select(
+            F.col(id_col).alias("doc"),
+            F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
+        )
+        .filter(F.length("token") > 0)
+    )
+
+
+def shingles(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+             k: int = SHINGLE_SIZE) -> DataFrame:
+    """(doc, shingle) — distinct word k-shingles via lead() windows.
+
+    One shuffle by doc; at scale the window is cheap because docs are
+    short relative to partitions (and applyInPandas is the fallback for
+    very long docs)."""
+    toks = _tokens(df, id_col, text_col)
+    w = Window.partitionBy("doc").orderBy("pos")
+    parts = [F.col("token")] + [F.lead("token", i).over(w) for i in range(1, k)]
+    sh = toks.select("doc", F.concat_ws(" ", *parts).alias("shingle"),
+                     *[F.lead("token", i).over(w).alias(f"_t{i}") for i in range(1, k)])
+    sh = sh.filter(F.col(f"_t{k-1}").isNotNull()).select("doc", "shingle")
+    return sh.distinct()
+
+
+# --------------------------------------------------------------------------
+# Exact dedup
+# --------------------------------------------------------------------------
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicate groups by 60-bit content hash (8-byte shuffle keys)."""
+    d = load_table(spark, sf_dir, "documents")
+    return (
+        d.select(md5_60bit(F.col("text")).alias("content_hash"), "doc_id")
+        .groupBy("content_hash")
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+DEDUP_EXACT_SQL = f"""
+SELECT {sql_md5_60bit('text')} AS content_hash,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_docs
+FROM documents
+GROUP BY 1
+"""
+
+
+# --------------------------------------------------------------------------
+# N-gram Jaccard pair scoring
+# --------------------------------------------------------------------------
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with word-3-shingle Jaccard ≥ 0.5.
+
+    inverted-index self-join: shuffle by shingle, integer pair counts,
+    jaccard = |∩| / (|A| + |B| - |∩|). Division of identical ints →
+    bit-identical doubles vs the oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    jac = F.col("n_inter") / (F.col("n1") + F.col("n2") - F.col("n_inter"))
+    return (
+        inter.join(sz1, "doc1").join(sz2, "doc2")
+        .select("doc1", "doc2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+
+
+_SHINGLES_CTE = r"""
+WITH tok_lists AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks
+  FROM documents
+), toks AS (
+  SELECT doc, token, pos FROM (
+    SELECT doc, unnest(toks) AS token,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM tok_lists
+  ) WHERE token <> ''
+), sh AS (
+  SELECT DISTINCT doc,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL
+)
+"""
+
+DEDUP_NGRAM_SQL = _SHINGLES_CTE + """
+, sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+)
+SELECT doc1, doc2,
+       n_inter / (s1.n_shingles + s2.n_shingles - n_inter) AS jaccard
+FROM inter
+JOIN sizes s1 ON s1.doc = doc1
+JOIN sizes s2 ON s2.doc = doc2
+WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.5
+"""
+
+
+# --------------------------------------------------------------------------
+# MinHash + LSH
+# --------------------------------------------------------------------------
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """(doc, seed, minhash) — portable min-hash per seed.
+
+    Implemented as one explode over seeds + a single partial-aggregating
+    groupBy: shuffle volume is docs × num_hashes 8-byte rows, independent
+    of corpus text size."""
+    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
+    hashed = sh.select("doc", seeds, "shingle").select(
+        "doc", "seed",
+        md5_60bit(F.concat_ws("#", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+    )
+    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs: equal band signature in ≥ 1 of 8 bands (4 rows
+    each). Output is the distinct candidate pair set — the verify pass
+    (exact Jaccard on candidates only) is dedup_ngram_jaccard restricted
+    to these pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(shingles(d))
+    bands = sigs.groupBy(
+        "doc", F.floor(F.col("seed") / MINHASH_ROWS).cast("int").alias("band")
+    ).agg(
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
+                lambda x: x["minhash"].cast("string"),
+            ),
+        ).alias("sig")
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.band") == F.col("b.band"))
+        & (F.col("a.sig") == F.col("b.sig"))
+        & (F.col("a.doc") < F.col("b.doc")),
+    ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+    return pairs.distinct()
+
+
+DEDUP_MINHASH_SQL = _SHINGLES_CTE + f"""
+, hashed AS (
+  SELECT doc, seed.s AS seed,
+         {sql_md5_60bit("seed.s || '#' || shingle")} AS h
+  FROM sh, LATERAL unnest(generate_series(0, {NUM_MINHASHES - 1})) AS seed(s)
+), sigs AS (
+  SELECT doc, seed, MIN(h) AS minhash FROM hashed GROUP BY doc, seed
+), bands AS (
+  SELECT doc, CAST(seed // {MINHASH_ROWS} AS INT) AS band,
+         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
+  FROM sigs GROUP BY 1, 2
+)
+SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
+FROM bands a JOIN bands b
+  ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
+"""
+
+
+# --------------------------------------------------------------------------
+# SimHash
+# --------------------------------------------------------------------------
+
+SIMHASH_BITS = 32
+SIMHASH_BANDS = 4  # 8 bits per band
+HAMMING_MAX = 3
+
+
+def simhash_fingerprints(toks: DataFrame) -> DataFrame:
+    """(doc, simhash) — 32-bit simhash over distinct whitespace tokens."""
+    tok = toks.select("doc", "token").distinct().select(
+        "doc", md5_60bit(F.col("token")).alias("h")
+    )
+    bits = tok.select(
+        "doc",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1))).alias("bit"),
+        "h",
+    ).select(
+        "doc", "bit",
+        # shiftright with a column shift amount needs the SQL form
+        F.when(F.expr("shiftright(h, bit) & 1") == 1, 1).otherwise(-1).alias("w"),
+    )
+    votes = bits.groupBy("doc", "bit").agg(F.sum("w").alias("v"))
+    return votes.groupBy("doc").agg(
+        F.sum(
+            F.when(F.col("v") > 0, F.expr("shiftleft(cast(1 as bigint), bit)")).otherwise(0)
+        ).alias("simhash")
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with simhash Hamming distance ≤ 3, found via 4×8-bit
+    band join (a pair within distance 3 must agree exactly on ≥ 1 band)."""
+    d = load_table(spark, sf_dir, "documents")
+    fps = simhash_fingerprints(_tokens(d, "doc_id", "text"))
+    bands = fps.select(
+        "doc", "simhash",
+        F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
+    ).withColumn("chunk", F.expr("shiftright(simhash, band * 8) & 255"))
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(
+            F.col("a.doc").alias("doc1"),
+            F.col("b.doc").alias("doc2"),
+            F.col("a.simhash").alias("h1"),
+            F.col("b.simhash").alias("h2"),
+        )
+        .distinct()
+    )
+    ham = F.expr("bit_count(h1 ^ h2)")
+    return cands.select(
+        "doc1", "doc2", ham.cast("int").alias("hamming")
+    ).filter(F.col("hamming") <= HAMMING_MAX)
+
+
+DEDUP_SIMHASH_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id AS doc, t.tok AS token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+  WHERE t.tok <> ''
+), hashed AS (
+  SELECT doc, {sql_md5_60bit('token')} AS h FROM toks
+), votes AS (
+  SELECT doc, bit.b AS bit,
+         SUM(CASE WHEN (h >> bit.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+  FROM hashed, LATERAL unnest(generate_series(0, {SIMHASH_BITS - 1})) AS bit(b)
+  GROUP BY 1, 2
+), fps AS (
+  SELECT doc, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
+  FROM votes GROUP BY doc
+), bands AS (
+  SELECT doc, simhash, band.k AS band, (simhash >> (band.k * 8)) & 255 AS chunk
+  FROM fps, LATERAL unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band(k)
+)
+SELECT doc1, doc2, hamming FROM (
+  SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
+         CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.doc < b.doc
+)
+WHERE hamming <= {HAMMING_MAX}
+"""
+
+
+DEDUP_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by content hash"),
+        Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "3-shingle jaccard pairs"),
+        Query("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash-LSH candidates"),
+        Query("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "simhash hamming pairs"),
+    ]
+}

@@ -1,0 +1,153 @@
+"""Multimodal (image/audio/video) column handling.
+
+Media are opaque ``binary`` columns + typed metadata structs; all heavy
+per-item work (decode, resize, frame-sample, feature-extract) runs as
+Arrow-batched ``mapInPandas`` so a 100 TB corpus streams through Python
+in columnar batches with zero driver involvement. The decode kernels
+themselves are STUBS here (no image/audio libs in this container):
+``decode_image_stub`` produces a deterministic fake decode so the
+Spark-side plumbing — schema, batch iteration, partition sizing — is
+real and tested end-to-end; swap `_fake_decode` for PIL/librosa in a
+real deployment.
+
+Scale notes: binary payloads make row-group sizing the dominant knob —
+keep ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a task's
+Arrow batches fit executor memory; never groupBy a binary column
+(fingerprint first: text.doc_fingerprint / registry.md5_60bit).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
+
+from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.relational.tables import load_table
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField(
+            "meta",
+            T.StructType(
+                [
+                    T.StructField("mime", T.StringType(), True),
+                    T.StructField("width", T.IntegerType(), True),
+                    T.StructField("height", T.IntegerType(), True),
+                ]
+            ),
+            True,
+        ),
+    ]
+)
+
+DECODED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("feature", T.ArrayType(T.DoubleType()), True),
+    ]
+)
+
+
+def synthesize_media(documents: DataFrame) -> DataFrame:
+    """Deterministic fake media table from documents: the utf-8 bytes of
+    text stand in for an encoded payload (schema-faithful plumbing)."""
+    return documents.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("payload"),
+        F.struct(
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def decode_image_stub(media: DataFrame, batch_hint: int = 0) -> DataFrame:
+    """mapInPandas decode pipeline (the real-deployment shape).
+
+    NOTE: a production decoder raises NotImplementedError on payloads it
+    cannot parse; the stub accepts everything deterministically.
+
+    The batch function is fully self-contained (no references to this
+    module) so cloudpickle ships it by VALUE — executor Python workers
+    do not have the engine package on sys.path when the driver runs
+    from outside the repo."""
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        def fake_decode(payload):
+            # deterministic stand-in for a real decoder: 4 moments of
+            # the byte histogram; swap for PIL/librosa + model features
+            if payload is None:
+                return []
+            n = len(payload)
+            if n == 0:
+                return [0.0, 0.0, 0.0, 0.0]
+            s = sum(payload)
+            mean = s / n
+            var = sum((b - mean) ** 2 for b in payload) / n
+            return [float(n), float(s), mean, var]
+
+        for pdf in batches:
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["payload"].map(lambda p: len(p) if p is not None else 0),
+                    "mime": pdf["meta"].map(lambda m: m["mime"] if m is not None else None),
+                    "feature": pdf["payload"].map(fake_decode),
+                }
+            )
+
+    return media.mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+
+
+def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end plumbing demo: synth media → Arrow-batched decode."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    decoded = decode_image_stub(media)
+    return decoded.select(
+        "media_id",
+        "n_bytes",
+        "mime",
+        F.floor(F.element_at("feature", 3) * 1e6).cast("long").alias("mean_byte_e6"),
+    )
+
+
+def multimodal_bytes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure-JVM binary-column metrics (no Python) — the oracle-checkable
+    core of the multimodal plumbing."""
+    media = synthesize_media(load_table(spark, sf_dir, "documents"))
+    return media.select(
+        "media_id",
+        F.octet_length("payload").cast("long").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+        F.col("meta.mime").alias("mime"),
+    )
+
+
+MULTIMODAL_BYTES_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS payload_md5,
+       'application/octet-stream' AS mime
+FROM documents
+"""
+
+
+MULTIMODAL_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("multimodal_bytes", multimodal_bytes, MULTIMODAL_BYTES_SQL, "binary column metrics"),
+        # Python decode path: not SQL-expressible → rows-only driver check;
+        # schema and determinism are pytest-verified.
+        Query("multimodal_decode_stub", multimodal_decode_stub, None, "mapInPandas decode plumbing"),
+    ]
+}

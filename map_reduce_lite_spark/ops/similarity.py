@@ -1,0 +1,227 @@
+"""Similarity search over embedding columns (array<float>).
+
+Two paths, mirroring how a 100 TB vector corpus is actually served:
+
+- **brute-force top-k** (the exactness baseline): broadcast the query
+  set, one narrow pass over the corpus computing cosine, per-query top-k
+  via window rank. Cost is O(|corpus| × |queries|) FLOPs but only ONE
+  scan and ONE small shuffle (corpus × n_queries rows, pruned to top-k
+  by partial TakeOrdered semantics). All math stays in JVM codegen —
+  zip_with + aggregate, no Python.
+- **LSH-bucketed ANN** (the scale path): random-hyperplane signatures
+  bucket the corpus once (write-time at scale); queries probe only their
+  bucket. Hyperplanes are seeded and passed as literals, so the operator
+  is deterministic; recall vs brute force is property-tested
+  (tests/test_similarity.py), and the driver gets a rows-only check —
+  banding hash order isn't portable SQL.
+
+Cosine determinism vs the DuckDB oracle: both sides cast each float
+element to double, multiply pairwise, and fold left-to-right
+(Spark ``aggregate``; DuckDB ``list_sum . list_transform . list_zip``),
+giving bit-identical doubles; results are additionally rounded to 9
+decimals before ranking with a vec_id tiebreak.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.relational.tables import load_table
+
+N_QUERY_VECS = 8  # vec_id < 8 form the query set in the oracle-checked demo
+TOP_K = 5
+
+LSH_PLANES = 16  # random-hyperplane bits for the ANN path
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Left-to-right double dot product (order matches the SQL oracle)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of each query against the corpus.
+
+    ``queries`` is expected to be small — it is broadcast, making the
+    scan embarrassingly parallel with no corpus shuffle."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    # rank on the raw (bit-identical) cosine; expose it floor-scaled to an
+    # integer — round() can differ by 1 ulp between engines, floor cannot
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(emb, queries)
+
+
+SIMILARITY_BRUTE_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_sum(list_transform(list_zip(q.embedding, c.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
+         / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
+          * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
+                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS sim
+  FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _hyperplanes(dim: int, n_planes: int = LSH_PLANES, seed: int = 42) -> list[list[float]]:
+    """Deterministic random hyperplanes (driver-side constants, broadcast
+    as literals — no RNG inside the plan)."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+    """Sign-bit signature of ``vec`` against fixed hyperplanes, as an int."""
+    bits = [
+        F.when(
+            F.aggregate(
+                F.zip_with(
+                    vec,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, p: x.cast("double") * p,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            > 0,
+            F.lit(1 << i),
+        ).otherwise(0)
+        for i, plane in enumerate(planes)
+    ]
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def ann_lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = TOP_K,
+    n_planes: int = LSH_PLANES,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: candidates share the full LSH bucket signature.
+
+    At 100 TB: signatures are computed once at ingest and the corpus is
+    written bucketed/partitioned by signature, so a query touches only
+    its bucket's files (partition pruning). Here the signature is inline.
+    Multi-probe (flipping low-confidence bits) is the standard recall
+    lever; tests pin recall vs brute force."""
+    planes = _hyperplanes(dim, n_planes)
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    # fewer planes than the brute-force demo's query count is deliberate:
+    # buckets must be non-trivially populated at sf0.01 corpus sizes
+    return ann_lsh_topk(emb, queries, dim, n_planes=8)
+
+
+SIMILARITY_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query(
+            "similarity_bruteforce",
+            similarity_bruteforce,
+            SIMILARITY_BRUTE_SQL,
+            "exact cosine top-k (baseline)",
+        ),
+        # LSH banding is not portable SQL → rows-only driver check;
+        # recall is property-tested against brute force in pytest.
+        Query("similarity_ann_lsh", similarity_ann_lsh, None, "LSH-bucketed ANN top-k"),
+    ]
+}

@@ -1,0 +1,170 @@
+"""Text-analysis operators for training-data pipelines.
+
+All four are single-pass, JVM-codegen expressions over the documents
+table — no Python in the hot path, no shuffle except final aggregation
+where present. At 100 TB each is scan-bound and embarrassingly parallel.
+
+- language ID: stopword-hit scoring per language (n-gram-free heuristic;
+  integer counts → deterministic argmax with a fixed tie order).
+- quality scoring: length / token / punctuation / stopword ratios.
+- token stats: whitespace tokens + a BPE-ish regex token count.
+- fingerprinting: md5 content hash (hex + portable 60-bit int form).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.relational.tables import load_table
+
+# Small fixed stopword lists (public, common words). Order of the dict is
+# the deterministic tie-break order for argmax.
+STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it", "that", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "por", "con", "los"],
+    "fr": ["le", "la", "de", "et", "les", "des", "en", "un", "du", "une"],
+    "de": ["der", "die", "und", "das", "von", "zu", "mit", "den", "ein", "im"],
+}
+
+# BPE-ish token regex: letter runs, digit runs, or single non-space symbols
+BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
+
+
+def _stopword_hits(text_col: Column, words: list[str]) -> Column:
+    """Count of stopword occurrences (word-boundary regex, integer)."""
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(0))).cast("long")
+
+
+def _sql_stopword_hits(expr: str, words: list[str]) -> str:
+    # DuckDB string literals do not process backslash escapes — emit \b raw
+    pattern = r"\b(" + "|".join(words) + r")\b"
+    return f"CAST(len(regexp_extract_all(lower({expr}), '{pattern}')) AS BIGINT)"
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predict language by max stopword hits (ties → fixed language order,
+    no hits → 'und')."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {lang: _stopword_hits(F.col("text"), ws) for lang, ws in STOPWORDS.items()}
+    d = d.select("doc_id", "lang", *[h.alias(f"hits_{l}") for l, h in hits.items()])
+    best = F.greatest(*[F.col(f"hits_{l}") for l in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in STOPWORDS:  # first language reaching the max wins (dict order)
+        pred = pred.when(F.col(f"hits_{l}") == best, F.lit(l))
+    return d.select(
+        "doc_id",
+        F.col("lang").alias("actual_lang"),
+        pred.alias("pred_lang"),
+        *[F.col(f"hits_{l}") for l in STOPWORDS],
+    )
+
+
+def _lang_id_sql() -> str:
+    hit_cols = ",\n       ".join(
+        f"{_sql_stopword_hits('text', ws)} AS hits_{l}" for l, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = "CASE WHEN " + best + " = 0 THEN 'und' " + " ".join(
+        f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs
+    ) + " END"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, lang AS actual_lang,
+       {hit_cols}
+  FROM documents
+)
+SELECT doc_id, actual_lang, {case} AS pred_lang,
+       {', '.join(f'hits_{l}' for l in langs)}
+FROM scored
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: integer counts + ratio of integers
+    (bit-identical division both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    tokens = F.split(F.trim("text"), r"\s+")
+    n_tokens = F.size(tokens).cast("long")
+    n_stop = _stopword_hits(F.col("text"), STOPWORDS["en"])
+    mean_tok_len = (n_chars - n_tokens + 1) / n_tokens  # chars net of single spaces
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars"),
+        n_tokens.alias("n_tokens"),
+        n_stop.alias("n_stopwords"),
+        (n_stop / n_tokens).alias("stopword_ratio"),
+        mean_tok_len.alias("mean_token_len"),
+    )
+
+
+QUALITY_SQL = rf"""
+SELECT doc_id,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       {_sql_stopword_hits('text', STOPWORDS['en'])} AS n_stopwords,
+       {_sql_stopword_hits('text', STOPWORDS['en'])}
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS stopword_ratio,
+       (CAST(length(text) AS BIGINT) - len(string_split_regex(trim(text), '\s+')) + 1)
+         / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS mean_token_len
+FROM documents
+"""
+
+
+def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace vs BPE-ish regex token counts per source."""
+    d = load_table(spark, sf_dir, "documents")
+    ws_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    bpe_tokens = F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0))).cast("long")
+    per_doc = d.select("source", ws_tokens.alias("ws_toks"), bpe_tokens.alias("bpe_toks"))
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("ws_toks").alias("total_ws_tokens"),
+        F.sum("bpe_toks").alias("total_bpe_tokens"),
+        F.max("bpe_toks").alias("max_bpe_tokens"),
+    )
+
+
+TOKEN_STATS_SQL = rf"""
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]'))) AS BIGINT) AS total_bpe_tokens,
+       CAST(MAX(len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]'))) AS BIGINT) AS max_bpe_tokens
+FROM documents
+GROUP BY source
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprints: md5 hex of whitespace-normalized text plus the
+    portable 60-bit integer form (shuffle-friendly dedup key)."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        md5_60bit(norm).alias("fp_60bit"),
+    )
+
+
+_NORM_EXPR = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+FINGERPRINT_SQL = f"""
+SELECT doc_id,
+       md5({_NORM_EXPR}) AS fp_md5,
+       {sql_md5_60bit(_NORM_EXPR)} AS fp_60bit
+FROM documents
+"""
+
+
+TEXT_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("text_lang_id", lang_id, _lang_id_sql(), "stopword language ID"),
+        Query("text_quality_score", quality_score, QUALITY_SQL, "quality features"),
+        Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
+        Query("text_doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL, "content fingerprints"),
+    ]
+}

@@ -1,0 +1,41 @@
+"""Parquet table loading for the TPC-H-ish synthetic schema.
+
+At 100 TB these reads are the dominant cost; everything here is a bare
+``spark.read.parquet`` so Catalyst's column pruning and predicate pushdown
+reach the scan (check ``.explain``: ReadSchema / PushedFilters). Never
+cache or materialize here — operators decide what to persist.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+TABLE_NAMES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.parquet uses TIMESTAMP(NANOS), which Spark's vectorized
+        # reader rejects; read nanos as long and convert with exact
+        # integer division (float division is lossy at int64 magnitudes).
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> list[DataFrame]:
+    return [load_table(spark, sf_dir, n) for n in names]
