@@ -1,0 +1,87 @@
+#!/usr/bin/env python
+"""Benchmark runner: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total_sec>, "unit": "sec",
+   "queries": {"q1": sec, ...}, "sf": 0.1}
+
+Each query is timed as a full action (count of the result — forces the
+whole plan without driver-side collection of wide rows). A warmup query
+first absorbs JVM/session startup so per-query numbers reflect plan
+execution, not bootstrap.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# headline set: the reference workloads + the heavy relational shapes +
+# one of each extension family
+BENCH_QUERIES = [
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "wc_documents",
+    "vertex_degree_lineitem",
+    "matrix_multiply_synth",
+    "window_top3_orders",
+    "sessionize_events",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_bruteforce",
+    "text_quality_score",
+]
+
+
+def main() -> None:
+    from map_reduce_lite_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="mrl_spark_bench")
+    queries = entry_mod.queries()
+
+    # warmup: touch every table once so file listing/footer reads are warm
+    queries["join_nation_region"](spark, SF_DIR).count()
+
+    timings: dict[str, float] = {}
+    for name in BENCH_QUERIES:
+        best = float("inf")
+        for _ in range(2):  # min of 2 runs: steady-state, not codegen warmup
+            t0 = time.perf_counter()
+            queries[name](spark, SF_DIR).count()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
+
+    sf = None
+    tail = Path(SF_DIR).name
+    if tail.startswith("sf"):
+        try:
+            sf = float(tail[2:])
+        except ValueError:
+            pass
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline query wall time at sf (sum over queries)",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,17 @@ JACCARD_THRESHOLD = 0.5
 # --------------------------------------------------------------------------
 
 def _tokens(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """(id, pos, token) — whitespace tokens with positions."""
+    """(id, pos, token) — whitespace tokens with positions.
+
+    Repartitioning by doc BEFORE the explode spreads the CPU-heavy
+    tokenize across cores when the source is one parquet split, and
+    pre-aligns the partitioning every downstream per-doc window/groupBy
+    needs — one shuffle of small rows instead of one of exploded rows."""
+    spark = df.sparkSession
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
     return (
-        df.select(
+        df.repartition(fanout, F.col(id_col))
+        .select(
             F.col(id_col).alias("doc"),
             F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "token"),
         )
@@ -166,18 +174,28 @@ WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.5
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
-def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
-    """(doc, seed, minhash) — portable min-hash per seed.
+# Mersenne prime field for the permutation family h_i = (a_i*h + b_i) mod P.
+# P < 2^31 keeps a_i*h < 2^62 — no int64 overflow in either engine.
+MINHASH_P = 2147483647
+_A = [(i * 2654435761 + 1) % MINHASH_P for i in range(1, NUM_MINHASHES + 1)]
+_B = [(i * 40503 + 7) % MINHASH_P for i in range(1, NUM_MINHASHES + 1)]
 
-    Implemented as one explode over seeds + a single partial-aggregating
-    groupBy: shuffle volume is docs × num_hashes 8-byte rows, independent
-    of corpus text size."""
-    seeds = F.explode(F.sequence(F.lit(0), F.lit(num_hashes - 1))).alias("seed")
-    hashed = sh.select("doc", seeds, "shingle").select(
-        "doc", "seed",
-        md5_60bit(F.concat_ws("#", F.col("seed").cast("string"), F.col("shingle"))).alias("h"),
+
+def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
+    """(doc, m0..m{k-1}) — k portable min-hashes in ONE aggregation pass.
+
+    Each shingle is md5-hashed once; the k permutations are integer
+    arithmetic evaluated as k parallel MIN aggregates (map-side partial
+    agg), so shuffle volume is docs × k longs and there is no row
+    explosion at all — the design that survives a 100 TB corpus."""
+    hashed = sh.select(
+        "doc", (md5_60bit(F.col("shingle")) % MINHASH_P).alias("h")
     )
-    return hashed.groupBy("doc", "seed").agg(F.min("h").alias("minhash"))
+    mins = [
+        F.min((F.col("h") * _A[i] + _B[i]) % MINHASH_P).alias(f"m{i}")
+        for i in range(num_hashes)
+    ]
+    return hashed.groupBy("doc").agg(*mins)
 
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,16 +205,19 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     to these pairs."""
     d = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(shingles(d))
-    bands = sigs.groupBy(
-        "doc", F.floor(F.col("seed") / MINHASH_ROWS).cast("int").alias("band")
-    ).agg(
-        F.concat_ws(
-            ",",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("seed", "minhash"))),
-                lambda x: x["minhash"].cast("string"),
-            ),
-        ).alias("sig")
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                ).alias("sig"),
+            )
+            for b in range(MINHASH_BANDS)
+        ]
+    )
+    bands = sigs.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
     a, b = bands.alias("a"), bands.alias("b")
     pairs = a.join(
@@ -208,22 +229,40 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.distinct()
 
 
-DEDUP_MINHASH_SQL = _SHINGLES_CTE + f"""
+def _minhash_sql() -> str:
+    h60 = sql_md5_60bit("shingle")
+    min_cols = ",\n         ".join(
+        f"MIN((h * {_A[i]} + {_B[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(NUM_MINHASHES)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(m{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        + " AS sig FROM sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return (
+        _SHINGLES_CTE
+        + f"""
 , hashed AS (
-  SELECT doc, seed.s AS seed,
-         {sql_md5_60bit("seed.s || '#' || shingle")} AS h
-  FROM sh, LATERAL unnest(generate_series(0, {NUM_MINHASHES - 1})) AS seed(s)
+  SELECT doc, {h60} % {MINHASH_P} AS h FROM sh
 ), sigs AS (
-  SELECT doc, seed, MIN(h) AS minhash FROM hashed GROUP BY doc, seed
+  SELECT doc,
+         {min_cols}
+  FROM hashed GROUP BY doc
 ), bands AS (
-  SELECT doc, CAST(seed // {MINHASH_ROWS} AS INT) AS band,
-         string_agg(CAST(minhash AS VARCHAR), ',' ORDER BY seed) AS sig
-  FROM sigs GROUP BY 1, 2
+{band_selects}
 )
 SELECT DISTINCT a.doc AS doc1, b.doc AS doc2
 FROM bands a JOIN bands b
   ON a.band = b.band AND a.sig = b.sig AND a.doc < b.doc
 """
+    )
+
+
+DEDUP_MINHASH_SQL = _minhash_sql()
 
 
 # --------------------------------------------------------------------------

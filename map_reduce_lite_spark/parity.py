@@ -17,11 +17,19 @@ from map_reduce_lite_spark.workloads.vertex_degree import vertex_degree
 
 
 def wc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word count (W1-W2, workload/src/wc.rs) over documents.text."""
+    """Word count (W1-W2, workload/src/wc.rs) over documents.text.
+
+    The repartition fans the CPU-heavy tokenize across all cores when the
+    source is a single parquet file (one input split); on a real multi-file
+    corpus Catalyst's input planning already provides the parallelism and
+    AQE coalesces the extra exchange."""
     d = load_table(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("word")
-    ).filter(F.length("word") > 0)
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    words = (
+        d.repartition(fanout)
+        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("word"))
+        .filter(F.length("word") > 0)
+    )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
 
 
