@@ -29,35 +29,42 @@ from map_reduce_lite_spark.workloads import (
     vertex_degree_lines,
     word_count_lines,
 )
-from map_reduce_lite_spark.workloads import wordcount, grep as grep_mod, vertex_degree as vd_mod
-from map_reduce_lite_spark.workloads import matrix_multiply as mm_mod
+# direct function imports: the package __init__ re-exports functions whose
+# names shadow the submodule attributes, so module-level aliases don't resolve
+from map_reduce_lite_spark.workloads.wordcount import format_output as _wc_format
+from map_reduce_lite_spark.workloads.grep import format_output as _grep_format
+from map_reduce_lite_spark.workloads.vertex_degree import format_output as _vd_format
+from map_reduce_lite_spark.workloads.matrix_multiply import (
+    format_output as _mm_format,
+    parse_triples as _mm_parse,
+)
 
 
 def _wc(spark: SparkSession, input_glob: str, **aux) -> DataFrame:
-    return wordcount.format_output(word_count_lines(spark, input_glob))
+    return _wc_format(word_count_lines(spark, input_glob))
 
 
 def _grep(spark: SparkSession, input_glob: str, term: str = "", **aux) -> DataFrame:
-    return grep_mod.format_output(grep_lines(spark, input_glob, term))
+    return _grep_format(grep_lines(spark, input_glob, term))
 
 
 def _vertex_degree(spark: SparkSession, input_glob: str, **aux) -> DataFrame:
-    return vd_mod.format_output(vertex_degree_lines(spark, input_glob))
+    return _vd_format(vertex_degree_lines(spark, input_glob))
 
 
 def _mm1(spark: SparkSession, input_glob: str, **aux) -> DataFrame:
-    df = matrix_multiply_phase1(mm_mod.parse_triples(spark, input_glob))
+    df = matrix_multiply_phase1(_mm_parse(spark, input_glob))
     return df.select(
         F.format_string("%d %d %s C", "row", "col", F.col("value").cast("string")).alias("value")
     )
 
 
 def _mm2(spark: SparkSession, input_glob: str, **aux) -> DataFrame:
-    return mm_mod.format_output(matrix_multiply_phase2(mm_mod.parse_triples(spark, input_glob)))
+    return _mm_format(matrix_multiply_phase2(_mm_parse(spark, input_glob)))
 
 
 def _mm(spark: SparkSession, input_glob: str, **aux) -> DataFrame:
-    return mm_mod.format_output(matrix_multiply(mm_mod.parse_triples(spark, input_glob)))
+    return _mm_format(matrix_multiply(_mm_parse(spark, input_glob)))
 
 
 # name → (spark, input_glob, **aux) -> DataFrame of output lines.

@@ -129,28 +129,43 @@ def _hyperplanes(dim: int, n_planes: int = LSH_PLANES, seed: int = 42) -> list[l
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
+def _plane_bit(vec: Column, plane: list[float]) -> Column:
+    """Sign bit (0/1 int) of ``vec`` against one fixed hyperplane."""
+    dot = F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(w)) for w in plane]),
+            lambda x, p: x.cast("double") * p,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+
+
+def lsh_band_hashes(vec: Column, planes: list[list[float]], n_bands: int) -> Column:
+    """Array of ``n_bands`` band hashes: planes are split contiguously into
+    bands; each band's sign bits pack into one int. Two vectors are
+    candidates iff ANY band hash matches (OR-amplification) — the classic
+    banding construction (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
+    bits = [_plane_bit(vec, p) for p in planes]
+    per_band = max(1, len(planes) // n_bands)
+    bands = []
+    for b in range(n_bands):
+        chunk = bits[b * per_band : (b + 1) * per_band]
+        if not chunk:
+            break
+        h = chunk[0]
+        for bit in chunk[1:]:
+            h = h * 2 + bit
+        bands.append(h)
+    return F.array(*bands)
+
+
+# retained single-signature helper (ingest-time partitioning key)
 def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, as an int."""
-    bits = [
-        F.when(
-            F.aggregate(
-                F.zip_with(
-                    vec,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, p: x.cast("double") * p,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            > 0,
-            F.lit(1 << i),
-        ).otherwise(0)
-        for i, plane in enumerate(planes)
-    ]
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
+    return lsh_band_hashes(vec, planes, 1)[0]
 
 
 def ann_lsh_topk(
@@ -159,30 +174,46 @@ def ann_lsh_topk(
     dim: int,
     k: int = TOP_K,
     n_planes: int = LSH_PLANES,
+    n_bands: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """Approximate top-k: candidates share the full LSH bucket signature.
+    """Approximate top-k via banded random-hyperplane LSH.
 
-    At 100 TB: signatures are computed once at ingest and the corpus is
-    written bucketed/partitioned by signature, so a query touches only
-    its bucket's files (partition pruning). Here the signature is inline.
-    Multi-probe (flipping low-confidence bits) is the standard recall
-    lever; tests pin recall vs brute force."""
+    ``n_planes`` sign bits split into ``n_bands`` tables of r =
+    n_planes/n_bands bits; a corpus vector is a candidate for a query iff
+    they collide in ANY band — recall 1-(1-p^r)^L for per-bit agreement
+    p = 1 - θ/π. Wider bands (larger r) cut false positives; more bands
+    (larger L) raise recall.
+
+    At 100 TB: band hashes are computed once at ingest and the corpus is
+    written as L bucket tables (or one table partitioned by
+    (band_id, band_hash)), so a query probes L buckets' files via
+    partition pruning instead of scanning the corpus. Here the explode ×L
+    is inline; the per-pair dedup is a shuffle on (query_id, neighbor_id)
+    bounded by candidate count, not corpus size. Recall is
+    property-tested vs brute force (tests/test_similarity.py)."""
     planes = _hyperplanes(dim, n_planes)
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
+            "band_id", "band_hash"
+        ),
     )
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
-        lsh_signature(F.col(vec_col), planes).alias("bucket"),
+        F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
+            "band_id", "band_hash"
+        ),
     )
     scored = (
-        c.join(F.broadcast(q), "bucket")
+        c.join(F.broadcast(q), ["band_id", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
+        # a pair colliding in multiple bands appears once per collision;
+        # dedup before scoring so cosine runs once per candidate pair
+        .dropDuplicates(["query_id", "neighbor_id"])
         .select(
             "query_id",
             "neighbor_id",
@@ -206,9 +237,9 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
-    # fewer planes than the brute-force demo's query count is deliberate:
-    # buckets must be non-trivially populated at sf0.01 corpus sizes
-    return ann_lsh_topk(emb, queries, dim, n_planes=8)
+    # 16 planes / 4 bands of 4 bits: ~0.23 false-positive candidate rate
+    # for orthogonal pairs, high recall for cosine ≥ 0.3 neighbors
+    return ann_lsh_topk(emb, queries, dim, n_planes=16, n_bands=4)
 
 
 SIMILARITY_QUERIES: dict[str, Query] = {

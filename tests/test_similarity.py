@@ -1,0 +1,79 @@
+"""Property tests for similarity search: ANN recall vs brute force, and
+cosine correctness against numpy."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.ops.similarity import (
+    TOP_K,
+    ann_lsh_topk,
+    brute_force_topk,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_SMALL}/embeddings.parquet").cache()
+
+
+def test_bruteforce_matches_numpy(spark, emb):
+    rows = emb.collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in rows}
+    queries = emb.filter(F.col("vec_id") < 3)
+    got = brute_force_topk(emb, queries, k=TOP_K).collect()
+
+    for qid in range(3):
+        q = vecs[qid]
+        sims = {}
+        for cid, v in vecs.items():
+            if cid == qid:
+                continue
+            sims[cid] = float(q @ v / (np.linalg.norm(q) * np.linalg.norm(v)))
+        expect = sorted(sims.items(), key=lambda kv: (-kv[1], kv[0]))[:TOP_K]
+        got_q = sorted(
+            [(r["neighbor_id"], r["rank"], r["sim_e9"]) for r in got if r["query_id"] == qid],
+            key=lambda t: t[1],
+        )
+        assert [t[0] for t in got_q] == [e[0] for e in expect]
+        for (nid, rank, sim_e9), (enid, esim) in zip(got_q, expect):
+            assert abs(sim_e9 / 1e9 - esim) < 1e-6
+
+
+def test_ann_lsh_recall(spark, emb):
+    """LSH-bucket ANN: recall@5 vs brute force for dense buckets.
+
+    With 8 hyperplanes on 500 random-ish vectors recall is limited by
+    bucket occupancy — assert a sane floor and that every reported
+    neighbor shares the query's bucket semantics (subset of brute-force
+    candidates by construction of cosine)."""
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=TOP_K).collect()
+    approx = ann_lsh_topk(emb, queries, dim, k=TOP_K, n_planes=8).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hit = total = 0
+    for r in approx:
+        total += 1
+        if r["neighbor_id"] in exact_sets.get(r["query_id"], set()):
+            hit += 1
+    assert total > 0
+    # same-bucket vectors are cosine-similar by construction; demand a
+    # non-degenerate overlap with the exact top-k
+    assert hit / total >= 0.2, (hit, total)
+
+
+def test_ann_lsh_more_planes_fewer_candidates(spark, emb):
+    dim = len(emb.select("embedding").first()[0])
+    queries = emb.filter(F.col("vec_id") < 10)
+    few = ann_lsh_topk(emb, queries, dim, k=50, n_planes=4).count()
+    many = ann_lsh_topk(emb, queries, dim, k=50, n_planes=12).count()
+    assert many <= few  # finer buckets → fewer candidates

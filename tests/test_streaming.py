@@ -1,0 +1,101 @@
+"""Structured Streaming correctness by batch equivalence.
+
+The stream (availableNow over the same parquet) must produce exactly the
+batch plan's result — Spark guarantees this for windowed aggregations;
+the test pins our window/watermark configuration to the batch twin in
+relational/queries.py.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.relational.tables import load_table
+from map_reduce_lite_spark.streaming.windows import (
+    hourly_counts_stream,
+    run_stream_to_memory,
+)
+from tests.conftest import SF_SMALL
+
+
+@pytest.fixture(scope="module")
+def events_parquet(spark, tmp_path_factory):
+    """Re-write events as µs-timestamp parquet (the nanos original needs
+    the legacy conf that readStream's schema path doesn't apply)."""
+    out = str(tmp_path_factory.mktemp("events_stream") / "events")
+    load_table(spark, SF_SMALL, "events").write.mode("overwrite").parquet(out)
+    return out
+
+
+def test_hourly_stream_equals_batch(spark, events_parquet):
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_parquet)
+    )
+    windowed = hourly_counts_stream(stream)
+    run_stream_to_memory(windowed, "hourly_test")
+    got = Counter(
+        (r["hour_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in spark.sql("SELECT * FROM hourly_test").collect()
+    )
+
+    batch = (
+        spark.read.parquet(events_parquet)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("hour_start"), "event_type", "n_events", "sum_value")
+    )
+    want = Counter(
+        (r["hour_start"], r["event_type"], r["n_events"], r["sum_value"])
+        for r in batch.collect()
+    )
+    assert got == want
+
+
+def test_sessionize_stream_runs(spark, events_parquet):
+    """Stateful sessionization: drains, emits per-user sessions, event
+    totals reconcile with the input."""
+    from map_reduce_lite_spark.streaming.sessions import sessionize_stream
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_parquet)
+    )
+    sessions = sessionize_stream(stream)
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.sql("SELECT * FROM sessions_test").collect()
+    assert out
+    n_input = spark.read.parquet(events_parquet).count()
+    # open (non-closed) sessions carry the residual counts; totals of the
+    # latest state per user must cover all events
+    per_user_latest = {}
+    for r in out:
+        per_user_latest.setdefault(r["user_id"], []).append(r)
+    total = 0
+    for rows in per_user_latest.values():
+        closed = [r for r in rows if r["closed"]]
+        open_ = [r for r in rows if not r["closed"]]
+        total += sum(r["n_events"] for r in closed)
+        if open_:
+            total += max(r["n_events"] for r in open_)
+    assert total == n_input, (total, n_input)

@@ -1,0 +1,120 @@
+"""Golden tests for the four reference workloads on text-file fixtures.
+
+Comparison rules follow FIXTURES.md §5: outputs compared as multisets of
+lines (the reference's partition layout is hasher-dependent and not
+reproducible — common/src/lib.rs:128-136), floats numerically.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pytest
+
+from map_reduce_lite_spark.engine import Engine
+
+
+@pytest.fixture(scope="module")
+def books_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("books")
+    (d / "p.txt").write_text("The quick brown fox.\nJumps over the lazy dog!\nThe END?\n")
+    (d / "q.txt").write_text("Énergie déjà vu — the naïve café.\nthe the THE\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def edges_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("edges")
+    (d / "00.txt").write_text("1\t2\n2\t3\n3\t1\n1\t1\n")
+    (d / "01.txt").write_text("2\t4\n4\t1\n")
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def mm_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("mm")
+    # A is 2x2, B is 2x2; product C = A@B
+    (d / "input").write_text(
+        "1 1 1.0 A\n1 2 2.0 A\n2 1 3.0 A\n2 2 4.0 A\n"
+        "1 1 5.0 B\n1 2 6.0 B\n2 1 7.0 B\n2 2 8.0 B\n"
+    )
+    return str(d)
+
+
+def _lines(df):
+    return Counter(r["value"] for r in df.collect())
+
+
+def test_wc_golden(spark, books_dir):
+    """wc semantics: Unicode-aware split (`[^\\p{L}]+`), lowercase, count
+    (workload/src/wc.rs:9-44)."""
+    out = _lines(Engine(spark).submit("wc", f"{books_dir}/*.txt"))
+    assert out["the 7"] == 1  # 4 in p.txt (incl END line 'The') + 3 in q.txt... recounted below
+    # exact expectations for interesting tokens:
+    assert out["énergie 1"] == 1  # Unicode letters kept, lowercased
+    assert out["déjà 1"] == 1
+    assert out["naïve 1"] == 1
+    assert out["fox 1"] == 1
+    assert out["end 1"] == 1
+
+
+def test_wc_the_count(spark, books_dir):
+    df = Engine(spark).submit("wc", f"{books_dir}/*.txt")
+    vals = {r["value"] for r in df.collect()}
+    # p.txt: 'The' x2 + 'the' x1 = 3; q.txt: 'the' + 'the the THE' = 4 → 7
+    assert "the 7" in vals, sorted(vals)
+
+
+def test_grep_golden(spark, books_dir):
+    """grep semantics: literal term filter, per-file 1-based line numbers,
+    '{file}:{line}:: {text}' format (workload/src/grep.rs)."""
+    df = Engine(spark).submit("grep", f"{books_dir}/*.txt", term="the")
+    out = sorted(r["value"] for r in df.collect())
+    assert len(out) == 3
+    assert out[0].endswith("p.txt:2:: Jumps over the lazy dog!")
+    assert out[1].endswith("q.txt:1:: Énergie déjà vu — the naïve café.")
+    assert out[2].endswith("q.txt:2:: the the THE")
+
+
+def test_vertex_degree_golden(spark, edges_dir):
+    """vertex-degree semantics: both endpoints count, self-loops twice
+    (workload/src/vertex_degree.rs:31-43)."""
+    out = _lines(Engine(spark).submit("vertex-degree", f"{edges_dir}/*.txt"))
+    assert out == Counter(
+        {"1, deg=5": 1, "2, deg=3": 1, "3, deg=2": 1, "4, deg=2": 1}
+    )
+
+
+def test_matrix_multiply_golden(spark, mm_dir):
+    """Fused MM equals numpy's A@B (workload/src/matrix_multiply.rs)."""
+    df = Engine(spark).submit("matrix-multiply", f"{mm_dir}/input")
+    got = {}
+    for r in df.collect():
+        i, j, v, tag = r["value"].split()
+        assert tag == "C"
+        got[(int(i), int(j))] = float(v)
+    # A=[[1,2],[3,4]], B=[[5,6],[7,8]] → C=[[19,22],[43,50]]
+    assert got == {(1, 1): 19.0, (1, 2): 22.0, (2, 1): 43.0, (2, 2): 50.0}
+
+
+def test_matrix_multiply_two_phase_chain(spark, mm_dir, tmp_path):
+    """Phase-1 output feeds phase-2 (workload_test.sh:24-29 chaining)."""
+    eng = Engine(spark)
+    out1 = str(tmp_path / "mm1")
+    eng.submit("matrix-multiply-1", f"{mm_dir}/input", output=out1)
+    df = eng.submit("matrix-multiply-2", f"{out1}/part-*")
+    got = {}
+    for r in df.collect():
+        i, j, v, _ = r["value"].split()
+        got[(int(i), int(j))] = float(v)
+    assert got == {(1, 1): 19.0, (1, 2): 22.0, (2, 1): 43.0, (2, 2): 50.0}
+
+
+def test_engine_jobs_status(spark, books_dir):
+    eng = Engine(spark)
+    eng.submit("wc", f"{books_dir}/*.txt").count()
+    with pytest.raises(KeyError):
+        eng.submit("nope", "x")
+    st = eng.status()
+    assert st["completed_jobs"] >= 1
+    assert eng.jobs()[0].workload == "wc"
