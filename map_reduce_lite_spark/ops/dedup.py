@@ -357,6 +357,92 @@ WHERE hamming <= {HAMMING_MAX}
 """
 
 
+# --------------------------------------------------------------------------
+# Embedding-cosine near-dup
+# --------------------------------------------------------------------------
+
+NEAR_DUP_COS = 0.40  # demo threshold; corpus max pairwise cosine is ~0.51
+
+
+def embedding_near_dup_pairs(
+    corpus: DataFrame,
+    threshold: float = NEAR_DUP_COS,
+    method: str = "exact",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    ``method="exact"`` scores the full triangular self-join — the oracle
+    path, quadratic in corpus size, fine for verification corpora.
+    ``method="lsh"`` blocks the self-join on banded random-hyperplane
+    buckets (similarity.lsh_band_hashes) and exact-verifies cosine only
+    on colliding pairs — the 100 TB path: the shuffle key is the band
+    hash, pair work is quadratic only within a bucket, and recall vs
+    exact is property-tested (tests/test_dedup.py)."""
+    from map_reduce_lite_spark.ops.similarity import _hyperplanes, cosine, lsh_band_hashes
+
+    a = corpus.select(F.col(id_col).alias("keep_id"), F.col(vec_col).alias("a_vec"))
+    b = corpus.select(F.col(id_col).alias("dup_id"), F.col(vec_col).alias("b_vec"))
+    if method == "exact":
+        pairs = a.join(b, F.col("keep_id") < F.col("dup_id"))
+    elif method == "lsh":
+        dim_row = corpus.select(F.size(vec_col).alias("d")).first()
+        planes = _hyperplanes(dim_row[0], n_planes)
+        ab = a.select(
+            "keep_id", "a_vec",
+            F.posexplode(lsh_band_hashes(F.col("a_vec"), planes, n_bands)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        bb = b.select(
+            "dup_id", "b_vec",
+            F.posexplode(lsh_band_hashes(F.col("b_vec"), planes, n_bands)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+        pairs = (
+            ab.join(bb, ["band_id", "band_hash"])
+            .filter(F.col("keep_id") < F.col("dup_id"))
+            .dropDuplicates(["keep_id", "dup_id"])
+        )
+    else:
+        raise ValueError(f"unknown method {method!r}")
+    return (
+        pairs.select(
+            "keep_id", "dup_id", cosine(F.col("a_vec"), F.col("b_vec")).alias("sim")
+        )
+        .filter(F.col("sim") >= F.lit(threshold))
+        .select(
+            "keep_id", "dup_id", F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9")
+        )
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb)
+
+
+def _embedding_cosine_sql() -> str:
+    from map_reduce_lite_spark.ops.similarity import _sql_cos
+
+    return f"""
+WITH scored AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         {_sql_cos('a.embedding', 'b.embedding')} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+)
+SELECT keep_id, dup_id, CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM scored WHERE sim >= {NEAR_DUP_COS}
+"""
+
+
+DEDUP_EMBEDDING_SQL = _embedding_cosine_sql()
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -364,5 +450,11 @@ DEDUP_QUERIES: dict[str, Query] = {
         Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "3-shingle jaccard pairs"),
         Query("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash-LSH candidates"),
         Query("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "simhash hamming pairs"),
+        Query(
+            "dedup_embedding_cosine",
+            dedup_embedding_cosine,
+            DEDUP_EMBEDDING_SQL,
+            "embedding-cosine near-dup pairs",
+        ),
     ]
 }

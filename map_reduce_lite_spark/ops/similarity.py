@@ -242,6 +242,154 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, dim, n_planes=16, n_bands=4)
 
 
+# --------------------------------------------------------------------------
+# IVF (inverted-file) ANN
+# --------------------------------------------------------------------------
+
+CENTROID_STRIDE = 32  # every stride-th corpus vector is a coarse centroid
+N_PROBE = 4  # centroid lists each query probes
+
+
+def _sql_dot(a: str, b: str) -> str:
+    return (
+        f"list_sum(list_transform(list_zip({a}, {b}), "
+        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
+    )
+
+
+def _sql_cos(a: str, b: str) -> str:
+    """DuckDB cosine matching ``cosine()`` bit-for-bit (same fold order)."""
+    return f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+def ann_ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = TOP_K,
+    stride: int = CENTROID_STRIDE,
+    n_probe: int = N_PROBE,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k via an IVF (inverted-file) coarse quantizer.
+
+    Every ``stride``-th corpus vector serves as a centroid (a
+    deterministic stand-in for offline k-means — the operator's plan is
+    identical whatever trained the centroid set). Each corpus vector is
+    assigned to its nearest centroid; a query probes only its ``n_probe``
+    nearest centroids' lists, so the fine cosine pass touches ~n_probe/C
+    of the corpus instead of all of it.
+
+    Scale shape (100 TB): centroids are tiny → broadcast; assignment is
+    ONE narrow pass with a map-side-combined ``max_by`` (shuffle carries
+    one (id, cid) row per vector, no ×C blowup); at ingest the corpus is
+    written partitioned by cid, so probing is partition pruning, not a
+    join. No driver loops, no Python — every FLOP is codegen'd
+    zip_with/aggregate."""
+    cent = corpus.filter((F.col(id_col) % stride) == 0).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec")
+    )
+    assign = (
+        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "neighbor_id",
+            "c_vec",
+            "cid",
+            cosine(F.col("c_vec"), F.col("cent_vec")).alias("csim"),
+        )
+        .groupBy("neighbor_id")
+        .agg(
+            # argmax over (csim, -cid): nearest centroid, smaller cid on ties
+            F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("cid"),
+            F.any_value("c_vec").alias("c_vec"),
+        )
+    )
+    probes = (
+        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+        .crossJoin(F.broadcast(cent))
+        .select(
+            "query_id",
+            "q_vec",
+            "cid",
+            cosine(F.col("q_vec"), F.col("cent_vec")).alias("csim"),
+        )
+    )
+    wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
+    probes = (
+        probes.withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= n_probe)
+        .select("query_id", "q_vec", "cid")
+    )
+    scored = (
+        assign.join(F.broadcast(probes), "cid")
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return ann_ivf_topk(emb, queries)
+
+
+SIMILARITY_IVF_SQL = f"""
+WITH cent AS (
+  SELECT vec_id AS cid, embedding AS cent_vec
+  FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+), assign_scored AS (
+  SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cid,
+         {_sql_cos('e.embedding', 'c.cent_vec')} AS csim
+  FROM embeddings e CROSS JOIN cent c
+), assign AS (
+  SELECT neighbor_id, c_vec, cid FROM (
+    SELECT neighbor_id, c_vec, cid,
+           row_number() OVER (PARTITION BY neighbor_id
+                              ORDER BY csim DESC, cid ASC) AS rn
+    FROM assign_scored) WHERE rn = 1
+), probe_scored AS (
+  SELECT q.vec_id AS query_id, q.embedding AS q_vec, c.cid,
+         {_sql_cos('q.embedding', 'c.cent_vec')} AS csim
+  FROM embeddings q CROSS JOIN cent c
+  WHERE q.vec_id < {N_QUERY_VECS}
+), probes AS (
+  SELECT query_id, q_vec, cid FROM (
+    SELECT query_id, q_vec, cid,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY csim DESC, cid ASC) AS rn
+    FROM probe_scored) WHERE rn <= {N_PROBE}
+), scored AS (
+  SELECT p.query_id, a.neighbor_id,
+         {_sql_cos('p.q_vec', 'a.c_vec')} AS sim
+  FROM assign a JOIN probes p USING (cid)
+  WHERE a.neighbor_id <> p.query_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -254,5 +402,11 @@ SIMILARITY_QUERIES: dict[str, Query] = {
         # LSH banding is not portable SQL → rows-only driver check;
         # recall is property-tested against brute force in pytest.
         Query("similarity_ann_lsh", similarity_ann_lsh, None, "LSH-bucketed ANN top-k"),
+        Query(
+            "similarity_ann_ivf",
+            similarity_ann_ivf,
+            SIMILARITY_IVF_SQL,
+            "IVF coarse-quantized ANN top-k",
+        ),
     ]
 }

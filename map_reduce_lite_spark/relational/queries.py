@@ -589,6 +589,162 @@ GROUP BY user_id, session_id
 """
 
 
+# --------------------------------------------------------------------------
+# Multi-dimensional grouping, subqueries, non-equi joins
+# --------------------------------------------------------------------------
+
+def cube_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 4 grouping sets in one
+    pass — Spark Expand + single shuffle, not 4 scans."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.cube("l_returnflag", "l_linestatus").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        dsum(F.col("l_quantity"), 2).alias("sum_qty"),
+    )
+
+
+CUBE_SQL = f"""
+SELECT l_returnflag, l_linestatus, COUNT(*) AS n_rows,
+       {sql_dsum('l_quantity', 2)} AS sum_qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+
+def subquery_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: correlated scalar subquery (per-part avg quantity)
+    decorrelated into an aggregate + join — the plan Catalyst/DuckDB both
+    produce; here it's written decorrelated so the shuffle structure is
+    explicit (one agg over lineitem, one broadcast-joined filter pass)."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#13")
+    half_avg = l.groupBy(F.col("l_partkey").alias("pk")).agg(
+        (davg(F.col("l_quantity"), 2) * 0.5).alias("half_avg")
+    )
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(half_avg, l.l_partkey == F.col("pk"))
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg((dsum(F.col("l_extendedprice"), 2) / 7.0).alias("avg_yearly"))
+    )
+
+
+SUBQUERY_Q17_SQL = f"""
+SELECT {sql_dsum('l_extendedprice', 2)} / 7.0 AS avg_yearly
+FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+WHERE p.p_brand = 'Brand#13'
+  AND l.l_quantity < (
+    SELECT {sql_davg('l2.l_quantity', 2)} * 0.5
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+"""
+
+
+def range_join_qty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi (range/theta) join: lineitems into quantity bands.
+
+    The band dim is tiny → broadcast nested-loop, which at any scale is
+    one narrow pass over the fact (each row tests 5 intervals). The
+    general big-big range join strategy is interval bucketing: overlap
+    each row with bucket floor(qty/width) and equi-join on the bucket."""
+    l = load_table(spark, sf_dir, "lineitem")
+    bands = spark.createDataFrame(
+        [(float(i * 10), float((i + 1) * 10), f"({i * 10},{(i + 1) * 10}]") for i in range(5)],
+        "lo double, hi double, band string",
+    )
+    return (
+        l.join(
+            F.broadcast(bands),
+            (l.l_quantity > bands.lo) & (l.l_quantity <= bands.hi),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            dsum(F.col("l_extendedprice"), 2).alias("sum_price"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = f"""
+SELECT band, COUNT(*) AS n_items, {sql_dsum('l_extendedprice', 2)} AS sum_price
+FROM lineitem
+JOIN (VALUES (0.0, 10.0, '(0,10]'), (10.0, 20.0, '(10,20]'),
+             (20.0, 30.0, '(20,30]'), (30.0, 40.0, '(30,40]'),
+             (40.0, 50.0, '(40,50]')) AS b(lo, hi, band)
+  ON l_quantity > lo AND l_quantity <= hi
+GROUP BY band
+"""
+
+
+def asof_join_purchase_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the user's latest strictly-
+    earlier view event.
+
+    Expressed as the scalable union+window formulation: tag both sides,
+    sort within user by (ts, side, event_id) — purchases before views on
+    ts ties keeps the match strict — and carry the last non-null view via
+    an unbounded-preceding window. ONE shuffle on user_id, no per-row
+    subquery, no range self-join; this is the form that survives
+    billions of events per day (DuckDB's native ASOF JOIN is the same
+    semantics; the oracle uses the identical window so tie-breaks are
+    bit-for-bit)."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(0).alias("side"),
+        F.lit(None).cast("long").alias("view_id"),
+        F.lit(None).cast("timestamp").alias("view_ts"),
+    )
+    views = e.filter(F.col("event_type") == "view").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("side"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts").alias("view_ts"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "side", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        purchases.unionByName(views)
+        .withColumn("prior_view_id", F.last("view_id", ignorenulls=True).over(w))
+        .withColumn("prior_view_ts", F.last("view_ts", ignorenulls=True).over(w))
+        .filter(F.col("side") == 0)
+        .select(
+            F.col("event_id").alias("purchase_id"),
+            "user_id",
+            "ts",
+            "prior_view_id",
+            "prior_view_ts",
+        )
+    )
+
+
+ASOF_JOIN_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id, 0 AS side,
+         CAST(NULL AS BIGINT) AS view_id, CAST(NULL AS TIMESTAMP) AS view_ts
+  FROM events WHERE event_type = 'purchase'
+  UNION ALL
+  SELECT user_id, ts, event_id, 1, event_id, ts
+  FROM events WHERE event_type = 'view'
+), matched AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(view_id IGNORE NULLS) OVER w AS prior_view_id,
+         last_value(view_ts IGNORE NULLS) OVER w AS prior_view_ts
+  FROM tagged
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, side, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+)
+SELECT event_id AS purchase_id, user_id, ts, prior_view_id, prior_view_ts
+FROM matched WHERE side = 0
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -614,5 +770,19 @@ RELATIONAL_QUERIES: dict[str, Query] = {
         Query("json_events", json_events, JSON_EVENTS_SQL, "json extraction"),
         Query("events_hourly", events_hourly, EVENTS_HOURLY_SQL, "event-time tumbling window"),
         Query("sessionize_events", sessionize_events, SESSIONIZE_SQL, "sessionization"),
+        Query("cube_flag_status", cube_flag_status, CUBE_SQL, "CUBE grouping sets"),
+        Query(
+            "subquery_small_qty_revenue",
+            subquery_small_qty_revenue,
+            SUBQUERY_Q17_SQL,
+            "correlated scalar subquery (Q17)",
+        ),
+        Query("range_join_qty_bands", range_join_qty_bands, RANGE_JOIN_SQL, "non-equi range join"),
+        Query(
+            "asof_join_purchase_view",
+            asof_join_purchase_view,
+            ASOF_JOIN_SQL,
+            "as-of join (union+window form)",
+        ),
     ]
 }

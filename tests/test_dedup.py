@@ -115,3 +115,25 @@ def test_simhash_hamming_symmetry(spark):
     for r in out:
         assert r["doc1"] < r["doc2"]
         assert 0 <= r["hamming"] <= 3
+
+
+def test_embedding_near_dup_exact_vs_lsh_recall(spark):
+    """LSH-blocked near-dup must recover most of the exact pairs and
+    never report a pair the exact method rejects (it exact-verifies)."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from tests.conftest import SF_SMALL
+
+    emb = spark.read.parquet(f"{SF_SMALL}/embeddings.parquet")
+    exact = {
+        (r["keep_id"], r["dup_id"]): r["sim_e9"]
+        for r in embedding_near_dup_pairs(emb, method="exact").collect()
+    }
+    lsh = {
+        (r["keep_id"], r["dup_id"]): r["sim_e9"]
+        for r in embedding_near_dup_pairs(emb, method="lsh").collect()
+    }
+    assert exact, "exact near-dup set must be non-empty on test corpus"
+    assert set(lsh) <= set(exact)  # no false positives after verify
+    assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
+    for k in lsh:
+        assert lsh[k] == exact[k]

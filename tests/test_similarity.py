@@ -77,3 +77,36 @@ def test_ann_lsh_more_planes_fewer_candidates(spark, emb):
     few = ann_lsh_topk(emb, queries, dim, k=50, n_planes=4).count()
     many = ann_lsh_topk(emb, queries, dim, k=50, n_planes=12).count()
     assert many <= few  # finer buckets → fewer candidates
+
+
+def test_ann_ivf_recall(spark, emb):
+    """IVF probes only n_probe centroid lists; recall@5 vs brute force
+    should still be substantial on the clustered test corpus."""
+    from map_reduce_lite_spark.ops.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 20)
+    exact = brute_force_topk(emb, queries, k=TOP_K).collect()
+    approx = ann_ivf_topk(emb, queries, k=TOP_K).collect()
+
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    hits = sum(
+        1 for r in approx if r["neighbor_id"] in exact_sets.get(r["query_id"], set())
+    )
+    n_exact = sum(len(s) for s in exact_sets.values())
+    assert n_exact > 0
+    assert hits / n_exact >= 0.3, (hits, n_exact)
+
+
+def test_ann_ivf_every_query_answered(spark, emb):
+    from map_reduce_lite_spark.ops.similarity import ann_ivf_topk
+
+    queries = emb.filter(F.col("vec_id") < 8)
+    got = ann_ivf_topk(emb, queries, k=TOP_K).collect()
+    per_query = {}
+    for r in got:
+        per_query.setdefault(r["query_id"], []).append(r["rank"])
+    assert set(per_query) == set(range(8))
+    for ranks in per_query.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
