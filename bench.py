@@ -55,7 +55,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         best = float("inf")
-        for _ in range(2):  # min of 2 runs: steady-state, not codegen warmup
+        for _ in range(3):  # min of 3 runs: steady-state, GC-noise-resistant
             t0 = time.perf_counter()
             queries[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)

@@ -63,17 +63,26 @@ def brute_force_topk(
 
     ``queries`` is expected to be small — it is broadcast, making the
     scan embarrassingly parallel with no corpus shuffle."""
+    # norms once per vector, not once per pair: sim = dot/(q_norm*c_norm)
+    # is the same expression tree the oracle evaluates (sqrt(q·q) first),
+    # so precomputing keeps bit-identity while cutting FLOPs ~3×
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
         )
     )
     # rank on the raw (bit-identical) cosine; expose it floor-scaled to an
@@ -197,6 +206,7 @@ def ann_lsh_topk(
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
         F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
         F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
@@ -204,6 +214,7 @@ def ann_lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
         F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
@@ -217,7 +228,7 @@ def ann_lsh_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -287,39 +298,43 @@ def ann_ivf_topk(
     join. No driver loops, no Python — every FLOP is codegen'd
     zip_with/aggregate."""
     cent = corpus.filter((F.col(id_col) % stride) == 0).select(
-        F.col(id_col).alias("cid"), F.col(vec_col).alias("cent_vec")
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("cent_vec"),
+        _norm(F.col(vec_col)).alias("cent_norm"),
     )
+    # norms once per side (same expression tree as the oracle → bit-identical)
+    csim = _dot(F.col("c_vec"), F.col("cent_vec")) / (F.col("c_norm") * F.col("cent_norm"))
     assign = (
-        corpus.select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "neighbor_id",
-            "c_vec",
-            "cid",
-            cosine(F.col("c_vec"), F.col("cent_vec")).alias("csim"),
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
         )
+        .crossJoin(F.broadcast(cent))
+        .select("neighbor_id", "c_vec", "c_norm", "cid", csim.alias("csim"))
         .groupBy("neighbor_id")
         .agg(
             # argmax over (csim, -cid): nearest centroid, smaller cid on ties
             F.max_by("cid", F.struct(F.col("csim"), (-F.col("cid")).alias("ncid"))).alias("cid"),
             F.any_value("c_vec").alias("c_vec"),
+            F.any_value("c_norm").alias("c_norm"),
         )
     )
+    qsim = _dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_norm") * F.col("cent_norm"))
     probes = (
-        queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-        .crossJoin(F.broadcast(cent))
-        .select(
-            "query_id",
-            "q_vec",
-            "cid",
-            cosine(F.col("q_vec"), F.col("cent_vec")).alias("csim"),
+        queries.select(
+            F.col(id_col).alias("query_id"),
+            F.col(vec_col).alias("q_vec"),
+            _norm(F.col(vec_col)).alias("q_norm"),
         )
+        .crossJoin(F.broadcast(cent))
+        .select("query_id", "q_vec", "q_norm", "cid", qsim.alias("csim"))
     )
     wp = Window.partitionBy("query_id").orderBy(F.desc("csim"), F.asc("cid"))
     probes = (
         probes.withColumn("prn", F.row_number().over(wp))
         .filter(F.col("prn") <= n_probe)
-        .select("query_id", "q_vec", "cid")
+        .select("query_id", "q_vec", "q_norm", "cid")
     )
     scored = (
         assign.join(F.broadcast(probes), "cid")
@@ -327,7 +342,7 @@ def ann_ivf_topk(
         .select(
             "query_id",
             "neighbor_id",
-            cosine(F.col("q_vec"), F.col("c_vec")).alias("sim"),
+            (_dot(F.col("q_vec"), F.col("c_vec")) / (F.col("q_norm") * F.col("c_norm"))).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
