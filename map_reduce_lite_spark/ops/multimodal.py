@@ -142,6 +142,132 @@ FROM documents
 """
 
 
+FRAME_LEN = 256  # chars per sampled "frame"
+FRAME_STRIDE = 1024  # sample one frame every this many chars
+
+FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("n_chars", T.LongType(), False),
+        T.StructField("frame_md5", T.StringType(), False),
+    ]
+)
+
+RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("thumb_md5", T.StringType(), True),
+    ]
+)
+
+
+def sample_frames_stub(documents: DataFrame) -> DataFrame:
+    """Video-style frame sampling as 1→N mapInPandas: one ``FRAME_LEN``
+    "frame" every ``FRAME_STRIDE`` units of the stream.
+
+    The fake decoder treats the document text as the stream (chars ≈
+    presentation timestamps) so the operator is fully deterministic and
+    the DuckDB oracle can replay it with substring math — a FULL
+    value-level correctness check on a Python batch operator, not just
+    a rows-only smoke. Real deployment: swap the slicing for
+    pyav/ffmpeg keyframe extraction; the 1→N batch shape, schema and
+    partition behavior are exactly this."""
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        import pandas as _pd
+
+        flen, stride = 256, 1024  # keep in sync with FRAME_LEN/FRAME_STRIDE
+        for pdf in batches:
+            mids, idxs, lens, md5s = [], [], [], []
+            for mid, text in zip(pdf["doc_id"], pdf["text"]):
+                if text is None or len(text) == 0:
+                    continue
+                n_frames = (len(text) + stride - 1) // stride
+                for i in range(n_frames):
+                    chunk = text[i * stride : i * stride + flen]
+                    mids.append(mid)
+                    idxs.append(i)
+                    lens.append(len(chunk))
+                    md5s.append(hashlib.md5(chunk.encode("utf-8")).hexdigest())
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(mids, dtype="int64"),
+                    "frame_idx": _pd.Series(idxs, dtype="int32"),
+                    "n_chars": _pd.Series(lens, dtype="int64"),
+                    "frame_md5": _pd.Series(md5s, dtype="object"),
+                }
+            )
+
+    return documents.select("doc_id", "text").mapInPandas(
+        frame_batches, schema=FRAMES_SCHEMA
+    )
+
+
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames_stub(load_table(spark, sf_dir, "documents"))
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH frames AS (
+  SELECT doc_id AS media_id, i.f AS frame_idx,
+         substring(text, 1 + i.f * {FRAME_STRIDE}, {FRAME_LEN}) AS chunk
+  FROM documents,
+       LATERAL unnest(generate_series(0,
+         CAST((length(text) - 1) // {FRAME_STRIDE} AS INT))) AS i(f)
+  WHERE length(text) > 0
+)
+SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(length(chunk) AS BIGINT) AS n_chars, md5(chunk) AS frame_md5
+FROM frames
+"""
+
+
+def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
+    """Image-resize plumbing: Arrow-batched mapInPandas, deterministic
+    fake kernel (dimensions derived from payload size, thumb hash of the
+    payload head). Swap the kernel for PIL ``Image.thumbnail`` in a real
+    deployment — schema and batch shape are the production ones."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+        import math
+
+        import pandas as _pd
+
+        side = max_side
+
+        def fake_resize(payload):
+            if payload is None or len(payload) == 0:
+                return None, None, None
+            n = len(payload)
+            w = max(1, int(math.isqrt(n)))
+            h = (n + w - 1) // w
+            scale = min(1.0, side / max(w, h))
+            return (
+                max(1, int(w * scale)),
+                max(1, int(h * scale)),
+                hashlib.md5(bytes(payload[:64])).hexdigest(),
+            )
+
+        for pdf in batches:
+            out = [fake_resize(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "width": _pd.Series([o[0] for o in out], dtype="Int32"),
+                    "height": _pd.Series([o[1] for o in out], dtype="Int32"),
+                    "thumb_md5": _pd.Series([o[2] for o in out], dtype="object"),
+                }
+            )
+
+    return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -149,5 +275,11 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
         # Python decode path: not SQL-expressible → rows-only driver check;
         # schema and determinism are pytest-verified.
         Query("multimodal_decode_stub", multimodal_decode_stub, None, "mapInPandas decode plumbing"),
+        Query(
+            "multimodal_frame_sample",
+            multimodal_frame_sample,
+            FRAME_SAMPLE_SQL,
+            "1→N frame sampling (mapInPandas, value-checked)",
+        ),
     ]
 }

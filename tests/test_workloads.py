@@ -118,3 +118,36 @@ def test_engine_jobs_status(spark, books_dir):
     st = eng.status()
     assert st["completed_jobs"] >= 1
     assert eng.jobs()[0].workload == "wc"
+
+
+def test_resize_stub_deterministic(spark):
+    """Resize plumbing: schema, bounds, determinism across runs."""
+    from map_reduce_lite_spark.ops.multimodal import resize_image_stub, synthesize_media
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet").limit(50)
+    media = synthesize_media(docs)
+    a = {r["media_id"]: (r["width"], r["height"], r["thumb_md5"])
+         for r in resize_image_stub(media, max_side=64).collect()}
+    b = {r["media_id"]: (r["width"], r["height"], r["thumb_md5"])
+         for r in resize_image_stub(media, max_side=64).collect()}
+    assert a == b and len(a) == 50
+    for w, h, md5 in a.values():
+        assert w is None or (1 <= w <= 64)
+        assert h is None or (1 <= h <= 64)
+
+
+def test_frame_sample_counts(spark):
+    from map_reduce_lite_spark.ops.multimodal import sample_frames_stub
+    from tests.conftest import SF_SMALL
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    frames = sample_frames_stub(docs).collect()
+    lens = {r["doc_id"]: len(r["text"]) for r in docs.select("doc_id", "text").collect()}
+    per_doc = {}
+    for r in frames:
+        per_doc.setdefault(r["media_id"], []).append(r)
+    for mid, rows in per_doc.items():
+        n = lens[mid]
+        assert len(rows) == (n + 1023) // 1024
+        assert sorted(r["frame_idx"] for r in rows) == list(range(len(rows)))
