@@ -35,10 +35,16 @@ BENCH_QUERIES = [
     "matrix_multiply_synth",
     "window_top3_orders",
     "sessionize_events",
+    "cube_flag_status",
+    "asof_join_purchase_view",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
     "similarity_bruteforce",
+    "similarity_ann_ivf",
     "text_quality_score",
+    "multimodal_frame_sample",
 ]
 
 

@@ -745,6 +745,28 @@ FROM matched WHERE side = 0
 """
 
 
+def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array building + array functions: per order-priority, the sorted
+    distinct status set (array_sort makes collect_set deterministic) and
+    its cardinality."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
+        F.size(F.array_sort(F.collect_set("o_orderstatus"))).cast("int").alias("n_statuses"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+ARRAY_AGG_SQL = """
+SELECT o_orderpriority,
+       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT) AS n_statuses,
+       COUNT(*) AS n_orders
+FROM orders
+GROUP BY o_orderpriority
+"""
+
+
 RELATIONAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -784,5 +806,6 @@ RELATIONAL_QUERIES: dict[str, Query] = {
             ASOF_JOIN_SQL,
             "as-of join (union+window form)",
         ),
+        Query("array_agg_priorities", array_agg_priorities, ARRAY_AGG_SQL, "array agg + sort"),
     ]
 }
