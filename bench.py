@@ -40,7 +40,7 @@ BENCH_QUERIES = [
     "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash",
-    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
     "similarity_bruteforce",
     "similarity_ann_ivf",
     "text_quality_score",

@@ -413,23 +413,27 @@ def embedding_near_dup_pairs(
     elif method == "lsh":
         dim_row = corpus.select(F.size(vec_col).alias("d")).first()
         planes = _hyperplanes(dim_row[0], n_planes)
-        ab = a.select(
-            "keep_id", "a_vec", "a_norm",
-            F.posexplode(lsh_band_hashes(F.col("a_vec"), planes, n_bands)).alias(
+        # band join + pair dedup on IDS ONLY (8-byte shuffle keys), then
+        # join the vectors back for scoring — shuffling 64-float vectors
+        # through the ×n_bands explode and the dedup would cost ~64× the
+        # bytes for nothing
+        bands = corpus.select(
+            F.col(id_col).alias("bid"),
+            F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
                 "band_id", "band_hash"
             ),
         )
-        bb = b.select(
-            "dup_id", "b_vec", "b_norm",
-            F.posexplode(lsh_band_hashes(F.col("b_vec"), planes, n_bands)).alias(
-                "band_id", "band_hash"
-            ),
-        )
-        pairs = (
-            ab.join(bb, ["band_id", "band_hash"])
+        ids = (
+            bands.select(F.col("bid").alias("keep_id"), "band_id", "band_hash")
+            .join(
+                bands.select(F.col("bid").alias("dup_id"), "band_id", "band_hash"),
+                ["band_id", "band_hash"],
+            )
             .filter(F.col("keep_id") < F.col("dup_id"))
             .dropDuplicates(["keep_id", "dup_id"])
+            .select("keep_id", "dup_id")
         )
+        pairs = ids.join(a, "keep_id").join(b, "dup_id")
     else:
         raise ValueError(f"unknown method {method!r}")
     sim = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
@@ -464,6 +468,49 @@ FROM scored WHERE sim >= {NEAR_DUP_COS}
 DEDUP_EMBEDDING_SQL = _embedding_cosine_sql()
 
 
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB form of embedding near-dup: LSH-band blocking + exact
+    cosine verify on colliding pairs only. The exact quadratic query
+    above is the verification oracle for recall; THIS is the operator a
+    production pipeline runs."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_dup_pairs(emb, method="lsh")
+
+
+def _embedding_lsh_sql() -> str:
+    from map_reduce_lite_spark.ops.similarity import (
+        EMB_DIM,
+        LSH_N_BANDS,
+        LSH_PLANES,
+        _hyperplanes,
+        _sql_cos,
+        sql_bands_cte,
+    )
+
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    return f"""
+WITH bands AS (
+{sql_bands_cte(planes, LSH_N_BANDS)}
+), pairs AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT p.keep_id, p.dup_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM pairs p
+  JOIN embeddings ea ON ea.vec_id = p.keep_id
+  JOIN embeddings eb ON eb.vec_id = p.dup_id
+)
+SELECT keep_id, dup_id, CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM scored WHERE sim >= {NEAR_DUP_COS}
+"""
+
+
+DEDUP_EMBEDDING_LSH_SQL = _embedding_lsh_sql()
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -475,7 +522,13 @@ DEDUP_QUERIES: dict[str, Query] = {
             "dedup_embedding_cosine",
             dedup_embedding_cosine,
             DEDUP_EMBEDDING_SQL,
-            "embedding-cosine near-dup pairs",
+            "embedding-cosine near-dup pairs (exact)",
+        ),
+        Query(
+            "dedup_embedding_lsh",
+            dedup_embedding_lsh,
+            DEDUP_EMBEDDING_LSH_SQL,
+            "embedding near-dup, LSH-blocked (scale path)",
         ),
     ]
 }

@@ -203,28 +203,42 @@ def ann_lsh_topk(
     bounded by candidate count, not corpus size. Recall is
     property-tested vs brute force (tests/test_similarity.py)."""
     planes = _hyperplanes(dim, n_planes)
-    c = corpus.select(
+    # band join + candidate dedup on IDS ONLY; vectors join back after —
+    # the ×n_bands explode and the pair-dedup shuffle then move 8-byte
+    # keys instead of 64-float arrays
+    c_bands = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
         F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
     )
-    q = queries.select(
+    q_bands = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
-        _norm(F.col(vec_col)).alias("q_norm"),
         F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
     )
-    scored = (
-        c.join(F.broadcast(q), ["band_id", "band_hash"])
+    cand = (
+        c_bands.join(F.broadcast(q_bands), ["band_id", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in multiple bands appears once per collision;
         # dedup before scoring so cosine runs once per candidate pair
         .dropDuplicates(["query_id", "neighbor_id"])
+        .select("query_id", "neighbor_id")
+    )
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        _norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        _norm(F.col(vec_col)).alias("q_norm"),
+    )
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
         .select(
             "query_id",
             "neighbor_id",
@@ -244,13 +258,58 @@ def ann_lsh_topk(
     )
 
 
+EMB_DIM = 64  # test-table embedding dimension (pins the oracle's planes)
+LSH_N_BANDS = 4
+
+
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     dim = len(emb.select("embedding").first()[0])
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     # 16 planes / 4 bands of 4 bits: ~0.23 false-positive candidate rate
     # for orthogonal pairs, high recall for cosine ≥ 0.3 neighbors
-    return ann_lsh_topk(emb, queries, dim, n_planes=16, n_bands=4)
+    return ann_lsh_topk(emb, queries, dim, n_planes=LSH_PLANES, n_bands=LSH_N_BANDS)
+
+
+def sql_bands_cte(planes: list[list[float]], n_bands: int) -> str:
+    """UNION-ALL body producing (vec_id, band_id, band_hash) — the SQL
+    twin of posexplode(lsh_band_hashes(...)). Plane literals round-trip
+    through repr so every sign bit is bit-identical to the Spark plan."""
+    hashes = sql_band_hashes("embedding", planes, n_bands)
+    return "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_id, {h} AS band_hash FROM embeddings"
+        for b, h in enumerate(hashes)
+    )
+
+
+def _similarity_lsh_sql() -> str:
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    return f"""
+WITH bands AS (
+{sql_bands_cte(planes, LSH_N_BANDS)}
+), cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM bands q JOIN bands c
+    ON q.band_id = c.band_id AND q.band_hash = c.band_hash
+  WHERE q.vec_id < {N_QUERY_VECS} AND c.vec_id <> q.vec_id
+), scored AS (
+  SELECT cand.query_id, cand.neighbor_id,
+         {_sql_cos('eq.embedding', 'ec.embedding')} AS sim
+  FROM cand
+  JOIN embeddings eq ON eq.vec_id = cand.query_id
+  JOIN embeddings ec ON ec.vec_id = cand.neighbor_id
+)
+SELECT query_id, neighbor_id, CAST(rank AS INT) AS rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM (SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored)
+WHERE rank <= {TOP_K}
+"""
+
+
+# (assigned below, after the band-hash SQL helpers are defined)
 
 
 # --------------------------------------------------------------------------
@@ -271,6 +330,37 @@ def _sql_dot(a: str, b: str) -> str:
 def _sql_cos(a: str, b: str) -> str:
     """DuckDB cosine matching ``cosine()`` bit-for-bit (same fold order)."""
     return f"{_sql_dot(a, b)} / (sqrt({_sql_dot(a, a)}) * sqrt({_sql_dot(b, b)}))"
+
+
+def _sql_array_lit(vals: list[float]) -> str:
+    return "[" + ", ".join(repr(float(v)) for v in vals) + "]::DOUBLE[]"
+
+
+def _sql_plane_bit(vec_expr: str, plane: list[float]) -> str:
+    """SQL twin of ``_plane_bit``: same plane literals (repr round-trips
+    doubles exactly), same fold order → identical sign bit."""
+    dot = (
+        f"list_sum(list_transform(list_zip({vec_expr}, {_sql_array_lit(plane)}), "
+        f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+    )
+    return f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)"
+
+
+def sql_band_hashes(vec_expr: str, planes: list[list[float]], n_bands: int) -> list[str]:
+    """SQL twin of ``lsh_band_hashes``: one expression per band, bit-packed
+    with the same h = h*2 + bit arithmetic."""
+    bits = [_sql_plane_bit(vec_expr, p) for p in planes]
+    per_band = max(1, len(planes) // n_bands)
+    out = []
+    for b in range(n_bands):
+        chunk = bits[b * per_band : (b + 1) * per_band]
+        if not chunk:
+            break
+        h = chunk[0]
+        for bit in chunk[1:]:
+            h = f"({h} * 2 + {bit})"
+        out.append(h)
+    return out
 
 
 def ann_ivf_topk(
@@ -405,6 +495,9 @@ WHERE rank <= {TOP_K}
 """
 
 
+SIMILARITY_LSH_SQL = _similarity_lsh_sql()
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -414,9 +507,16 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             SIMILARITY_BRUTE_SQL,
             "exact cosine top-k (baseline)",
         ),
-        # LSH banding is not portable SQL → rows-only driver check;
-        # recall is property-tested against brute force in pytest.
-        Query("similarity_ann_lsh", similarity_ann_lsh, None, "LSH-bucketed ANN top-k"),
+        # LSH banding IS portable SQL here: the oracle embeds the same
+        # hyperplane literals and bit-packing arithmetic (sql_bands_cte),
+        # so even the approximate path is value-checked; recall vs brute
+        # force is additionally property-tested in pytest.
+        Query(
+            "similarity_ann_lsh",
+            similarity_ann_lsh,
+            SIMILARITY_LSH_SQL,
+            "LSH-bucketed ANN top-k",
+        ),
         Query(
             "similarity_ann_ivf",
             similarity_ann_ivf,
