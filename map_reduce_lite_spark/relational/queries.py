@@ -544,28 +544,31 @@ GROUP BY 1, 2
 """
 
 
-def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Sessionization (30-min inactivity gap) via gaps-and-islands windows.
+def sessionize(events: DataFrame, gap_ms: int = 30 * 60 * 1000) -> DataFrame:
+    """Sessionization (inactivity gap) via gaps-and-islands windows over
+    any (user_id, ts, event_id) DataFrame.
 
     At scale this is one shuffle by user_id; the two window passes share
     the partitioning. Streaming analog: applyInPandasWithState
-    (streaming/sessions.py).
-    """
-    e = load_table(spark, sf_dir, "events")
+    (streaming/sessions.py)."""
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev_ms = F.lag(F.unix_millis("ts")).over(w)
     new_sess = F.when(
-        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 30 * 60 * 1000), 1
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > gap_ms), 1
     ).otherwise(0)
-    sess_id = F.sum(new_sess).over(
-        Window.partitionBy("user_id").orderBy("ts", "event_id")
-    )
-    sessions = e.withColumn("session_id", sess_id)
-    return sessions.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+    sess_id = F.sum(new_sess).over(w)
+    sessions = events.withColumn("session_id", sess_id)
+    return sessions.groupBy(
+        "user_id", F.col("session_id").cast("long").alias("session_id")
+    ).agg(
         F.count(F.lit(1)).alias("n_events"),
         F.min(F.unix_millis("ts")).alias("start_ms"),
         F.max(F.unix_millis("ts")).alias("end_ms"),
     )
+
+
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sessionize(load_table(spark, sf_dir, "events"))
 
 
 SESSIONIZE_SQL = """
@@ -745,6 +748,63 @@ FROM matched WHERE side = 0
 """
 
 
+def q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape: OR of multi-column conjuncts across a join.
+
+    Catalyst pushes the common parts of the disjunction to both scans and
+    evaluates the residual OR post-join; the part side broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part")
+    joined = l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#11") & (F.col("p_size") <= 10) & (F.col("l_quantity") >= 1) & (F.col("l_quantity") <= 20))
+        | ((F.col("p_brand") == "Brand#22") & (F.col("p_size") <= 20) & (F.col("l_quantity") >= 5) & (F.col("l_quantity") <= 30))
+        | ((F.col("p_brand") == "Brand#33") & (F.col("p_size") <= 30) & (F.col("l_quantity") >= 10) & (F.col("l_quantity") <= 40))
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return joined.filter(cond).agg(
+        dsum(revenue, 6).alias("revenue"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+Q19_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#11' AND p_size <= 10 AND l_quantity BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#22' AND p_size <= 20 AND l_quantity BETWEEN 5 AND 30)
+   OR (p_brand = 'Brand#33' AND p_size <= 30 AND l_quantity BETWEEN 10 AND 40)
+"""
+
+
+def q4_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape: correlated EXISTS with an extra predicate →
+    left-semi join; counting by priority after."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem")
+    # correlated condition references both sides → semi-join-with-condition
+    # (interval add keeps timestamp type; date_add would truncate to date)
+    semi = o.join(
+        l,
+        (o.o_orderkey == l.l_orderkey)
+        & (l.l_shipdate > o.o_orderdate + F.expr("INTERVAL 60 DAYS")),
+        "left_semi",
+    )
+    return semi.groupBy("o_orderpriority").agg(F.count(F.lit(1)).alias("n_orders"))
+
+
+Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE EXISTS (
+  SELECT 1 FROM lineitem l
+  WHERE l.l_orderkey = o.o_orderkey
+    AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
 def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array building + array functions: per order-priority, the sorted
     distinct status set (array_sort makes collect_set deterministic) and
@@ -807,5 +867,12 @@ RELATIONAL_QUERIES: dict[str, Query] = {
             "as-of join (union+window form)",
         ),
         Query("array_agg_priorities", array_agg_priorities, ARRAY_AGG_SQL, "array agg + sort"),
+        Query(
+            "q19_disjunctive_revenue",
+            q19_disjunctive_revenue,
+            Q19_SQL,
+            "disjunctive multi-column predicates (Q19)",
+        ),
+        Query("q4_late_orders", q4_late_orders, Q4_SQL, "correlated EXISTS semi-join (Q4)"),
     ]
 }

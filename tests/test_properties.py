@@ -1,0 +1,109 @@
+"""Hypothesis property tests: Spark pipelines vs pure-Python references.
+
+Each example ships a whole batch of rows through ONE Spark job, so the
+suite stays fast despite per-example JVM round-trips.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.workloads.wordcount import TOKEN_SPLIT_RE
+
+# curated alphabet where Python's str.isalpha() agrees with Java's \p{L}
+# (plain letters across scripts + digits/punct/space/emoji as separators)
+_ALPHABET = "abcXYZ 123 .,!?-éÿàÖΩλщ漢字한 🙂\n\t"
+
+_docs = st.lists(
+    st.text(alphabet=_ALPHABET, max_size=60), min_size=1, max_size=6
+)
+
+
+def _py_tokens(s: str) -> list[str]:
+    """Reference tokenizer: split on non-alphabetic, lowercase — the
+    reference semantics (workload/src/wc.rs:11-14, char::is_alphabetic)."""
+    out, cur = [], []
+    for ch in s.lower():
+        if ch.isalpha():
+            cur.append(ch)
+        elif cur:
+            out.append("".join(cur))
+            cur = []
+    if cur:
+        out.append("".join(cur))
+    return out
+
+
+@settings(max_examples=12, deadline=None)
+@given(_docs)
+def test_wc_tokenization_matches_reference(spark, docs):
+    df = spark.createDataFrame([(d,) for d in docs], "text string")
+    got = Counter(
+        (r["w"], r["cnt"])
+        for r in df.select(
+            F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    want = Counter()
+    for d in docs:
+        for t in _py_tokens(d):
+            want[t] += 1
+    assert got == Counter({(w, n): 1 for w, n in want.items()})
+
+
+_events = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # user_id
+        st.integers(min_value=0, max_value=10**7),  # ms offset
+    ),
+    min_size=1,
+    max_size=50,
+)
+
+
+def _py_sessionize(rows, gap_ms):
+    """Reference gaps-and-islands: per user, sorted by (ts, event_id)."""
+    by_user = {}
+    for eid, (uid, ms) in enumerate(rows):
+        by_user.setdefault(uid, []).append((ms, eid))
+    out = []
+    for uid, evs in by_user.items():
+        evs.sort()
+        sess, last = [], None
+        sid = 0
+        for ms, _ in evs:
+            if last is None or ms - last > gap_ms:
+                if sess:
+                    out.append((uid, sid, len(sess), sess[0], sess[-1]))
+                sess, sid = [], sid + 1
+            sess.append(ms)
+            last = ms
+        if sess:
+            out.append((uid, sid, len(sess), sess[0], sess[-1]))
+    return Counter(out)
+
+
+@settings(max_examples=12, deadline=None)
+@given(_events)
+def test_sessionize_matches_reference(spark, rows):
+    from map_reduce_lite_spark.relational.queries import sessionize
+
+    gap_ms = 60_000
+    base = int(datetime(2024, 1, 1, tzinfo=timezone.utc).timestamp() * 1000)
+    df = spark.createDataFrame(
+        [(uid, eid, (base + ms) * 1000) for eid, (uid, ms) in enumerate(rows)],
+        "user_id long, event_id long, us long",
+    ).select("user_id", "event_id", F.timestamp_micros(F.col("us")).alias("ts"))
+    got = Counter(
+        (r["user_id"], r["session_id"], r["n_events"], r["start_ms"] - base, r["end_ms"] - base)
+        for r in sessionize(df, gap_ms=gap_ms).collect()
+    )
+    assert got == _py_sessionize(rows, gap_ms)
