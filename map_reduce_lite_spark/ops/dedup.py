@@ -511,6 +511,46 @@ FROM scored WHERE sim >= {NEAR_DUP_COS}
 DEDUP_EMBEDDING_LSH_SQL = _embedding_lsh_sql()
 
 
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: connected components over the exact
+    embedding-cosine pair graph — the canonical-representative step a
+    real dedup pipeline runs after pair finding (keep component minimum,
+    drop the rest). Iterative min-label propagation on Spark; the oracle
+    replays it with a recursive transitive-closure CTE."""
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb)
+    return connected_components(pairs, src="keep_id", dst="dup_id")
+
+
+def _components_sql() -> str:
+    from map_reduce_lite_spark.ops.similarity import _sql_cos
+
+    return f"""
+WITH RECURSIVE scored AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
+         {_sql_cos('a.embedding', 'b.embedding')} AS sim
+  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+), pairs AS (
+  SELECT keep_id, dup_id FROM scored WHERE sim >= {NEAR_DUP_COS}
+), edges AS (
+  SELECT keep_id AS a, dup_id AS b FROM pairs
+  UNION
+  SELECT dup_id, keep_id FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+)
+SELECT a AS node, LEAST(a, MIN(b)) AS component
+FROM reach GROUP BY a
+"""
+
+
+DEDUP_COMPONENTS_SQL = _components_sql()
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -529,6 +569,12 @@ DEDUP_QUERIES: dict[str, Query] = {
             dedup_embedding_lsh,
             DEDUP_EMBEDDING_LSH_SQL,
             "embedding near-dup, LSH-blocked (scale path)",
+        ),
+        Query(
+            "dedup_components",
+            dedup_components,
+            DEDUP_COMPONENTS_SQL,
+            "near-dup clusters via connected components",
         ),
     ]
 }

@@ -107,3 +107,44 @@ def test_sessionize_matches_reference(spark, rows):
         for r in sessionize(df, gap_ms=gap_ms).collect()
     )
     assert got == _py_sessionize(rows, gap_ms)
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _py_components(edges):
+    """Union-find reference."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical label = component minimum
+    comp = {}
+    for n in list(parent):
+        comp[n] = find(n)
+    return Counter(comp.items())
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges)
+def test_connected_components_matches_union_find(spark, edges):
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = Counter(
+        (r["node"], r["component"]) for r in connected_components(df).collect()
+    )
+    assert got == _py_components(edges)
