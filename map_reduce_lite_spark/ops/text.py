@@ -159,6 +159,81 @@ FROM documents
 """
 
 
+TFIDF_TOP_K = 3
+
+
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 terms by tf-idf.
+
+    idf = ln((N+1)/(df+1)) — smoothed; ln is bit-identical between the
+    JVM and DuckDB (verified empirically over the value range), and the
+    argument is one double division of exact integers, so scores
+    hash-match. Plan shape: tokenize → (doc, term) counts → df by term →
+    broadcast the 1-row corpus count — two shuffles total (term, doc),
+    no driver-side N, no unpartitioned windows."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    idf = F.log(
+        (F.col("n_docs") + 1).cast("double") / (F.col("df") + 1).cast("double")
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .crossJoin(F.broadcast(n))
+        .select("doc_id", "term", (F.col("tf") * idf).alias("score"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TFIDF_TOP_K)
+        .select(
+            "doc_id",
+            "term",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+        )
+    )
+
+
+TFIDF_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_docs FROM documents
+), scored AS (
+  SELECT tf.doc_id, tf.term,
+         tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / CAST(dfreq.df + 1 AS DOUBLE)) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, CAST(rank AS INT) AS rank,
+       CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+FROM (SELECT doc_id, term, score,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY score DESC, term ASC) AS rank
+      FROM scored)
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -166,5 +241,6 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("text_quality_score", quality_score, QUALITY_SQL, "quality features"),
         Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
         Query("text_doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL, "content fingerprints"),
+        Query("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL, "per-doc tf-idf top terms"),
     ]
 }
