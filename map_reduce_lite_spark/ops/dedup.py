@@ -408,8 +408,12 @@ def embedding_near_dup_pairs(
         F.col(vec_col).alias("b_vec"),
         _norm(F.col(vec_col)).alias("b_norm"),
     )
+    from map_reduce_lite_spark.ops.similarity import _spread
+
     if method == "exact":
-        pairs = a.join(b, F.col("keep_id") < F.col("dup_id"))
+        # BNLJ parallelism follows the streamed (left) side's partitions;
+        # one parquet split would mean one core for the whole O(n²) scan
+        pairs = _spread(a, "keep_id").join(b, F.col("keep_id") < F.col("dup_id"))
     elif method == "lsh":
         dim_row = corpus.select(F.size(vec_col).alias("d")).first()
         planes = _hyperplanes(dim_row[0], n_planes)
@@ -419,11 +423,11 @@ def embedding_near_dup_pairs(
         # bytes for nothing
         bands = corpus.select(
             F.col(id_col).alias("bid"),
-            F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
+            F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
                 "band_id", "band_hash"
             ),
         )
-        ids = (
+        ids = _spread(
             bands.select(F.col("bid").alias("keep_id"), "band_id", "band_hash")
             .join(
                 bands.select(F.col("bid").alias("dup_id"), "band_id", "band_hash"),
@@ -431,7 +435,8 @@ def embedding_near_dup_pairs(
             )
             .filter(F.col("keep_id") < F.col("dup_id"))
             .dropDuplicates(["keep_id", "dup_id"])
-            .select("keep_id", "dup_id")
+            .select("keep_id", "dup_id"),
+            "keep_id",
         )
         pairs = ids.join(a, "keep_id").join(b, "dup_id")
     else:

@@ -44,6 +44,24 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+def _fanout(df: DataFrame) -> int:
+    """Target partition count for FLOP-heavy vector stages."""
+    return max(df.sparkSession.sparkContext.defaultParallelism, 8)
+
+
+def _spread(df: DataFrame, *cols: str) -> DataFrame:
+    """Repartition before a FLOP-dense stage.
+
+    Candidate-pair rows are tiny (two longs), so AQE coalesces the
+    post-join stream to ~1 partition by byte-size — and then the 64-dim
+    cosine pass runs on one core. Work per row, not bytes per row, is
+    what matters here; an explicit repartition restores full parallelism
+    (measured 7.2s → sub-second on 32 cores at sf0.1). At 100 TB the
+    same holds: keep the scoring stage's partition count sized to the
+    cluster, never to the candidate table's serialized bytes."""
+    return df.repartition(_fanout(df), *[F.col(c) for c in cols])
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
@@ -71,10 +89,13 @@ def brute_force_topk(
         F.col(vec_col).alias("q_vec"),
         _norm(F.col(vec_col)).alias("q_norm"),
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
-        _norm(F.col(vec_col)).alias("c_norm"),
+    c = _spread(
+        corpus.select(
+            F.col(id_col).alias("neighbor_id"),
+            F.col(vec_col).alias("c_vec"),
+            _norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        "neighbor_id",
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -138,26 +159,32 @@ def _hyperplanes(dim: int, n_planes: int = LSH_PLANES, seed: int = 42) -> list[l
     return rng.standard_normal((n_planes, dim)).tolist()
 
 
-def _plane_bit(vec: Column, plane: list[float]) -> Column:
-    """Sign bit (0/1 int) of ``vec`` against one fixed hyperplane."""
-    dot = F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(float(w)) for w in plane]),
-            lambda x, p: x.cast("double") * p,
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+def _plane_bit_expr(vec_expr: str, plane: list[float]) -> str:
+    """Sign bit (0/1 int) of ``vec_expr`` against one fixed hyperplane,
+    as a Spark-SQL expression string. The dot is the same
+    aggregate(zip_with(...)) left-fold as ``_dot``; plane literals use
+    repr (exact double round-trip) with a ``D`` suffix."""
+    arr = "array(" + ", ".join(repr(float(w)) + "D" for w in plane) + ")"
+    dot = (
+        f"aggregate(zip_with({vec_expr}, {arr}, "
+        f"(x, p) -> CAST(x AS DOUBLE) * p), 0.0D, (acc, v) -> acc + v)"
     )
-    return F.when(dot > 0, F.lit(1)).otherwise(F.lit(0))
+    return f"(CASE WHEN {dot} > 0.0D THEN 1 ELSE 0 END)"
 
 
-def lsh_band_hashes(vec: Column, planes: list[list[float]], n_bands: int) -> Column:
+def lsh_band_hashes(vec: Column | str, planes: list[list[float]], n_bands: int) -> Column:
     """Array of ``n_bands`` band hashes: planes are split contiguously into
     bands; each band's sign bits pack into one int. Two vectors are
     candidates iff ANY band hash matches (OR-amplification) — the classic
-    banding construction (Leskovec/Rajaraman/Ullman, MMDS ch.3)."""
-    bits = [_plane_bit(vec, p) for p in planes]
+    banding construction (Leskovec/Rajaraman/Ullman, MMDS ch.3).
+
+    ``vec`` should be a COLUMN NAME; the whole array is built as one SQL
+    string parsed by a single ``F.expr`` — constructing the 16×64 plane
+    literals through the Column API costs thousands of py4j round-trips
+    (~2s of driver time per query build, measured), the string parse ~none.
+    The resulting Catalyst tree is identical either way."""
+    vec_expr = vec if isinstance(vec, str) else vec._jc.toString()
+    bits = [_plane_bit_expr(vec_expr, p) for p in planes]
     per_band = max(1, len(planes) // n_bands)
     bands = []
     for b in range(n_bands):
@@ -166,13 +193,13 @@ def lsh_band_hashes(vec: Column, planes: list[list[float]], n_bands: int) -> Col
             break
         h = chunk[0]
         for bit in chunk[1:]:
-            h = h * 2 + bit
+            h = f"({h} * 2 + {bit})"
         bands.append(h)
-    return F.array(*bands)
+    return F.expr("array(" + ", ".join(bands) + ")")
 
 
 # retained single-signature helper (ingest-time partitioning key)
-def lsh_signature(vec: Column, planes: list[list[float]]) -> Column:
+def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, as an int."""
     return lsh_band_hashes(vec, planes, 1)[0]
 
@@ -208,23 +235,24 @@ def ann_lsh_topk(
     # keys instead of 64-float arrays
     c_bands = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
+        F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
     )
     q_bands = queries.select(
         F.col(id_col).alias("query_id"),
-        F.posexplode(lsh_band_hashes(F.col(vec_col), planes, n_bands)).alias(
+        F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
             "band_id", "band_hash"
         ),
     )
-    cand = (
+    cand = _spread(
         c_bands.join(F.broadcast(q_bands), ["band_id", "band_hash"])
         .filter(F.col("neighbor_id") != F.col("query_id"))
         # a pair colliding in multiple bands appears once per collision;
         # dedup before scoring so cosine runs once per candidate pair
         .dropDuplicates(["query_id", "neighbor_id"])
-        .select("query_id", "neighbor_id")
+        .select("query_id", "neighbor_id"),
+        "neighbor_id",
     )
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
@@ -395,10 +423,13 @@ def ann_ivf_topk(
     # norms once per side (same expression tree as the oracle → bit-identical)
     csim = _dot(F.col("c_vec"), F.col("cent_vec")) / (F.col("c_norm") * F.col("cent_norm"))
     assign = (
-        corpus.select(
-            F.col(id_col).alias("neighbor_id"),
-            F.col(vec_col).alias("c_vec"),
-            _norm(F.col(vec_col)).alias("c_norm"),
+        _spread(
+            corpus.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col(vec_col).alias("c_vec"),
+                _norm(F.col(vec_col)).alias("c_norm"),
+            ),
+            "neighbor_id",
         )
         .crossJoin(F.broadcast(cent))
         .select("neighbor_id", "c_vec", "c_norm", "cid", csim.alias("csim"))
@@ -410,6 +441,7 @@ def ann_ivf_topk(
             F.any_value("c_norm").alias("c_norm"),
         )
     )
+    assign = _spread(assign, "cid")
     qsim = _dot(F.col("q_vec"), F.col("cent_vec")) / (F.col("q_norm") * F.col("cent_norm"))
     probes = (
         queries.select(
