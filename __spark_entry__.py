@@ -19,6 +19,8 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from map_reduce_lite_spark.parity import PARITY_QUERIES
 from map_reduce_lite_spark.relational.queries import RELATIONAL_QUERIES
+from map_reduce_lite_spark.relational.queries2 import RELATIONAL_QUERIES_2
+from map_reduce_lite_spark.streaming.windows import STREAMING_QUERIES
 from map_reduce_lite_spark.ops import (
     DEDUP_QUERIES,
     MULTIMODAL_QUERIES,
@@ -29,6 +31,8 @@ from map_reduce_lite_spark.ops import (
 ALL_QUERIES = {
     **PARITY_QUERIES,
     **RELATIONAL_QUERIES,
+    **RELATIONAL_QUERIES_2,
+    **STREAMING_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXT_QUERIES,

@@ -379,6 +379,7 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
     n_planes: int = 16,
     n_bands: int = 4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
 
@@ -415,8 +416,9 @@ def embedding_near_dup_pairs(
         # one parquet split would mean one core for the whole O(n²) scan
         pairs = _spread(a, "keep_id").join(b, F.col("keep_id") < F.col("dup_id"))
     elif method == "lsh":
-        dim_row = corpus.select(F.size(vec_col).alias("d")).first()
-        planes = _hyperplanes(dim_row[0], n_planes)
+        if dim is None:  # probing costs a Spark job — callers should pass it
+            dim = corpus.select(F.size(vec_col).alias("d")).first()[0]
+        planes = _hyperplanes(dim, n_planes)
         # band join + pair dedup on IDS ONLY (8-byte shuffle keys), then
         # join the vectors back for scoring — shuffling 64-float vectors
         # through the ×n_bands explode and the dedup would cost ~64× the
@@ -478,8 +480,10 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine verify on colliding pairs only. The exact quadratic query
     above is the verification oracle for recall; THIS is the operator a
     production pipeline runs."""
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+
     emb = load_table(spark, sf_dir, "embeddings")
-    return embedding_near_dup_pairs(emb, method="lsh")
+    return embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
 
 
 def _embedding_lsh_sql() -> str:

@@ -292,7 +292,9 @@ LSH_N_BANDS = 4
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    dim = len(emb.select("embedding").first()[0])
+    # EMB_DIM is pinned by the oracle's plane literals — probing the data
+    # for it (`.first()`) would cost a whole Spark job per query build
+    dim = EMB_DIM
     queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
     # 16 planes / 4 bands of 4 bits: ~0.23 false-positive candidate rate
     # for orthogonal pairs, high recall for cosine ≥ 0.3 neighbors

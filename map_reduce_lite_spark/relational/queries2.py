@@ -1,0 +1,393 @@
+"""Second tranche of the relational library: TPC-H shapes Q6/Q10/Q12/
+Q14/Q18, GROUPING SETS, the rank-family window suite, exact math
+scalars, interpolated percentiles, and driver-checked versions of the
+skew utilities (salted join / two-stage agg).
+
+Same determinism contract as queries.py (registry.py module doc):
+doubles leaving a query are bit-identical to the DuckDB oracle — sums
+via decimal, divisions of identical operands, IEEE-exact scalars only
+(sqrt/floor/ceil/abs/sign/mod; NOT ln/exp/round-on-ties, whose libm
+rounding differs across engines).
+
+Scale notes (100 TB): all straight Catalyst plans — selective filters
+sit on the scans, dims broadcast, facts shuffle once on their join
+keys. The salted variants exist for the one case AQE can't fix (a
+single hot key inside one task); correctness of salting is proven by
+oracle equivalence to the plain plan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.registry import Query, davg, dsum, sql_davg, sql_dsum
+from map_reduce_lite_spark.relational.skew import salted_join, two_stage_agg
+from map_reduce_lite_spark.relational.tables import load_table
+
+
+# --------------------------------------------------------------------------
+# TPC-H shapes
+# --------------------------------------------------------------------------
+
+def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: pure scan + conjunctive filter + agg — the
+    pushdown showcase. All three predicates reach the parquet reader
+    (PushedFilters); no shuffle at all until the single-row agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.05)
+            & (F.col("l_discount") <= 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            dsum(F.col("l_extendedprice") * F.col("l_discount"), 6).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q6_SQL = f"""
+SELECT {sql_dsum('l_extendedprice * l_discount', 6)} AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+    lineitem⋈orders shuffles on orderkey; customer/nation broadcast."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    n = load_table(spark, sf_dir, "nation")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(dsum(revenue, 6).alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("c_custkey"))
+        .limit(20)
+    )
+
+
+Q10_SQL = f"""
+SELECT c_custkey, c_name, n_name,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def q12_priority_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: join + conditional (CASE) aggregation — counts of
+    high- vs low-priority orders per lineitem status."""
+    o = load_table(spark, sf_dir, "orders")
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    high = F.when(
+        F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+    ).otherwise(0)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(high).cast("long").alias("high_line_count"),
+            F.sum(1 - high).cast("long").alias("low_line_count"),
+        )
+    )
+
+
+Q12_SQL = """
+SELECT l_linestatus,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate <  TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+
+def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: promo revenue share — conditional sum over a
+    broadcast join, one double division of identical operands."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .agg(
+            (100.0 * dsum(promo_rev, 6) / dsum(rev, 6)).alias("promo_pct"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q14_SQL = f"""
+SELECT 100.0 * {sql_dsum("CASE WHEN p_type = 'PROMO' THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END", 6)}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+  AND l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: HAVING-filtered aggregate feeding a join (large-
+    quantity orders with their customers), deterministic top 20.
+
+    The qty aggregate shuffles lineitem once on orderkey; the surviving
+    keys are few, so the subsequent joins broadcast the aggregate side
+    under AQE at any scale."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    big = (
+        l.groupBy("l_orderkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+        .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+Q18_SQL = f"""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, {sql_dsum('l_quantity', 2)} AS sum_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING {sql_dsum('l_quantity', 2)} > 150
+) big
+JOIN orders   ON big.l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY sum_qty DESC, o_orderkey ASC
+LIMIT 20
+"""
+
+
+# --------------------------------------------------------------------------
+# Grouping sets, rank-family windows, scalars, percentiles
+# --------------------------------------------------------------------------
+
+def grouping_sets_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS (neither pure rollup nor cube): detail by
+    (priority, status), subtotal by priority, grand total — one Expand +
+    one shuffle, not three scans."""
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupingSets(
+            [["o_orderpriority", "o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderpriority",
+            "o_orderstatus",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dsum(F.col("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
+GROUPING_SETS_SQL = f"""
+SELECT o_orderpriority, o_orderstatus, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS revenue
+FROM orders
+GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus), (o_orderpriority), ())
+"""
+
+
+def window_rank_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rank family in one pass: rank / dense_rank / percent_rank /
+    cume_dist / ntile share a single (priority, price desc) window →
+    one shuffle + one sort. percent_rank and cume_dist are single
+    divisions of identical integer operands — bit-identical cross-engine."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).cast("int").alias("rnk"),
+        F.dense_rank().over(w).cast("int").alias("drnk"),
+        F.percent_rank().over(w).alias("prank"),
+        F.cume_dist().over(w).alias("cdist"),
+        F.ntile(4).over(w).cast("int").alias("quartile"),
+    )
+
+
+WINDOW_RANK_SQL = """
+SELECT o_orderkey, o_orderpriority,
+       CAST(rank() OVER w AS INT) AS rnk,
+       CAST(dense_rank() OVER w AS INT) AS drnk,
+       percent_rank() OVER w AS prank,
+       cume_dist() OVER w AS cdist,
+       CAST(ntile(4) OVER w AS INT) AS quartile
+FROM orders
+WINDOW w AS (PARTITION BY o_orderpriority
+             ORDER BY o_totalprice DESC, o_orderkey ASC)
+"""
+
+
+def math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-exact math scalars row-wise over part: sqrt, floor/ceil,
+    abs, sign, mod, greatest/least. (ln/exp/round-on-decimal-ties are
+    deliberately excluded — their last-bit rounding is libm-specific.)"""
+    p = load_table(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.sqrt("p_retailprice").alias("sqrt_price"),
+        F.floor("p_retailprice").cast("long").alias("floor_price"),
+        F.ceil("p_retailprice").cast("long").alias("ceil_price"),
+        F.abs(F.col("p_size") - 25).cast("int").alias("abs_size_off"),
+        F.signum(F.col("p_retailprice") - 1500.0).cast("int").alias("sign_off"),
+        F.pmod(F.col("p_partkey"), F.lit(7)).cast("long").alias("key_mod7"),
+        F.greatest(F.col("p_size"), F.lit(25)).cast("int").alias("size_hi"),
+        F.least(F.col("p_size"), F.lit(25)).cast("int").alias("size_lo"),
+    )
+
+
+MATH_FUNCS_SQL = """
+SELECT p_partkey,
+       sqrt(p_retailprice) AS sqrt_price,
+       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+       CAST(abs(p_size - 25) AS INT) AS abs_size_off,
+       CAST(sign(p_retailprice - 1500.0) AS INT) AS sign_off,
+       p_partkey % 7 AS key_mod7,
+       CAST(greatest(p_size, 25) AS INT) AS size_hi,
+       CAST(least(p_size, 25) AS INT) AS size_lo
+FROM part
+"""
+
+
+def percentile_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (p25/median/p75) of quantity per
+    return flag. l_quantity is integer-valued, so the linear
+    interpolation (1-g)*lo + g*hi at quarter fractions is exact in
+    binary — bit-identical across engines. At 100 TB swap the exact
+    percentile for approx_percentile (t-digest) — same plan shape,
+    bounded memory."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return l.groupBy("l_returnflag").agg(
+        F.percentile("l_quantity", F.lit(0.25)).alias("p25_qty"),
+        F.percentile("l_quantity", F.lit(0.5)).alias("median_qty"),
+        F.percentile("l_quantity", F.lit(0.75)).alias("p75_qty"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+PERCENTILE_SQL = """
+SELECT l_returnflag,
+       quantile_cont(l_quantity, 0.25) AS p25_qty,
+       quantile_cont(l_quantity, 0.5)  AS median_qty,
+       quantile_cont(l_quantity, 0.75) AS p75_qty,
+       MIN(l_quantity) AS min_qty,
+       MAX(l_quantity) AS max_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+# --------------------------------------------------------------------------
+# Skew utilities under the oracle gate: the salted plans must equal the
+# plain plans bit-for-bit (salting only routes rows, never changes keys)
+# --------------------------------------------------------------------------
+
+def salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orders⋈customer with the fact side salted 8 ways and the dim
+    replicated — the manual fix for a single hot key that AQE's
+    partition-splitting can't break up. Oracle = the plain join."""
+    o = load_table(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "c_custkey")
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    joined = salted_join(o, c, on=["c_custkey"], n_salts=8)
+    return joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        dsum(F.col("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+SALTED_JOIN_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_orders,
+       {sql_dsum('o_totalprice', 2)} AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+"""
+
+
+def two_stage_agg_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-stage aggregation by supplier: partial (key, salt)
+    decimal sums, then exact combine per key. Decimal partials make the
+    two-stage total identical to the one-stage oracle regardless of how
+    rows were salted."""
+    l = load_table(spark, sf_dir, "lineitem")
+    return two_stage_agg(
+        l,
+        keys=["l_suppkey"],
+        partial_aggs=[
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("pq"),
+            F.count(F.lit(1)).alias("pc"),
+        ],
+        final_aggs=[
+            F.sum("pq").cast("double").alias("sum_qty"),
+            F.sum("pc").alias("n_items"),
+        ],
+        n_salts=8,
+    )
+
+
+TWO_STAGE_AGG_SQL = f"""
+SELECT l_suppkey, {sql_dsum('l_quantity', 2)} AS sum_qty,
+       COUNT(*) AS n_items
+FROM lineitem
+GROUP BY l_suppkey
+"""
+
+
+RELATIONAL_QUERIES_2: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("q6_forecast_revenue", q6_forecast_revenue, Q6_SQL, "pure pushdown filter + agg (Q6)"),
+        Query("q10_returned_revenue", q10_returned_revenue, Q10_SQL, "returned-item revenue top-k (Q10)"),
+        Query("q12_priority_class", q12_priority_class, Q12_SQL, "conditional CASE agg over join (Q12)"),
+        Query("q14_promo_revenue", q14_promo_revenue, Q14_SQL, "conditional revenue share (Q14)"),
+        Query("q18_large_orders", q18_large_orders, Q18_SQL, "HAVING agg feeding joins (Q18)"),
+        Query("grouping_sets_priority", grouping_sets_priority, GROUPING_SETS_SQL, "explicit GROUPING SETS"),
+        Query("window_rank_suite", window_rank_suite, WINDOW_RANK_SQL, "rank family in one window pass"),
+        Query("math_funcs", math_funcs, MATH_FUNCS_SQL, "IEEE-exact math scalars"),
+        Query("percentile_quantity", percentile_quantity, PERCENTILE_SQL, "exact interpolated percentiles"),
+        Query("salted_join_segments", salted_join_segments, SALTED_JOIN_SQL, "salted join == plain join"),
+        Query("two_stage_agg_supplier", two_stage_agg_supplier, TWO_STAGE_AGG_SQL, "salted two-stage agg"),
+    ]
+}

@@ -76,3 +76,77 @@ def run_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120) -> No
     )
     q.awaitTermination(timeout_sec)
     q.stop()
+
+
+# --------------------------------------------------------------------------
+# Driver-gate entry: the streaming hourly rollup, oracle-checked
+# --------------------------------------------------------------------------
+
+_STREAM_RUN = 0
+
+
+def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup computed BY THE STREAMING ENGINE (readStream →
+    watermark → tumbling window → availableNow drain into a memory sink),
+    returned as the drained batch result.
+
+    Shares an oracle with the batch twin (events_hourly): Spark
+    guarantees availableNow over a static source produces exactly the
+    batch aggregation, so the same DuckDB SQL checks the streaming path.
+    The window start equals date_trunc('hour', ts) for 1-hour tumbling.
+
+    The nanos-timestamp source is re-encoded once per sf_dir to µs
+    parquet (readStream's schema path can't apply the nanos legacy conf);
+    at scale the source is a log (Kafka) and this step disappears.
+    """
+    global _STREAM_RUN
+    import os
+    import re
+
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    staged = f"/tmp/mrl_stream_events_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("hour_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_hourly_{_STREAM_RUN}"
+    run_stream_to_memory(windowed, name)
+    return spark.table(name)
+
+
+def _streaming_queries():
+    from map_reduce_lite_spark.registry import Query
+    from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
+
+    return {
+        "streaming_events_hourly": Query(
+            "streaming_events_hourly",
+            streaming_events_hourly,
+            EVENTS_HOURLY_SQL,
+            "Structured Streaming tumbling window == batch oracle",
+        )
+    }
+
+
+STREAMING_QUERIES = _streaming_queries()
