@@ -1,0 +1,119 @@
+"""Physical-plan regression tests — the scale contract, pinned.
+
+Correctness tests prove the operators right at small SF; these prove the
+PLANS are the ones that survive 100 TB: filters pushed to the parquet
+scan, column pruning in ReadSchema, dims broadcast instead of shuffled,
+partial (map-side) aggregation, top-k as TakeOrderedAndProject rather
+than a global sort, semi-joins staying semi, and no Python row UDFs in
+JVM-expressible pipelines. If one of these fails after a refactor, the
+query still returns the right rows — and would fall over at scale.
+"""
+
+from __future__ import annotations
+
+import io
+from contextlib import redirect_stdout
+
+from tests.conftest import SF_SMALL
+
+
+def _plan(df, mode: str = "formatted") -> str:
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode)
+    return buf.getvalue()
+
+
+def _q(spark, name):
+    import __spark_entry__ as e
+
+    return e.queries()[name](spark, SF_SMALL)
+
+
+def test_q6_filters_reach_parquet_scan(spark):
+    plan = _plan(_q(spark, "q6_forecast_revenue"))
+    assert "PushedFilters: [" in plan
+    # all three predicate columns pushed, not just evaluated post-scan
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert f"IsNotNull({col})" in plan or f"{col})" in plan, (col, plan)
+
+
+def test_q6_column_pruning(spark):
+    plan = _plan(_q(spark, "q6_forecast_revenue"))
+    # ReadSchema must carry only the 4 needed columns — a scan that reads
+    # l_orderkey/l_partkey/... for this query is reading 2x the bytes
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln]
+    assert read, plan
+    schema_line = read[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity", "l_extendedprice"):
+        assert col in schema_line
+    for col in ("l_orderkey", "l_partkey", "l_returnflag", "l_tax"):
+        assert col not in schema_line
+
+
+def test_q3_broadcasts_customer(spark):
+    plan = _plan(_q(spark, "q3_top_orders"))
+    assert "BroadcastHashJoin" in plan
+    # the fact-fact join shuffles; the dim join must not
+    assert "TakeOrderedAndProject" in plan  # top-k, not global sort
+
+
+def test_q5_star_join_broadcasts_all_dims(spark):
+    plan = _plan(_q(spark, "q5_region_revenue"))
+    # 5 joins total; at least the 4 dim joins must be broadcast
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+
+
+def test_q1_partial_aggregation(spark):
+    plan = _plan(_q(spark, "q1_pricing_summary"))
+    # map-side combine: a partial HashAggregate before the exchange and a
+    # final one after (the reference shuffles every raw pair — SURVEY §4.2)
+    assert "partial_" in plan.lower() or plan.count("HashAggregate") >= 2, plan
+
+
+def test_q4_stays_semi_join(spark):
+    plan = _plan(_q(spark, "q4_late_orders"))
+    assert "LeftSemi" in plan, plan
+
+
+def test_topk_uses_take_ordered(spark):
+    plan = _plan(_q(spark, "topk_parts"))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_wordcount_no_python_udf(spark):
+    # tokenization must stay JVM-side (split/explode), never BatchEvalPython
+    plan = _plan(_q(spark, "wc_documents"))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+
+
+def test_relational_queries_whole_stage_codegen(spark):
+    # AQE reveals the final (codegen-annotated) plan only after execution;
+    # simple mode then marks codegen'd operators with '*(stage)'
+    df = _q(spark, "q1_pricing_summary")
+    df.collect()  # this plan's own action — count() would plan separately
+    plan = _plan(df, "simple")
+    assert "*(" in plan, plan
+
+
+def test_bruteforce_broadcasts_query_side(spark):
+    plan = _plan(_q(spark, "similarity_bruteforce"))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_dedup_exact_shuffles_hashes_not_text(spark):
+    plan = _plan(_q(spark, "dedup_exact"), "formatted")
+    # the exchange key is the 60-bit content hash; the raw text column
+    # must not survive past the scan projection into the exchange
+    exch = [ln for ln in plan.splitlines() if "Exchange" in ln or "hashpartitioning" in ln]
+    assert exch, plan
+    assert not any("text" in ln for ln in exch), exch
+
+
+def test_grouping_sets_single_expand(spark):
+    plan = _plan(_q(spark, "grouping_sets_priority"))
+    assert plan.count("Expand") >= 1
+    # one scan, not one per grouping set (formatted mode prints each
+    # operator twice: once in the tree, once in the details section)
+    assert plan.count("Scan parquet") <= 2, plan
