@@ -234,6 +234,58 @@ WHERE rank <= {TFIDF_TOP_K}
 """
 
 
+# Rabin–Karp polynomial rolling hash: base 257, modulus 2^31-1 (keeps
+# acc*257 + char < 2^39 — no int64 overflow in either engine's fold).
+RH_BASE = 257
+RH_MOD = 2147483647
+
+
+def rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Rabin–Karp rolling hash over the raw characters —
+    the classic streaming fingerprint (one pass, O(1) state per doc;
+    the incremental form also windows over k-grams for chunk-level
+    dedup). Exact integer fold → full oracle parity; at 100 TB this is
+    scan-bound with zero shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    fold = F.aggregate(
+        F.split(F.col("text"), ""),
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * RH_BASE + F.ascii(c)) % RH_MOD,
+    )
+    return d.select("doc_id", fold.alias("rolling_hash"), F.length("text").cast("long").alias("n_chars"))
+
+
+ROLLING_HASH_SQL = f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(0::BIGINT, [ascii(c) FOR c IN string_split(text, '')]),
+         (acc, c) -> (acc * {RH_BASE} + c) % {RH_MOD}) AS rolling_hash,
+       CAST(length(text) AS BIGINT) AS n_chars
+FROM documents
+"""
+
+
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per source via HyperLogLog++ sketches
+    (approx_count_distinct, rsd=5%) next to the exact count.
+
+    THE scale pattern for cardinality at 100 TB: the sketch is a few KB
+    of mergeable state per group — map-side partials merge instead of
+    shuffling every distinct token. No oracle (DuckDB's HLL differs
+    bit-wise by construction); correctness is the property test pinning
+    the approximation within rsd of exact (tests/test_sketch.py)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    return toks.groupBy("source").agg(
+        F.approx_count_distinct("token", rsd=0.05).alias("approx_distinct"),
+        F.countDistinct("token").alias("exact_distinct"),
+        F.count(F.lit(1)).alias("n_tokens"),
+    )
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -242,5 +294,12 @@ TEXT_QUERIES: dict[str, Query] = {
         Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
         Query("text_doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL, "content fingerprints"),
         Query("text_tfidf_top_terms", tfidf_top_terms, TFIDF_SQL, "per-doc tf-idf top terms"),
+        Query("text_rolling_hash", rolling_hash, ROLLING_HASH_SQL, "Rabin–Karp rolling fingerprint"),
+        Query(
+            "sketch_distinct_tokens",
+            sketch_distinct_tokens,
+            None,  # HLL sketches are engine-specific; property-tested instead
+            "HLL++ distinct-token cardinality per source",
+        ),
     ]
 }

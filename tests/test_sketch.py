@@ -1,0 +1,34 @@
+"""Sketch-op correctness: the HLL++ estimate must sit within its
+configured relative standard deviation of the exact cardinality.
+
+The sketch has no DuckDB oracle by construction (engine-specific HLL
+layouts), so this property test IS its correctness gate — the driver
+records a rows-only check, this pins the values.
+"""
+
+from __future__ import annotations
+
+from tests.conftest import SF_SMALL
+
+
+def test_hll_within_rsd_of_exact(spark):
+    import __spark_entry__ as e
+
+    rows = e.queries()["sketch_distinct_tokens"](spark, SF_SMALL).collect()
+    assert rows, "no sources"
+    for r in rows:
+        exact = r["exact_distinct"]
+        approx = r["approx_distinct"]
+        assert exact > 0
+        # 5% rsd ⇒ 3σ bound of 15%; generous but catches a broken sketch
+        assert abs(approx - exact) / exact < 0.15, (r["source"], approx, exact)
+
+
+def test_rolling_hash_range_and_determinism(spark):
+    import __spark_entry__ as e
+
+    df = e.queries()["text_rolling_hash"](spark, SF_SMALL)
+    rows = {r["doc_id"]: r["rolling_hash"] for r in df.collect()}
+    again = {r["doc_id"]: r["rolling_hash"] for r in df.collect()}
+    assert rows == again
+    assert all(0 <= h < 2147483647 for h in rows.values())
