@@ -375,6 +375,207 @@ GROUP BY l_suppkey
 """
 
 
+# --------------------------------------------------------------------------
+# More TPC-H shapes and window/set-op variants
+# --------------------------------------------------------------------------
+
+def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape: shipping volume between two fixed nations by year.
+    Both nation dims broadcast; the only fact shuffle is
+    lineitem⋈orders on orderkey."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    n1 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_10") | (
+        F.col("supp_nation") == "NATION_10"
+    ) & (F.col("cust_nation") == "NATION_3")
+    volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("int").alias("l_year"),
+        )
+        .agg(dsum(volume, 6).alias("volume"))
+    )
+
+
+Q7_SQL = f"""
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS INT) AS l_year,
+       {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS volume
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_10')
+   OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_3')
+GROUP BY 1, 2, 3
+"""
+
+
+def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape: scalar subquery (global positive-balance average)
+    + anti join (customers with no orders). The scalar aggregate is a
+    1-row broadcast; the anti join is the only shuffle."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
+        davg(F.col("c_acctbal"), 2).alias("avg_bal")
+    )
+    return (
+        c.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            dsum(F.col("c_acctbal"), 2).alias("total_bal"),
+        )
+    )
+
+
+Q22_SQL = f"""
+SELECT c_mktsegment, COUNT(*) AS n_custs,
+       {sql_dsum('c_acctbal', 2)} AS total_bal
+FROM customer c
+WHERE c_acctbal > (SELECT {sql_davg('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+GROUP BY c_mktsegment
+"""
+
+
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame (vs the ROWS frames elsewhere): per customer, revenue
+    in the trailing 30-day window of each order — the frame is bounded
+    by VALUE distance on an integer day column, so ties and gaps behave
+    identically in both engines."""
+    o = load_table(spark, sf_dir, "orders")
+    days = F.datediff(F.col("o_orderdate"), F.lit("1990-01-01").cast("date")).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.col("day_no"))
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return (
+        o.select("o_custkey", "o_orderkey", days.alias("day_no"), "o_totalprice")
+        .withColumn(
+            "trailing_30d_rev",
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .select("o_custkey", "o_orderkey", "day_no", "trailing_30d_rev")
+    )
+
+
+WINDOW_RANGE_SQL = """
+SELECT o_custkey, o_orderkey, day_no,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+         PARTITION BY o_custkey ORDER BY day_no
+         RANGE BETWEEN 30 PRECEDING AND CURRENT ROW) AS DOUBLE) AS trailing_30d_rev
+FROM (
+  SELECT o_custkey, o_orderkey,
+         CAST(datediff('day', DATE '1990-01-01', o_orderdate) AS BIGINT) AS day_no,
+         o_totalprice
+  FROM orders
+)
+"""
+
+
+def window_value_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value window functions — first_value / last_value / nth_value over
+    an explicit unbounded frame (the default frame for last_value stops
+    at CURRENT ROW; both engines agree once it's explicit)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy(F.asc("o_orderdate"), F.asc("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.last_value("o_orderkey").over(w).alias("last_order"),
+        F.nth_value("o_orderkey", 2).over(w).alias("second_order"),
+    )
+
+
+WINDOW_VALUE_SQL = """
+SELECT o_custkey, o_orderkey,
+       first_value(o_orderkey) OVER w AS first_order,
+       last_value(o_orderkey) OVER w AS last_order,
+       nth_value(o_orderkey, 2) OVER w AS second_order
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
+             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+def setop_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiset set ops (UNION ALL / INTERSECT ALL / EXCEPT ALL) over
+    nation-key projections — duplicate-preserving semantics, distinct
+    from the distinct-variant setop query."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nkey")
+    )
+    s = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nkey")
+    )
+    both = c.intersectAll(s)
+    only_c = c.exceptAll(s)
+    return (
+        c.unionAll(s).groupBy("nkey").agg(F.count(F.lit(1)).alias("n_union_all"))
+        .join(
+            both.groupBy("nkey").agg(F.count(F.lit(1)).alias("n_intersect_all")),
+            "nkey",
+            "left",
+        )
+        .join(
+            only_c.groupBy("nkey").agg(F.count(F.lit(1)).alias("n_except_all")),
+            "nkey",
+            "left",
+        )
+        .select(
+            "nkey",
+            "n_union_all",
+            F.coalesce("n_intersect_all", F.lit(0)).alias("n_intersect_all"),
+            F.coalesce("n_except_all", F.lit(0)).alias("n_except_all"),
+        )
+    )
+
+
+SETOP_ALL_SQL = """
+WITH c AS (SELECT CAST(c_nationkey AS INT) AS nkey FROM customer),
+     s AS (SELECT CAST(s_nationkey AS INT) AS nkey FROM supplier),
+     u AS (SELECT nkey, COUNT(*) AS n_union_all
+           FROM (SELECT nkey FROM c UNION ALL SELECT nkey FROM s) GROUP BY nkey),
+     i AS (SELECT nkey, COUNT(*) AS n_intersect_all
+           FROM (SELECT nkey FROM c INTERSECT ALL SELECT nkey FROM s) GROUP BY nkey),
+     e AS (SELECT nkey, COUNT(*) AS n_except_all
+           FROM (SELECT nkey FROM c EXCEPT ALL SELECT nkey FROM s) GROUP BY nkey)
+SELECT u.nkey, u.n_union_all,
+       COALESCE(i.n_intersect_all, 0) AS n_intersect_all,
+       COALESCE(e.n_except_all, 0) AS n_except_all
+FROM u LEFT JOIN i ON u.nkey = i.nkey
+       LEFT JOIN e ON u.nkey = e.nkey
+"""
+
+
 RELATIONAL_QUERIES_2: dict[str, Query] = {
     q.name: q
     for q in [
@@ -389,5 +590,10 @@ RELATIONAL_QUERIES_2: dict[str, Query] = {
         Query("percentile_quantity", percentile_quantity, PERCENTILE_SQL, "exact interpolated percentiles"),
         Query("salted_join_segments", salted_join_segments, SALTED_JOIN_SQL, "salted join == plain join"),
         Query("two_stage_agg_supplier", two_stage_agg_supplier, TWO_STAGE_AGG_SQL, "salted two-stage agg"),
+        Query("q7_nation_volume", q7_nation_volume, Q7_SQL, "two-nation volume by year (Q7)"),
+        Query("q22_idle_rich_customers", q22_idle_rich_customers, Q22_SQL, "scalar subquery + anti join (Q22)"),
+        Query("window_range_frame", window_range_frame, WINDOW_RANGE_SQL, "RANGE frame trailing sum"),
+        Query("window_value_suite", window_value_suite, WINDOW_VALUE_SQL, "first/last/nth_value windows"),
+        Query("setop_all_variants", setop_all_variants, SETOP_ALL_SQL, "UNION/INTERSECT/EXCEPT ALL"),
     ]
 }

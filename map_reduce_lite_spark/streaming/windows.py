@@ -135,6 +135,51 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window (1 h window / 15 min slide) mean value per type,
+    computed by the streaming engine and drained with availableNow.
+
+    Oracle: each event belongs to exactly 4 sliding windows — the ones
+    starting at floor_15m(ts) - k·15 min for k = 0..3 — so the SQL twin
+    explodes each row into its 4 windows and aggregates; this is also
+    exactly how Spark's physical plan expands sliding windows (Expand →
+    one shuffle), so plan shape and oracle agree."""
+    global _STREAM_RUN
+    import os
+    import re
+
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    staged = f"/tmp/mrl_stream_events_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_sliding_{_STREAM_RUN}"
+    run_stream_to_memory(sliding_value_stream(stream), name)
+    return spark.table(name)
+
+
+EVENTS_SLIDING_SQL = """
+WITH exploded AS (
+  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+           AS win_start,
+         event_type, value
+  FROM events, LATERAL unnest(generate_series(0, 3)) AS k(k)
+)
+SELECT win_start, event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value) AS avg_value
+FROM exploded
+GROUP BY 1, 2
+"""
+
+
 def _streaming_queries():
     from map_reduce_lite_spark.registry import Query
     from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
@@ -145,7 +190,13 @@ def _streaming_queries():
             streaming_events_hourly,
             EVENTS_HOURLY_SQL,
             "Structured Streaming tumbling window == batch oracle",
-        )
+        ),
+        "streaming_events_sliding": Query(
+            "streaming_events_sliding",
+            streaming_events_sliding,
+            EVENTS_SLIDING_SQL,
+            "Structured Streaming sliding window == exploded-window oracle",
+        ),
     }
 
 
