@@ -27,6 +27,7 @@ from map_reduce_lite_spark.ops import (
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
 )
+from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
 ALL_QUERIES = {
     **PARITY_QUERIES,
@@ -37,6 +38,7 @@ ALL_QUERIES = {
     **SIMILARITY_QUERIES,
     **TEXT_QUERIES,
     **MULTIMODAL_QUERIES,
+    **GRAPH_QUERIES,
 }
 
 

@@ -1,4 +1,4 @@
-"""Iterative graph operators: connected components for dedup clustering.
+"""Iterative graph operators: connected components and PageRank.
 
 Near-dup detection emits PAIRS; deduplication needs CLUSTERS (keep one
 document per connected component of the similarity graph). Min-label
@@ -66,6 +66,60 @@ def connected_components(
     return labels.select("node", F.col("label").alias("component"))
 
 
+def pagerank(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list.
+
+    Extends the reference's only graph workload (vertex degree,
+    workload/src/vertex_degree.rs) to the iterative family. Each
+    iteration is one join + one aggregation shuffling on node id — the
+    partitioning Spark reuses across iterations; dangling nodes keep the
+    base rank (simple non-normalized formulation).
+
+    Determinism contract: per-edge contribution pr/outdeg is one double
+    division (identical in both engines), summed exactly as
+    DECIMAL(28,12), and the damping update is arithmetic on identical
+    doubles — so a DuckDB oracle can replay the SAME fixed number of
+    iterations bit-for-bit (unusual for an iterative algorithm).
+    """
+    e = (
+        edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
+        .distinct()
+        .localCheckpoint()  # reused every iteration; truncate lineage once
+    )
+    nodes = (
+        e.select(F.col("esrc").alias("node"))
+        .union(e.select(F.col("edst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = e.groupBy("esrc").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.withColumn("pr", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (
+            e.join(ranks, e.esrc == ranks.node)
+            .join(outdeg, "esrc")
+            .select(
+                "edst",
+                (F.col("pr") / F.col("d")).cast("decimal(28,12)").alias("c"),
+            )
+        )
+        mass = contribs.groupBy("edst").agg(F.sum("c").cast("double").alias("mass"))
+        ranks = nodes.join(mass, nodes.node == mass.edst, "left").select(
+            "node",
+            (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+            ).alias("pr"),
+        )
+    return ranks
+
+
 def dedup_survivors(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:
     """Cluster-level dedup: one survivor (the component minimum) per
     near-dup cluster, plus every unpaired document."""
@@ -74,3 +128,72 @@ def dedup_survivors(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFr
         F.col("node").alias(id_col)
     )
     return all_ids.join(drop, id_col, "left_anti")
+
+
+# --------------------------------------------------------------------------
+# Driver-gate entries
+# --------------------------------------------------------------------------
+
+PART_OFFSET = 1_000_000  # part node ids offset into their own id space
+
+
+def pagerank_supplier_part(spark, sf_dir):
+    """PageRank over the supplier→part purchase graph from lineitem
+    (3 fixed iterations; parts are sinks, suppliers are sources)."""
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    l = load_table(spark, sf_dir, "lineitem")
+    edges = l.select(
+        F.col("l_suppkey").alias("src"),
+        (F.col("l_partkey") + PART_OFFSET).alias("dst"),
+    )
+    return pagerank(edges).select("node", "pr")
+
+
+def _pagerank_sql() -> str:
+    """3 unrolled iterations; every float literal is cast to DOUBLE so
+    DuckDB doesn't run the arithmetic in DECIMAL (its default parse of
+    numeric literals), and the damping update uses the same computed
+    (1.0 - 0.85) double as the Spark build."""
+    base = "(1.0::DOUBLE - 0.85::DOUBLE)"
+
+    def it(prev: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT n.node,
+         {base} + 0.85::DOUBLE * COALESCE(CAST(SUM(
+             CAST(p.pr / o.d AS DECIMAL(28,12))) AS DOUBLE), 0.0::DOUBLE) AS pr
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN {prev} p ON p.node = e.src
+  LEFT JOIN outdeg o ON o.src = e.src
+  GROUP BY n.node
+)"""
+
+    return f"""
+WITH edges AS (
+  SELECT DISTINCT l_suppkey AS src, l_partkey + {PART_OFFSET} AS dst FROM lineitem
+), nodes AS (
+  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+), outdeg AS (
+  SELECT src, COUNT(*) AS d FROM edges GROUP BY src
+), pr0 AS (
+  SELECT node, 1.0::DOUBLE AS pr FROM nodes
+), {it('pr0', 'pr1')}, {it('pr1', 'pr2')}, {it('pr2', 'pr3')}
+SELECT node, pr FROM pr3
+"""
+
+
+def _graph_queries():
+    from map_reduce_lite_spark.registry import Query
+
+    return {
+        "pagerank_supplier_part": Query(
+            "pagerank_supplier_part",
+            pagerank_supplier_part,
+            _pagerank_sql(),
+            "fixed-iteration PageRank, decimal-exact oracle",
+        )
+    }
+
+
+GRAPH_QUERIES = _graph_queries()

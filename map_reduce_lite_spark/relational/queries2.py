@@ -576,6 +576,80 @@ FROM u LEFT JOIN i ON u.nkey = i.nkey
 """
 
 
+def funnel_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session funnel: within each 30-min-gap session, did the user
+    view → click → purchase in event-time order? Counts per stage.
+
+    One shuffle on user_id for sessionization (shared by both window
+    passes), one more for the per-session conditional mins — the same
+    two-shuffle shape at any scale. Stage predicates compare integer
+    epoch-millis, so the oracle matches exactly."""
+    e = load_table(spark, sf_dir, "events")
+    # same gaps-and-islands construction as sessionize() (queries.py),
+    # kept per-event here because the funnel needs event-level timestamps
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev_ms = F.lag(F.unix_millis("ts")).over(w)
+    new_sess = F.when(
+        prev_ms.isNull() | (F.unix_millis("ts") - prev_ms > 30 * 60 * 1000), 1
+    ).otherwise(0)
+    tagged = e.select(
+        "user_id", "ts", "event_id", "event_type"
+    ).withColumn("session_id", F.sum(new_sess).over(w).cast("long"))
+
+    def first_ms(etype: str):
+        return F.min(
+            F.when(F.col("event_type") == etype, F.unix_millis("ts"))
+        )
+
+    per_sess = tagged.groupBy("user_id", "session_id").agg(
+        first_ms("view").alias("t_view"),
+        first_ms("click").alias("t_click"),
+        first_ms("purchase").alias("t_purchase"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") >= F.col("t_view"))
+    purchased = clicked & F.col("t_purchase").isNotNull() & (
+        F.col("t_purchase") >= F.col("t_click")
+    )
+    return per_sess.agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum(viewed.cast("long")).alias("n_viewed"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(purchased.cast("long")).alias("n_full_funnel"),
+    )
+
+
+FUNNEL_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id, event_type,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), tagged AS (
+  SELECT user_id, ts, event_type,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_ms(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_ms(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_ms(ts) END) AS t_purchase
+  FROM tagged GROUP BY user_id, session_id
+)
+SELECT COUNT(*) AS n_sessions,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click >= t_view THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+       CAST(SUM(CASE WHEN t_view IS NOT NULL AND t_click IS NOT NULL
+                      AND t_click >= t_view AND t_purchase IS NOT NULL
+                      AND t_purchase >= t_click THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+FROM per_sess
+"""
+
+
 RELATIONAL_QUERIES_2: dict[str, Query] = {
     q.name: q
     for q in [
@@ -595,5 +669,6 @@ RELATIONAL_QUERIES_2: dict[str, Query] = {
         Query("window_range_frame", window_range_frame, WINDOW_RANGE_SQL, "RANGE frame trailing sum"),
         Query("window_value_suite", window_value_suite, WINDOW_VALUE_SQL, "first/last/nth_value windows"),
         Query("setop_all_variants", setop_all_variants, SETOP_ALL_SQL, "UNION/INTERSECT/EXCEPT ALL"),
+        Query("funnel_sessions", funnel_sessions, FUNNEL_SQL, "session funnel (view→click→purchase)"),
     ]
 }

@@ -74,6 +74,28 @@ def read_source(
     return reader.options(**options).format(fmt).load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    THE pre-shuffle strategy for repeated big-big joins at 100 TB: both
+    sides bucketed by the join key into the same bucket count join with
+    NO exchange (and no sort, if sorted) — the shuffle is paid once at
+    write time instead of per query. tests/test_bucketing.py asserts the
+    exchange-free plan. Spark's bucketing is hive-compatible file
+    layout; `spark.sql.sources.bucketing.enabled` is on by default."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_sink(
     df: DataFrame,
     path: str,

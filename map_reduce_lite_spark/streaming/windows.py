@@ -100,16 +100,7 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     at scale the source is a log (Kafka) and this step disappears.
     """
     global _STREAM_RUN
-    import os
-    import re
-
-    from map_reduce_lite_spark.relational.tables import load_table
-
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    staged = f"/tmp/mrl_stream_events_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
-
+    staged = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
@@ -145,16 +136,7 @@ def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     exactly how Spark's physical plan expands sliding windows (Expand →
     one shuffle), so plan shape and oracle agree."""
     global _STREAM_RUN
-    import os
-    import re
-
-    from map_reduce_lite_spark.relational.tables import load_table
-
-    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    staged = f"/tmp/mrl_stream_events_{tag}"
-    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
-
+    staged = _stage_events(spark, sf_dir)
     stream = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .option("maxFilesPerTrigger", "4")
@@ -180,6 +162,59 @@ GROUP BY 1, 2
 """
 
 
+def _stage_events(spark: SparkSession, sf_dir: str) -> str:
+    """Stage the nanos-timestamp events as µs parquet, once per sf_dir."""
+    import os
+    import re
+
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
+    staged = f"/tmp/mrl_stream_events_{tag}"
+    if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+    return staged
+
+
+def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-bounded stream-STREAM join run by the streaming engine
+    (watermarked both sides, append-mode availableNow drain); the oracle
+    is the identical time-range join in plain SQL."""
+    global _STREAM_RUN
+    from map_reduce_lite_spark.streaming.joins import purchase_view_join
+
+    staged = _stage_events(spark, sf_dir)
+    p = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    v = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged).filter(
+        F.col("event_type") == "view"
+    )
+    joined = purchase_view_join(p, v)
+    _STREAM_RUN += 1
+    name = f"mrl_stream_ssj_{_STREAM_RUN}"
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    return spark.table(name)
+
+
+PURCHASE_VIEW_JOIN_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+       v.event_id AS view_id, v.ts AS v_ts
+FROM events p JOIN events v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+WHERE p.event_type = 'purchase' AND v.event_type = 'view'
+"""
+
+
 def _streaming_queries():
     from map_reduce_lite_spark.registry import Query
     from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
@@ -196,6 +231,12 @@ def _streaming_queries():
             streaming_events_sliding,
             EVENTS_SLIDING_SQL,
             "Structured Streaming sliding window == exploded-window oracle",
+        ),
+        "streaming_purchase_view_join": Query(
+            "streaming_purchase_view_join",
+            streaming_purchase_view_join,
+            PURCHASE_VIEW_JOIN_SQL,
+            "stream-stream time-range join == batch SQL oracle",
         ),
     }
 

@@ -133,6 +133,44 @@ def test_dedup_stream_equals_batch(spark, events_parquet):
     assert len(ids) == len(set(ids)) == base.count()
 
 
+def test_stream_stream_join_equals_batch(spark, events_parquet):
+    """Time-bounded stream-stream join drains to exactly the batch join."""
+    from map_reduce_lite_spark.streaming.joins import purchase_view_join
+
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    p_stream = spark.readStream.schema(schema).parquet(events_parquet).filter(
+        F.col("event_type") == "purchase"
+    )
+    v_stream = spark.readStream.schema(schema).parquet(events_parquet).filter(
+        F.col("event_type") == "view"
+    )
+    joined = purchase_view_join(p_stream, v_stream)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ssj_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    q.stop()
+    got = Counter(tuple(r) for r in spark.sql("SELECT * FROM ssj_test").collect())
+
+    batch = spark.read.parquet(events_parquet)
+    want = Counter(
+        tuple(r)
+        for r in purchase_view_join(
+            batch.filter(F.col("event_type") == "purchase"),
+            batch.filter(F.col("event_type") == "view"),
+        ).collect()
+    )
+    assert got == want
+    assert sum(want.values()) > 0  # non-vacuous
+
+
 def test_enrich_stream_static_join(spark, events_parquet):
     from map_reduce_lite_spark.streaming.dedup import enrich_stream
 
