@@ -45,6 +45,11 @@ BENCH_QUERIES = [
     "similarity_ann_ivf",
     "text_quality_score",
     "multimodal_frame_sample",
+    "q6_forecast_revenue",
+    "q18_large_orders",
+    "funnel_sessions",
+    "pagerank_supplier_part",
+    "streaming_events_hourly",
 ]
 
 
