@@ -650,6 +650,69 @@ FROM per_sess
 """
 
 
+def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation + covariance of (quantity, extendedprice) per
+    return flag — computed from exact DECIMAL(28,4) moment sums combined
+    with identical double arithmetic on both engines, instead of the
+    built-in corr()/covar_pop() whose one-pass update order is
+    engine-specific. Same single-shuffle plan as any multi-agg; the
+    moments are also the mergeable state a 1000-executor partial
+    aggregation ships."""
+    l = load_table(spark, sf_dir, "lineitem")
+    x = F.col("l_quantity")
+    y = F.col("l_extendedprice")
+
+    def m(expr, scale=4):
+        return F.sum(expr.cast(f"decimal(28,{scale})")).cast("double")
+
+    agg = l.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        m(x).alias("sx"),
+        m(y).alias("sy"),
+        m(x * y).alias("sxy"),
+        m(x * x).alias("sxx"),
+        m(y * y).alias("syy"),
+    )
+    cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    )
+    # corr's a*b - c*d shape invites FMA contraction in one engine but not
+    # the other (observed 1-ulp drift); quantize to 12 decimals like the
+    # similarity scores. covar is contraction-free and stays raw double.
+    return agg.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n_items"),
+        cov.alias("covar_pop"),
+        F.floor(corr * 1e12).cast("long").alias("corr_e12"),
+    )
+
+
+def _sql_m(expr: str, scale: int = 4) -> str:
+    return f"CAST(SUM(CAST({expr} AS DECIMAL(28,{scale}))) AS DOUBLE)"
+
+
+STATS_CORR_SQL = f"""
+WITH moments AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS DOUBLE) AS n,
+         {_sql_m('l_quantity')} AS sx,
+         {_sql_m('l_extendedprice')} AS sy,
+         {_sql_m('l_quantity * l_extendedprice')} AS sxy,
+         {_sql_m('l_quantity * l_quantity')} AS sxx,
+         {_sql_m('l_extendedprice * l_extendedprice')} AS syy
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
+       (sxy - sx * sy / n) / n AS covar_pop,
+       CAST(floor((n * sxy - sx * sy)
+         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e12)
+         AS BIGINT) AS corr_e12
+FROM moments
+"""
+
+
 RELATIONAL_QUERIES_2: dict[str, Query] = {
     q.name: q
     for q in [
@@ -670,5 +733,6 @@ RELATIONAL_QUERIES_2: dict[str, Query] = {
         Query("window_value_suite", window_value_suite, WINDOW_VALUE_SQL, "first/last/nth_value windows"),
         Query("setop_all_variants", setop_all_variants, SETOP_ALL_SQL, "UNION/INTERSECT/EXCEPT ALL"),
         Query("funnel_sessions", funnel_sessions, FUNNEL_SQL, "session funnel (view→click→purchase)"),
+        Query("stats_corr_qty_price", stats_corr_qty_price, STATS_CORR_SQL, "corr/covar from exact moments"),
     ]
 }
