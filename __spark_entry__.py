@@ -29,16 +29,30 @@ from map_reduce_lite_spark.ops import (
 )
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
+# Ordered so the training-data-pipeline extension surface (dedup /
+# similarity / text / multimodal / streaming / graph) sits in the front
+# of the dict: a correctness harness that samples a prefix of the
+# query list still covers every operator family. Relational queries
+# that changed since the last verified run are fronted within their
+# block for the same reason.
+_FRONTED_RELATIONAL = [
+    "array_agg_priorities",   # output shape changed (array -> joined string)
+    "stats_corr_qty_price",   # not yet driver-verified
+    "q22_idle_rich_customers",  # non-vacuity fix
+]
+
+_REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
+
 ALL_QUERIES = {
     **PARITY_QUERIES,
-    **RELATIONAL_QUERIES,
-    **RELATIONAL_QUERIES_2,
-    **STREAMING_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXT_QUERIES,
     **MULTIMODAL_QUERIES,
+    **STREAMING_QUERIES,
     **GRAPH_QUERIES,
+    **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
+    **_REAR,
 }
 
 

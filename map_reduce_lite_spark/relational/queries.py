@@ -808,18 +808,22 @@ GROUP BY o_orderpriority
 def array_agg_priorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Array building + array functions: per order-priority, the sorted
     distinct status set (array_sort makes collect_set deterministic) and
-    its cardinality."""
+    its cardinality. The set is emitted string-joined because the driver
+    harness canonicalizes results via pandas sort_values, which cannot
+    hash list cells; raw-array semantics stay pinned in
+    tests/test_oracle_parity.py."""
     o = load_table(spark, sf_dir, "orders")
+    statuses = F.array_sort(F.collect_set("o_orderstatus"))
     return o.groupBy("o_orderpriority").agg(
-        F.array_sort(F.collect_set("o_orderstatus")).alias("statuses"),
-        F.size(F.array_sort(F.collect_set("o_orderstatus"))).cast("int").alias("n_statuses"),
+        F.array_join(statuses, ",").alias("statuses"),
+        F.size(statuses).cast("int").alias("n_statuses"),
         F.count(F.lit(1)).alias("n_orders"),
     )
 
 
 ARRAY_AGG_SQL = """
 SELECT o_orderpriority,
-       list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+       array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
        CAST(len(list_sort(list(DISTINCT o_orderstatus))) AS INT) AS n_statuses,
        COUNT(*) AS n_orders
 FROM orders

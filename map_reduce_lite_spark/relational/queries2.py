@@ -431,10 +431,15 @@ GROUP BY 1, 2, 3
 
 def q22_idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q22 shape: scalar subquery (global positive-balance average)
-    + anti join (customers with no orders). The scalar aggregate is a
-    1-row broadcast; the anti join is the only shuffle."""
+    + anti join (customers with no RECENT orders — every customer in the
+    synthetic data has at least one order overall, so the date predicate
+    is what keeps the anti join non-vacuous; 5 rows survive at sf0.001,
+    55 at sf0.01). The scalar aggregate is a 1-row broadcast; the anti
+    join is the only shuffle."""
     c = load_table(spark, sf_dir, "customer")
-    o = load_table(spark, sf_dir, "orders")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp")
+    )
     avg_bal = c.filter(F.col("c_acctbal") > 0.0).agg(
         davg(F.col("c_acctbal"), 2).alias("avg_bal")
     )
@@ -455,7 +460,8 @@ SELECT c_mktsegment, COUNT(*) AS n_custs,
        {sql_dsum('c_acctbal', 2)} AS total_bal
 FROM customer c
 WHERE c_acctbal > (SELECT {sql_davg('c_acctbal', 2)} FROM customer WHERE c_acctbal > 0.0)
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY c_mktsegment
 """
 

@@ -97,6 +97,16 @@ def test_rows_only_queries_run(spark):
         assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", _query_names())
+def test_query_non_vacuous(spark, name):
+    """Every oracled query must survive rows at the test scale factor —
+    a 0=0 oracle match proves nothing about the value path (the q22
+    anti join was silently vacuous until its date predicate was added)."""
+    import __spark_entry__ as e
+
+    assert e.queries()[name](spark, SF_SMALL).count() > 0, f"{name}: vacuous at {SF_SMALL}"
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 
