@@ -43,6 +43,18 @@ NUM_MINHASHES = MINHASH_BANDS * MINHASH_ROWS
 SHINGLE_SIZE = 3
 JACCARD_THRESHOLD = 0.5
 
+# Document-frequency cap for the shingle inverted index: shingles
+# appearing in more than this many documents are dropped before the
+# self-join, exactly like a stop list. A stop-shingle's posting list
+# contributes |postings|² candidate pairs, so one "of the and" shared by
+# 1M docs would emit 10^12 pairs — the cap bounds every posting list and
+# therefore the join's worst case. Sizes (|A|, |B|) are still computed
+# on the FULL shingle sets; only the intersection counting is capped, so
+# capped Jaccard is a lower bound of true Jaccard (ties broken toward
+# precision — the right direction for dedup). At the test scale factors
+# max DF is 9, so the default cap does not perturb the oracle values.
+SHINGLE_DF_CAP = 50
+
 
 # --------------------------------------------------------------------------
 # Tokenize / shingle (shared)
@@ -112,16 +124,32 @@ GROUP BY 1
 # N-gram Jaccard pair scoring
 # --------------------------------------------------------------------------
 
-def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with word-3-shingle Jaccard ≥ 0.5.
+def ngram_jaccard_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = JACCARD_THRESHOLD,
+    df_cap: int = SHINGLE_DF_CAP,
+) -> DataFrame:
+    """Near-dup pairs with word-3-shingle Jaccard ≥ ``threshold``.
 
     inverted-index self-join: shuffle by shingle, integer pair counts,
     jaccard = |∩| / (|A| + |B| - |∩|). Division of identical ints →
-    bit-identical doubles vs the oracle."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = shingles(d).cache()
+    bit-identical doubles vs the oracle. Shingles in more than
+    ``df_cap`` documents are dropped from the index before the
+    self-join (see SHINGLE_DF_CAP) — set sizes stay uncapped."""
+    sh = shingles(docs, id_col, text_col).cache()
     sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # posting-list bound: the self-join only ever sees shingles whose
+    # document frequency is ≤ df_cap
+    capped = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= df_cap)
+        .select("shingle")
+        .join(sh, "shingle")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
     inter = (
         a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc") < F.col("b.doc")))
         .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
@@ -133,8 +161,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inter.join(sz1, "doc1").join(sz2, "doc2")
         .select("doc1", "doc2", jac.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= threshold)
     )
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d)
 
 
 _SHINGLES_CTE = r"""
@@ -156,12 +189,17 @@ WITH tok_lists AS (
 )
 """
 
-DEDUP_NGRAM_SQL = _SHINGLES_CTE + """
+DEDUP_NGRAM_SQL = _SHINGLES_CTE + f"""
 , sizes AS (
   SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), capped AS (
+  SELECT sh.doc, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) keep
+    ON keep.shingle = sh.shingle
 ), inter AS (
   SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc < b.doc
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
   GROUP BY 1, 2
 )
 SELECT doc1, doc2,
@@ -521,26 +559,48 @@ DEDUP_EMBEDDING_LSH_SQL = _embedding_lsh_sql()
 
 
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup CLUSTERS: connected components over the exact
+    """Near-dup CLUSTERS: connected components over the LSH-blocked
     embedding-cosine pair graph — the canonical-representative step a
     real dedup pipeline runs after pair finding (keep component minimum,
-    drop the rest). Iterative min-label propagation on Spark; the oracle
-    replays it with a recursive transitive-closure CTE."""
+    drop the rest). Pair generation is the ``method="lsh"`` band-blocked
+    path (bucket join + cosine verify on collisions only), NOT the exact
+    O(n²) self-join — the exact path stays available as the recall
+    oracle (dedup_embedding_cosine / tests/test_dedup.py). Iterative
+    min-label propagation on Spark; the oracle replays it with a
+    recursive transitive-closure CTE over the same LSH pair set."""
     from map_reduce_lite_spark.ops.graph import connected_components
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb)
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
     return connected_components(pairs, src="keep_id", dst="dup_id")
 
 
 def _components_sql() -> str:
-    from map_reduce_lite_spark.ops.similarity import _sql_cos
+    from map_reduce_lite_spark.ops.similarity import (
+        EMB_DIM,
+        LSH_N_BANDS,
+        LSH_PLANES,
+        _hyperplanes,
+        _sql_cos,
+        sql_bands_cte,
+    )
 
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
-WITH RECURSIVE scored AS (
-  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id,
-         {_sql_cos('a.embedding', 'b.embedding')} AS sim
-  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WITH RECURSIVE bands AS (
+{sql_bands_cte(planes, LSH_N_BANDS)}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.keep_id, c.dup_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.keep_id
+  JOIN embeddings eb ON eb.vec_id = c.dup_id
 ), pairs AS (
   SELECT keep_id, dup_id FROM scored WHERE sim >= {NEAR_DUP_COS}
 ), edges AS (

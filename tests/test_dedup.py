@@ -117,6 +117,48 @@ def test_simhash_hamming_symmetry(spark):
         assert 0 <= r["hamming"] <= 3
 
 
+def test_ngram_df_cap_bounds_stop_shingle_blowup(spark):
+    """A stop-shingle shared by every document must NOT produce the
+    |postings|² candidate explosion: with the DF cap active, documents
+    whose only overlap is the ubiquitous boilerplate yield no pairs,
+    while genuine near-dups (sharing many RARE shingles) still match."""
+    from map_reduce_lite_spark.ops.dedup import ngram_jaccard_pairs
+
+    stop = "terms of service apply"  # 4 tokens → 2 shared 3-shingles
+    rows = []
+    # 40 unrelated docs that all carry the boilerplate prefix
+    for i in range(40):
+        body = " ".join(f"u{i}w{j}" for j in range(12))
+        rows.append((i, f"{stop} {body}"))
+    # one planted near-dup pair sharing a long rare body
+    shared = " ".join(f"rare{j}" for j in range(30))
+    rows.append((100, f"{stop} {shared}"))
+    rows.append((101, f"{stop} {shared} tail"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    capped = ngram_jaccard_pairs(docs, threshold=0.3, df_cap=5)
+    got = {(r["doc1"], r["doc2"]) for r in capped.collect()}
+    assert (100, 101) in got, got  # rare-shingle near-dup survives
+    # no pair among the 40 boilerplate-only docs (40*39/2 = 780 would
+    # appear in the uncapped candidate set)
+    assert all(d1 >= 100 for d1, _ in got), got
+
+
+def test_ngram_df_cap_default_does_not_perturb_testdata(spark, duck):
+    """At the test SF max shingle DF is 9 < SHINGLE_DF_CAP, so capped
+    results equal uncapped — pinning that the cap only removes
+    pathological postings, not legitimate matches."""
+    from map_reduce_lite_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    capped = {(r["doc1"], r["doc2"]) for r in ngram_jaccard_pairs(docs).collect()}
+    uncapped = {
+        (r["doc1"], r["doc2"])
+        for r in ngram_jaccard_pairs(docs, df_cap=10**9).collect()
+    }
+    assert capped == uncapped
+
+
 def test_embedding_near_dup_exact_vs_lsh_recall(spark):
     """LSH-blocked near-dup must recover most of the exact pairs and
     never report a pair the exact method rejects (it exact-verifies)."""

@@ -111,6 +111,29 @@ def test_dedup_exact_shuffles_hashes_not_text(spark):
     assert not any("text" in ln for ln in exch), exch
 
 
+def test_dedup_components_no_quadratic_join(spark):
+    """dedup_components must be fed LSH-blocked pairs: the pair generator
+    is equi-joins on (band_id, band_hash), never a cartesian / BNLJ scan
+    of the full corpus (the O(n²) killer at 100 TB)."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+    plan = _plan(pairs)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_ngram_jaccard_caps_posting_lists(spark):
+    plan = _plan(_q(spark, "dedup_ngram_jaccard"))
+    # the DF-cap aggregation must appear between the shingle index and
+    # the self-join: a count-per-shingle HashAggregate feeding a filter
+    assert "count(1)" in plan or "count(" in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
 def test_grouping_sets_single_expand(spark):
     plan = _plan(_q(spark, "grouping_sets_priority"))
     assert plan.count("Expand") >= 1
