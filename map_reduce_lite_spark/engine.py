@@ -80,6 +80,30 @@ WORKLOADS: dict[str, Callable[..., DataFrame]] = {
 }
 
 
+def register_workload(
+    name: str, builder: Callable[..., DataFrame], *, replace: bool = False
+) -> None:
+    """Register a user workload by name — the reference's core contract:
+    users supply their own (map_fn, reduce_fn) pair and select it by
+    string at submit time (common/src/lib.rs:29-50 defines the pair,
+    workload/src/lib.rs:31-55 the name registry). Here the unit of
+    registration is a pipeline builder ``(spark, input_glob, **aux) ->
+    DataFrame`` — map logic is any narrow transform (select / explode /
+    mapInPandas ≈ MapFn's 1→N rows), reduce logic any aggregation
+    (groupBy().agg / applyInPandas ≈ ReduceFn's key+values→blob), and
+    ``aux`` arrives as plain kwargs instead of the reference's ambiguous
+    byte-encoded args (SURVEY.md §1.2 wart).
+
+    See tests/test_workloads.py::test_register_custom_workload for a
+    fifth workload written with applyInPandas (arbitrary per-group
+    Python reduce — the full ReduceFn generality)."""
+    if not replace and name in WORKLOADS:
+        raise ValueError(f"workload {name!r} already registered (pass replace=True)")
+    if not callable(builder):
+        raise TypeError("builder must be callable (spark, input_glob, **aux) -> DataFrame")
+    WORKLOADS[name] = builder
+
+
 @dataclass
 class JobRecord:
     job_id: int
@@ -136,6 +160,15 @@ class Engine:
             rec.error = str(e)
             rec.finished_at = time.time()
             raise
+
+    @staticmethod
+    def register(
+        name: str, builder: Callable[..., DataFrame], *, replace: bool = False
+    ) -> None:
+        """Instance-accessible alias of :func:`register_workload` (the
+        registry is process-global, matching the reference's static
+        name→Workload table)."""
+        register_workload(name, builder, replace=replace)
 
     def jobs(self) -> list[JobRecord]:
         """Job history (≈ coordinator `jobs` RPC, core.rs:76-99)."""

@@ -20,7 +20,27 @@ labels (min reachable id) are iteration-order independent.
 
 from __future__ import annotations
 
+from typing import Callable
+
 from pyspark.sql import DataFrame, functions as F
+
+
+def _checkpointer(
+    df_sample: DataFrame, checkpoint_dir: str | None
+) -> Callable[[DataFrame], DataFrame]:
+    """Lineage-truncation strategy for iterative loops.
+
+    ``localCheckpoint`` (default) materializes to executor block storage
+    — fast, but NON-RESILIENT: on a real cluster losing one executor
+    mid-loop kills the job because truncated lineage can't be recomputed.
+    Passing ``checkpoint_dir`` (an HDFS/S3 path in production) switches
+    to reliable ``checkpoint()`` — the 100×-scale answer for long
+    iterative jobs where executor loss is routine."""
+    if checkpoint_dir is None:
+        return lambda df: df.localCheckpoint()
+    sc = df_sample.sparkSession.sparkContext
+    sc.setCheckpointDir(checkpoint_dir)
+    return lambda df: df.checkpoint()
 
 
 def connected_components(
@@ -29,12 +49,14 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 25,
     checkpoint_every: int = 5,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Undirected: both directions are added."""
+    ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = e.localCheckpoint()  # materialize once; reused every iteration
+    e = ckpt(e)  # materialize once; reused every iteration
     labels = (
         e.select(F.col("a").alias("node"))
         .distinct()
@@ -58,7 +80,7 @@ def connected_components(
             )
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_labels = new_labels.localCheckpoint()
+            new_labels = ckpt(new_labels)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         if n_changed == 0:
@@ -72,6 +94,7 @@ def pagerank(
     dst: str = "dst",
     iterations: int = 3,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -87,16 +110,14 @@ def pagerank(
     doubles — so a DuckDB oracle can replay the SAME fixed number of
     iterations bit-for-bit (unusual for an iterative algorithm).
     """
-    e = (
-        edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst"))
-        .distinct()
-        .localCheckpoint()  # reused every iteration; truncate lineage once
-    )
-    nodes = (
+    ckpt = _checkpointer(edges, checkpoint_dir)
+    e = ckpt(
+        edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).distinct()
+    )  # reused every iteration; truncate lineage once
+    nodes = ckpt(
         e.select(F.col("esrc").alias("node"))
         .union(e.select(F.col("edst").alias("node")))
         .distinct()
-        .localCheckpoint()
     )
     outdeg = e.groupBy("esrc").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.withColumn("pr", F.lit(1.0))

@@ -172,18 +172,27 @@ def _plane_bit_expr(vec_expr: str, plane: list[float]) -> str:
     return f"(CASE WHEN {dot} > 0.0D THEN 1 ELSE 0 END)"
 
 
-def lsh_band_hashes(vec: Column | str, planes: list[list[float]], n_bands: int) -> Column:
+def lsh_band_hashes(vec: str, planes: list[list[float]], n_bands: int) -> Column:
     """Array of ``n_bands`` band hashes: planes are split contiguously into
     bands; each band's sign bits pack into one int. Two vectors are
     candidates iff ANY band hash matches (OR-amplification) — the classic
     banding construction (Leskovec/Rajaraman/Ullman, MMDS ch.3).
 
-    ``vec`` should be a COLUMN NAME; the whole array is built as one SQL
-    string parsed by a single ``F.expr`` — constructing the 16×64 plane
-    literals through the Column API costs thousands of py4j round-trips
-    (~2s of driver time per query build, measured), the string parse ~none.
-    The resulting Catalyst tree is identical either way."""
-    vec_expr = vec if isinstance(vec, str) else vec._jc.toString()
+    ``vec`` must be a COLUMN NAME (str): the whole array is built as one
+    SQL string parsed by a single ``F.expr`` — constructing the 16×64
+    plane literals through the Column API costs thousands of py4j round
+    trips (~2s of driver time per query build, measured), the string
+    parse ~none. The resulting Catalyst tree is identical either way.
+    Column objects are rejected rather than round-tripped through the
+    private ``_jc`` bridge (not guaranteed parseable, absent under Spark
+    Connect); select/alias the expression to a name first."""
+    if not isinstance(vec, str):
+        raise TypeError(
+            "lsh_band_hashes requires a column NAME; alias the expression "
+            "to a column first (Column objects can't be safely rendered "
+            "back into SQL text)"
+        )
+    vec_expr = vec
     bits = [_plane_bit_expr(vec_expr, p) for p in planes]
     per_band = max(1, len(planes) // n_bands)
     bands = []
@@ -199,7 +208,7 @@ def lsh_band_hashes(vec: Column | str, planes: list[list[float]], n_bands: int) 
 
 
 # retained single-signature helper (ingest-time partitioning key)
-def lsh_signature(vec: Column | str, planes: list[list[float]]) -> Column:
+def lsh_signature(vec: str, planes: list[list[float]]) -> Column:
     """Sign-bit signature of ``vec`` against fixed hyperplanes, as an int."""
     return lsh_band_hashes(vec, planes, 1)[0]
 

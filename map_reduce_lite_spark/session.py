@@ -48,6 +48,12 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # Straggler race (F15): re-run slow tasks on free executors, first
+        # finisher wins — the built-in replacement for the reference's
+        # ~240-line handling_stragglers/straggler_vs_free_worker
+        # (mrl-coordinator/src/job_queue.rs:405-556, 608-695). A no-op on
+        # local[N] (single executor) but THE conf a cluster deploy needs.
+        .config("spark.speculation", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "24g"))
     )

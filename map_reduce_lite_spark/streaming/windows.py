@@ -64,18 +64,29 @@ def sliding_value_stream(stream: DataFrame, watermark: str = "2 hours") -> DataF
     )
 
 
-def run_stream_to_memory(df: DataFrame, name: str, timeout_sec: int = 120) -> None:
+def run_stream_to_memory(
+    df: DataFrame, name: str, timeout_sec: int = 120, output_mode: str = "complete"
+) -> None:
     """Drain a stream with availableNow into an in-memory table ``name``
-    (test/driver harness; complete mode suits the windowed aggregates)."""
+    (test/driver harness; complete mode suits the windowed aggregates).
+
+    Raises TimeoutError if the drain does not finish inside
+    ``timeout_sec`` — returning the partial memory table would silently
+    compare a truncated result against the oracle."""
     q = (
         df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(timeout_sec)
+    finished = q.awaitTermination(timeout_sec)
     q.stop()
+    if not finished:
+        raise TimeoutError(
+            f"stream drain {name!r} did not finish within {timeout_sec}s; "
+            "partial results discarded"
+        )
 
 
 # --------------------------------------------------------------------------
@@ -163,16 +174,35 @@ GROUP BY 1, 2
 
 
 def _stage_events(spark: SparkSession, sf_dir: str) -> str:
-    """Stage the nanos-timestamp events as µs parquet, once per sf_dir."""
+    """Stage the nanos-timestamp events as µs parquet, once per source
+    CONTENT: the cache key includes a fingerprint of the source file
+    sizes+mtimes, so regenerated data under the same path re-stages, and
+    the write goes to a unique temp dir atomically renamed into place so
+    concurrent runs can't interleave partial output."""
     import os
     import re
+    import shutil
+    import uuid
 
     from map_reduce_lite_spark.relational.tables import load_table
 
+    src = os.path.join(sf_dir, "events.parquet")
+    stats = []
+    if os.path.isdir(src):
+        for root, _, files in os.walk(src):
+            stats += [os.stat(os.path.join(root, f)) for f in sorted(files)]
+    else:
+        stats = [os.stat(src)]
+    fp = f"{sum(s.st_size for s in stats)}_{max(s.st_mtime_ns for s in stats)}"
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
-    staged = f"/tmp/mrl_stream_events_{tag}"
+    staged = f"/tmp/mrl_stream_events_{tag}_{fp}"
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
-        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(staged)
+        tmp = f"{staged}.tmp.{uuid.uuid4().hex[:8]}"
+        load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
+        try:
+            os.rename(tmp, staged)
+        except OSError:  # concurrent run won the rename race — use theirs
+            shutil.rmtree(tmp, ignore_errors=True)
     return staged
 
 
@@ -193,15 +223,7 @@ def streaming_purchase_view_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = purchase_view_join(p, v)
     _STREAM_RUN += 1
     name = f"mrl_stream_ssj_{_STREAM_RUN}"
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(120)
-    q.stop()
+    run_stream_to_memory(joined, name, output_mode="append")
     return spark.table(name)
 
 

@@ -120,6 +120,108 @@ def test_engine_jobs_status(spark, books_dir):
     assert eng.jobs()[0].workload == "wc"
 
 
+def test_register_custom_workload(spark, books_dir):
+    """The reference's registry contract (workload/src/lib.rs:31-55 +
+    common/src/lib.rs:29-50): a user brings their own map/reduce pair
+    and selects it by name at submit time. The fifth workload here is a
+    per-file vowel-frequency report whose reduce is arbitrary Python
+    over the grouped rows — applyInPandas, the full ReduceFn generality
+    (each group's rows arrive as one pandas frame, one result row per
+    group leaves)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.engine import register_workload
+
+    def vowel_report(spark, input_glob, **aux):
+        lines = (
+            spark.read.text(input_glob)
+            .withColumn("file", F.element_at(F.split(F.input_file_name(), "/"), -1))
+        )
+
+        # self-contained closure — pickles by value, so executors don't
+        # need the repo on sys.path (driver imports from arbitrary cwd)
+        def reduce_file(pdf: pd.DataFrame) -> pd.DataFrame:
+            text = "\n".join(pdf["value"]).lower()
+            n_vowels = sum(text.count(v) for v in "aeiou")
+            return pd.DataFrame(
+                {"value": [f"{pdf['file'].iloc[0]} vowels={n_vowels}"]}
+            )
+
+        return (
+            lines.groupBy("file")
+            .applyInPandas(reduce_file, schema="value string")
+        )
+
+    register_workload("vowel-report", vowel_report, replace=True)
+    eng = Engine(spark)
+    out = _lines(eng.submit("vowel-report", f"{books_dir}/*.txt"))
+    # p.txt: "The quick brown fox.\nJumps over the lazy dog!\nThe END?\n"
+    text_p = "the quick brown fox.\njumps over the lazy dog!\nthe end?"
+    want_p = sum(text_p.count(v) for v in "aeiou")
+    assert out[f"p.txt vowels={want_p}"] == 1
+    assert any(k.startswith("q.txt vowels=") for k in out)
+
+    with pytest.raises(ValueError):
+        register_workload("wc", vowel_report)  # collision needs replace=True
+
+
+def test_cli_submit_and_workloads(tmp_path, books_dir):
+    """CLI smoke (≈ standalone/src/main.rs:12-27 + mrl-ctl submit):
+    `python -m map_reduce_lite_spark submit` over a glob from the shell,
+    auxiliary args after `--`."""
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parents[1])
+    ls = subprocess.run(
+        [sys.executable, "-m", "map_reduce_lite_spark", "workloads"],
+        capture_output=True, text=True, cwd=repo, timeout=120,
+    )
+    assert ls.returncode == 0
+    assert "wc" in ls.stdout.split() and "grep" in ls.stdout.split()
+
+    out_dir = tmp_path / "out"
+    env = {"SPARK_GRAFT_CPUS": "4", "SPARK_GRAFT_DRIVER_MEM": "2g"}
+    import os
+
+    run = subprocess.run(
+        [
+            sys.executable, "-m", "map_reduce_lite_spark", "submit",
+            "-i", f"{books_dir}/*.txt", "-w", "grep", "-o", str(out_dir),
+            "--", "--term", "the",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+        env={**os.environ, **env},
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "Completed" in run.stdout
+    parts = list(out_dir.glob("part-*"))
+    assert parts, list(out_dir.iterdir())
+    body = "".join(p.read_text() for p in parts)
+    assert ":: " in body and "the" in body.lower()
+
+
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches lineage truncation to reliable
+    checkpoint() — survives executor loss on a real cluster."""
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src long, dst long"
+    )
+    ckdir = tmp_path / "ck"
+    got = {
+        (r["node"], r["component"])
+        for r in connected_components(
+            edges, checkpoint_every=1, checkpoint_dir=str(ckdir)
+        ).collect()
+    }
+    assert got == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10), (20, 20)}
+    assert any(ckdir.rglob("*")), "reliable checkpoint dir must be written"
+
+
 def test_resize_stub_deterministic(spark):
     """Resize plumbing: schema, bounds, determinism across runs."""
     from map_reduce_lite_spark.ops.multimodal import resize_image_stub, synthesize_media
