@@ -35,10 +35,20 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
-# MinHash parameters (bands × rows-per-band = num hashes)
+# MinHash parameters (bands × rows-per-band = num hashes). The module
+# defaults are the DEMO configuration pinned by the DuckDB oracle —
+# cheap enough to replay in SQL (32 MIN aggregates), candidate recall at
+# J=0.5 only ~0.42. Production corpora should pass the PROD_* values
+# (k=128, 16 bands × 8 rows: recall 1-(1-J^8)^16 ≈ 0.95 at J=0.8,
+# ≈ 0.9997 at J=0.9, while keeping the false-positive knee near the
+# (1/16)^(1/8) ≈ 0.71 threshold) — recall is property-tested at the
+# production setting in tests/test_dedup.py.
 MINHASH_BANDS = 8
 MINHASH_ROWS = 4
 NUM_MINHASHES = MINHASH_BANDS * MINHASH_ROWS
+
+PROD_MINHASH_BANDS = 16
+PROD_MINHASH_ROWS = 8
 
 SHINGLE_SIZE = 3
 JACCARD_THRESHOLD = 0.5
@@ -218,8 +228,17 @@ WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.5
 # Mersenne prime field for the permutation family h_i = (a_i*h + b_i) mod P.
 # P < 2^31 keeps a_i*h < 2^62 — no int64 overflow in either engine.
 MINHASH_P = 2147483647
-_A = [(i * 2654435761 + 1) % MINHASH_P for i in range(1, NUM_MINHASHES + 1)]
-_B = [(i * 40503 + 7) % MINHASH_P for i in range(1, NUM_MINHASHES + 1)]
+
+
+def _coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Deterministic (a_i, b_i) permutation coefficients for any k —
+    Knuth multiplicative constants, reproducible in plain SQL."""
+    a = [(i * 2654435761 + 1) % MINHASH_P for i in range(1, num_hashes + 1)]
+    b = [(i * 40503 + 7) % MINHASH_P for i in range(1, num_hashes + 1)]
+    return a, b
+
+
+_A, _B = _coeffs(NUM_MINHASHES)
 
 
 def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFrame:
@@ -229,38 +248,49 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFr
     arithmetic evaluated as k parallel MIN aggregates (map-side partial
     agg), so shuffle volume is docs × k longs and there is no row
     explosion at all — the design that survives a 100 TB corpus."""
+    ca, cb = _coeffs(num_hashes)
     hashed = sh.select(
         "doc", (md5_60bit(F.col("shingle")) % MINHASH_P).alias("h")
     )
     mins = [
-        F.min((F.col("h") * _A[i] + _B[i]) % MINHASH_P).alias(f"m{i}")
+        F.min((F.col("h") * ca[i] + cb[i]) % MINHASH_P).alias(f"m{i}")
         for i in range(num_hashes)
     ]
     return hashed.groupBy("doc").agg(*mins)
 
 
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH candidate pairs: equal band signature in ≥ 1 of 8 bands (4 rows
-    each). Output is the distinct candidate pair set — the verify pass
-    (exact Jaccard on candidates only) is dedup_ngram_jaccard restricted
-    to these pairs."""
-    d = load_table(spark, sf_dir, "documents")
-    sigs = minhash_signatures(shingles(d))
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """LSH candidate pairs: equal band signature in ≥ 1 of ``bands``
+    bands of ``rows`` min-hashes each (k = bands × rows total hashes).
+
+    Candidate probability for a pair with Jaccard J is 1-(1-J^rows)^bands
+    — pick (bands, rows) for the corpus: the module default (8×4) is the
+    cheap oracle-replayable demo; PROD_MINHASH_BANDS × PROD_MINHASH_ROWS
+    (16×8) is the production setting with recall ≥ 0.9 at J ≥ 0.8
+    (property-tested). Only band-signature equi-joins — candidate work is
+    quadratic only within a colliding bucket, never corpus-wide."""
+    sigs = minhash_signatures(shingles(docs, id_col, text_col), bands * rows)
     band_structs = F.array(
         *[
             F.struct(
                 F.lit(b).alias("band"),
                 F.concat_ws(
-                    ",", *[F.col(f"m{b * MINHASH_ROWS + r}") for r in range(MINHASH_ROWS)]
+                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
                 ).alias("sig"),
             )
-            for b in range(MINHASH_BANDS)
+            for b in range(bands)
         ]
     )
-    bands = sigs.select("doc", F.explode(band_structs).alias("bs")).select(
+    banded = sigs.select("doc", F.explode(band_structs).alias("bs")).select(
         "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
     )
-    a, b = bands.alias("a"), bands.alias("b")
+    a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
         (F.col("a.band") == F.col("b.band"))
@@ -268,6 +298,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         & (F.col("a.doc") < F.col("b.doc")),
     ).select(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
     return pairs.distinct()
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at the oracle-pinned demo setting (8 bands ×
+    4 rows). Output is the distinct candidate pair set — the verify pass
+    (exact Jaccard on candidates only) is dedup_ngram_jaccard restricted
+    to these pairs."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d)
 
 
 def _minhash_sql() -> str:

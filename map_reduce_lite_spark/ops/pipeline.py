@@ -1,0 +1,192 @@
+"""End-to-end training-data curation pipeline — the composition the
+individual operators exist FOR.
+
+A pretraining ingest runs, in order: quality filtering → language
+filtering → near-duplicate removal, then reports the survival funnel
+per source. This module chains the engine's own operators (quality
+features from ops/text.py semantics, stopword language ID, n-gram
+Jaccard near-dup pairs from ops/dedup.py with its document-frequency
+cap) into ONE DataFrame plan, proving the pieces compose without
+materialization barriers.
+
+Scale shape: stage 1+2 are a single codegen'd scan projection (no
+shuffle); stage 3 shuffles only the SURVIVORS' shingles (filter first,
+dedup second — at 100 TB the quality+lang gate typically drops half the
+corpus before the expensive stage); the funnel aggregation is one
+map-side-combined groupBy over per-doc flags. No collect, no Python.
+
+The reference has nothing like this (it is the driver-mandated
+extension surface), but the shape mirrors how its users would chain
+jobs: workload_test.sh:24-29 pipes matrix-multiply phase 1 output into
+phase 2 — here the chaining is one Catalyst plan instead of two jobs
+over S3 files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from map_reduce_lite_spark.ops.dedup import SHINGLE_DF_CAP, ngram_jaccard_pairs
+from map_reduce_lite_spark.ops.text import STOPWORDS, _sql_stopword_hits, _stopword_hits
+from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.relational.tables import load_table
+
+# Stage-1 quality gate: enough tokens to be trainable text, mean token
+# length in the plausible-natural-language band (garbage/binary text
+# skews long). Exact-integer division → bit-identical across engines.
+MIN_TOKENS = 20
+MAX_MEAN_TOKEN_LEN = 8.0
+
+# Stage-3 near-dup gate (matches ops/dedup.py defaults)
+PIPELINE_JACCARD = 0.5
+
+
+def pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival funnel of the 3-stage curation pipeline:
+    (source, n_total, n_quality, n_lang, n_kept, kept_tokens).
+
+    - n_quality: docs passing the token-count / mean-token-length gate.
+    - n_lang:    of those, docs whose stopword-argmax language is 'en'
+                 (ties break in STOPWORDS order, no hits → 'und').
+    - n_kept:    of those, docs surviving near-dup removal — a doc is
+                 dropped iff it is the HIGHER id of a surviving pair
+                 with word-3-shingle Jaccard ≥ 0.5 (keep-lowest rule;
+                 pair finding uses the DF-capped inverted index, so no
+                 posting-list blowup at scale).
+    - kept_tokens: whitespace tokens the surviving docs contribute.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_chars = F.length("text").cast("long")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    mean_tok_len = (n_chars - n_tokens + 1) / n_tokens
+    hits = {lang: _stopword_hits(F.col("text"), ws) for lang, ws in STOPWORDS.items()}
+    flagged = d.select(
+        "doc_id",
+        "source",
+        "text",
+        n_tokens.alias("n_tokens"),
+        ((n_tokens >= MIN_TOKENS) & (mean_tok_len <= MAX_MEAN_TOKEN_LEN)).alias("q_ok"),
+        *[h.alias(f"hits_{l}") for l, h in hits.items()],
+    )
+    best = F.greatest(*[F.col(f"hits_{l}") for l in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in STOPWORDS:
+        pred = pred.when(F.col(f"hits_{l}") == best, F.lit(l))
+    flagged = flagged.withColumn("l_ok", F.col("q_ok") & (pred == "en"))
+
+    survivors = flagged.filter("l_ok").select("doc_id", "source", "text", "n_tokens")
+    pairs = ngram_jaccard_pairs(
+        survivors, threshold=PIPELINE_JACCARD, df_cap=SHINGLE_DF_CAP
+    )
+    drops = pairs.select(F.col("doc2").alias("doc_id")).distinct()
+    kept = survivors.join(drops, "doc_id", "left_anti")
+
+    funnel = flagged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_total"),
+        F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+        F.sum(F.col("l_ok").cast("long")).alias("n_lang"),
+    )
+    kept_stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("n_tokens").alias("kept_tokens"),
+    )
+    return funnel.join(kept_stats, "source", "left").select(
+        "source",
+        "n_total",
+        "n_quality",
+        "n_lang",
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).cast("long").alias("kept_tokens"),
+    )
+
+
+def _curation_sql() -> str:
+    langs = list(STOPWORDS)
+    hit_cols = ",\n         ".join(
+        f"{_sql_stopword_hits('text', ws)} AS hits_{l}" for l, ws in STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return rf"""
+WITH feats AS (
+  SELECT doc_id, source, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {hit_cols}
+  FROM documents
+), flagged AS (
+  SELECT doc_id, source, text, n_tokens,
+         (n_tokens >= {MIN_TOKENS}
+          AND (n_chars - n_tokens + 1) / n_tokens <= {MAX_MEAN_TOKEN_LEN}) AS q_ok,
+         {pred} AS pred
+  FROM feats
+), cur AS (
+  SELECT doc_id, source, text, n_tokens FROM flagged WHERE q_ok AND pred = 'en'
+), tok_lists AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks FROM cur
+), toks AS (
+  SELECT doc, token, pos FROM (
+    SELECT doc, unnest(toks) AS token,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM tok_lists
+  ) WHERE token <> ''
+), sh AS (
+  SELECT DISTINCT doc,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+  FROM toks
+  WINDOW w AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL
+), sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), capped AS (
+  SELECT sh.doc, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) keep
+    ON keep.shingle = sh.shingle
+), inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes s1 ON s1.doc = doc1
+  JOIN sizes s2 ON s2.doc = doc2
+  WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= {PIPELINE_JACCARD}
+), drops AS (
+  SELECT DISTINCT doc2 AS doc_id FROM pairs
+), kept AS (
+  SELECT c.source, c.n_tokens FROM cur c
+  LEFT JOIN drops dr ON dr.doc_id = c.doc_id
+  WHERE dr.doc_id IS NULL
+), funnel AS (
+  SELECT source, COUNT(*) AS n_total,
+         SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n_quality,
+         SUM(CASE WHEN q_ok AND pred = 'en' THEN 1 ELSE 0 END) AS n_lang
+  FROM flagged GROUP BY source
+), kept_stats AS (
+  SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens
+  FROM kept GROUP BY source
+)
+SELECT f.source, f.n_total, f.n_quality, f.n_lang,
+       CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept,
+       CAST(COALESCE(k.kept_tokens, 0) AS BIGINT) AS kept_tokens
+FROM funnel f LEFT JOIN kept_stats k ON k.source = f.source
+"""
+
+
+PRETRAIN_CURATION_SQL = _curation_sql()
+
+
+PIPELINE_QUERIES: dict[str, Query] = {
+    "pipeline_pretrain_curation": Query(
+        "pipeline_pretrain_curation",
+        pretrain_curation,
+        PRETRAIN_CURATION_SQL,
+        "quality → language → near-dup curation funnel per source",
+    ),
+}

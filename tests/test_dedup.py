@@ -81,6 +81,31 @@ def test_minhash_lsh_recall(spark, monkeypatch, tmp_path):
     assert recall >= 0.8, (recall, len(truth), len(cands))
 
 
+def test_minhash_lsh_production_recall(spark):
+    """The PRODUCTION parameterization (16 bands × 8 rows, k=128) must
+    reach recall ≥ 0.9 on pairs with true Jaccard ≥ 0.8 — the contract
+    the demo (oracle-pinned 8×4) config explicitly does not make.
+    Planted near-dups here sit at J ≈ 0.9, where 1-(1-0.9^8)^16 ≈ 0.9999
+    per pair; the 0.9 assertion leaves margin for hash-family variance."""
+    from map_reduce_lite_spark.ops.dedup import (
+        PROD_MINHASH_BANDS,
+        PROD_MINHASH_ROWS,
+        minhash_lsh_pairs,
+    )
+
+    docs, planted = _make_corpus(spark)
+    truth = _brute_force_pairs(spark, docs, 0.8)
+    assert len(truth) >= 8, truth  # planted dups sit above J=0.8
+    cands = {
+        (r["doc1"], r["doc2"])
+        for r in minhash_lsh_pairs(
+            docs, bands=PROD_MINHASH_BANDS, rows=PROD_MINHASH_ROWS
+        ).collect()
+    }
+    recall = len(cands & truth) / len(truth)
+    assert recall >= 0.9, (recall, sorted(truth - cands))
+
+
 def test_minhash_signature_similarity_estimate(spark):
     """Matching minhash fraction ≈ jaccard for a known pair."""
     docs = spark.createDataFrame(
@@ -179,3 +204,18 @@ def test_embedding_near_dup_exact_vs_lsh_recall(spark):
     assert len(lsh) / len(exact) >= 0.5, (len(lsh), len(exact))
     for k in lsh:
         assert lsh[k] == exact[k]
+
+
+def test_pipeline_curation_every_stage_active(spark):
+    """The 3-stage curation funnel must actually filter at EVERY stage
+    on the test corpus — a stage that passes everything through is
+    silently vacuous (the oracle would still match)."""
+    from map_reduce_lite_spark.ops.pipeline import pretrain_curation
+
+    rows = pretrain_curation(spark, SF_SMALL).collect()
+    tot = {
+        c: sum(r[c] for r in rows)
+        for c in ["n_total", "n_quality", "n_lang", "n_kept", "kept_tokens"]
+    }
+    assert tot["n_total"] > tot["n_quality"] > tot["n_lang"] > tot["n_kept"] > 0, tot
+    assert tot["kept_tokens"] > 0
