@@ -33,13 +33,26 @@ _OUTPUT_SCHEMA = T.StructType(
 )
 
 
-def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    watermark: str = "1 hour",
+    timeout: str = "processing",
+) -> DataFrame:
     """Streaming sessionization: one state row per user, sessions emitted
     as they update (closed=True when finalized by gap/timeout).
+
+    ``timeout="processing"`` (production default) evicts idle users via
+    ProcessingTimeTimeout — required on an unbounded stream, but it makes
+    an ``availableNow`` drain spin "cleaning up state" batches until the
+    30-minute timer fires. ``timeout="none"`` disables eviction so a
+    finite drain terminates after the data batches — the mode the
+    driver/oracle harness uses (state boundedness doesn't matter for a
+    finite replay).
 
     The state function is a self-contained closure so cloudpickle ships
     it by value (executor workers lack the engine package on sys.path)."""
     gap_ms = SESSION_GAP_MS
+    use_timeout = timeout == "processing"
 
     def update_sessions(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -68,7 +81,8 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
                 last_ms = t
                 n += 1
             state.update((start_ms, last_ms, n))
-            state.setTimeoutDuration(gap_ms)
+            if use_timeout:
+                state.setTimeoutDuration(gap_ms)
             rows.append((user_id, start_ms, last_ms, n, False))
         yield _pd.DataFrame(
             rows, columns=["user_id", "start_ms", "end_ms", "n_events", "closed"]
@@ -82,6 +96,10 @@ def sessionize_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame
             outputStructType=_OUTPUT_SCHEMA,
             stateStructType=_STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )

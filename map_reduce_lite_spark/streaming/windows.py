@@ -237,6 +237,121 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom STATEFUL streaming operator under the value oracle:
+    ``applyInPandasWithState`` sessionization (streaming/sessions.py)
+    drained with availableNow in a single batch.
+
+    Single-batch draining makes the emission deterministic: every
+    finished session per user is emitted closed=TRUE and the still-open
+    trailing session closed=FALSE, which is exactly the batch
+    gaps-and-islands sessionization (relational SESSIONIZE_SQL) plus a
+    "was it the last session" flag — so even this non-SQL operator gets
+    a full DuckDB hash oracle. Tie order within a timestamp doesn't
+    affect session membership (ties have gap 0), so the ms-granularity
+    result is engine-order independent."""
+    global _STREAM_RUN
+    from map_reduce_lite_spark.streaming.sessions import sessionize_stream
+
+    staged = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
+    _STREAM_RUN += 1
+    name = f"mrl_stream_sess_{_STREAM_RUN}"
+    run_stream_to_memory(
+        sessionize_stream(stream, timeout="none"), name, output_mode="append"
+    )
+    return spark.table(name).select(
+        "user_id", "start_ms", "end_ms", "n_events", "closed"
+    )
+
+
+STREAMING_SESSIONIZE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM flagged
+), sess AS (
+  SELECT user_id, session_id,
+         MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
+         COUNT(*) AS n_events
+  FROM numbered GROUP BY 1, 2
+)
+SELECT user_id, start_ms, end_ms, n_events,
+       session_id <> MAX(session_id) OVER (PARTITION BY user_id) AS closed
+FROM sess
+"""
+
+
+def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on
+    (user_id, event_type): first arrival per key wins, later duplicates
+    within the watermark horizon are dropped, old key state is evicted —
+    the bounded-state form every ingest stream needs (plain
+    dropDuplicates grows state forever).
+
+    Only the KEY columns are returned: which physical row wins a
+    within-batch race is not deterministic, but the surviving key set
+    is — and it is exactly SELECT DISTINCT, giving the stateful operator
+    a hash oracle."""
+    global _STREAM_RUN
+    from map_reduce_lite_spark.streaming.dedup import dedup_stream
+
+    staged = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged)
+    kept = dedup_stream(stream, ["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_dedup_{_STREAM_RUN}"
+    run_stream_to_memory(kept, name, output_mode="append")
+    return spark.table(name)
+
+
+STREAMING_DEDUP_SQL = """
+SELECT DISTINCT user_id, event_type FROM events
+"""
+
+
+def streaming_enrich_purchases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment: the purchase stream left-joined per
+    micro-batch against the (broadcast) customer dimension — zero
+    stream-side state; events.user_id ⊆ customer.c_custkey in the test
+    data so the oracle is a plain join."""
+    global _STREAM_RUN
+    from map_reduce_lite_spark.relational.tables import load_table
+    from map_reduce_lite_spark.streaming.dedup import enrich_stream
+
+    staged = _stage_events(spark, sf_dir)
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(staged).filter(
+        F.col("event_type") == "purchase"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_name", "c_mktsegment"
+    )
+    enriched = enrich_stream(stream, dim, ["user_id"]).select(
+        "event_id", "user_id", "c_name", "c_mktsegment", "value"
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_enrich_{_STREAM_RUN}"
+    run_stream_to_memory(enriched, name, output_mode="append")
+    return spark.table(name)
+
+
+STREAMING_ENRICH_SQL = """
+SELECT e.event_id, e.user_id, c.c_name, c.c_mktsegment, e.value
+FROM events e LEFT JOIN customer c ON c.c_custkey = e.user_id
+WHERE e.event_type = 'purchase'
+"""
+
+
 def _streaming_queries():
     from map_reduce_lite_spark.registry import Query
     from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
@@ -259,6 +374,24 @@ def _streaming_queries():
             streaming_purchase_view_join,
             PURCHASE_VIEW_JOIN_SQL,
             "stream-stream time-range join == batch SQL oracle",
+        ),
+        "streaming_sessionize": Query(
+            "streaming_sessionize",
+            streaming_sessionize,
+            STREAMING_SESSIONIZE_SQL,
+            "applyInPandasWithState sessions == gaps-and-islands oracle",
+        ),
+        "streaming_dedup_events": Query(
+            "streaming_dedup_events",
+            streaming_dedup_events,
+            STREAMING_DEDUP_SQL,
+            "dropDuplicatesWithinWatermark key set == DISTINCT oracle",
+        ),
+        "streaming_enrich_purchases": Query(
+            "streaming_enrich_purchases",
+            streaming_enrich_purchases,
+            STREAMING_ENRICH_SQL,
+            "stream-static broadcast enrichment == batch join oracle",
         ),
     }
 
