@@ -20,10 +20,12 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 from map_reduce_lite_spark.parity import PARITY_QUERIES
 from map_reduce_lite_spark.relational.queries import RELATIONAL_QUERIES
 from map_reduce_lite_spark.relational.queries2 import RELATIONAL_QUERIES_2
+from map_reduce_lite_spark.relational.queries3 import RELATIONAL_QUERIES_3
 from map_reduce_lite_spark.streaming.windows import STREAMING_QUERIES
 from map_reduce_lite_spark.ops import (
     DEDUP_QUERIES,
     MULTIMODAL_QUERIES,
+    PIPELINE_QUERIES,
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
 )
@@ -45,6 +47,7 @@ _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
 ALL_QUERIES = {
     **PARITY_QUERIES,
+    **PIPELINE_QUERIES,
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXT_QUERIES,
@@ -52,6 +55,7 @@ ALL_QUERIES = {
     **STREAMING_QUERIES,
     **GRAPH_QUERIES,
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
+    **RELATIONAL_QUERIES_3,   # new this round — needs first driver pass
     **_REAR,
 }
 

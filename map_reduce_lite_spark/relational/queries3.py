@@ -1,0 +1,459 @@
+"""Third tranche of the relational library — the remaining canonical
+TPC-H shapes, adapted to the synthetic star schema (which has no
+partsupp table; lineitem serves as the part↔supplier relation, and
+l_extendedprice / l_quantity as the unit-cost surrogate).
+
+Covered here: Q2 (correlated min subquery), Q8 (market share ratio by
+year), Q9 (profit by nation and year), Q11 (group value vs global
+scalar HAVING), Q13 (outer-join count distribution), Q15 (view/CTE +
+max-equality scalar), Q16 (count-distinct with NOT-IN exclusion),
+Q20 (nested semi-join chain), Q21 (EXISTS + NOT EXISTS multi-self-join).
+
+Same determinism contract as queries.py (registry.py module doc): sums
+through decimal, ratios as one division of identical doubles, no libm
+divergence. Scale notes inline per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from map_reduce_lite_spark.registry import Query, dsum, sql_dsum
+from map_reduce_lite_spark.relational.tables import load_table
+
+
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for each qualifying part, the supplier(s) whose
+    unit cost equals that part's MINIMUM unit cost — the correlated
+    scalar subquery pattern (= MIN over the same group, ties kept).
+
+    Scale: unit costs aggregate lineitem once on (partkey, suppkey);
+    the per-part minimum reuses that shuffle's output partitioning
+    (child groupBy on a prefix key), and the equality join back is
+    broadcast-friendly because the min side is one row per part."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation")
+    # unit cost: division of the same two doubles in both engines, then
+    # MIN — bit-identical without any decimal detour
+    costs = l.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
+    )
+    min_cost = costs.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
+    return (
+        costs.join(min_cost, "l_partkey")
+        .filter(F.col("supply_cost") == F.col("min_cost"))
+        .join(p, F.col("l_partkey") == p.p_partkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .select(
+            "p_partkey",
+            "p_name",
+            F.col("s_name").alias("supplier"),
+            F.col("n_name").alias("supp_nation"),
+            "supply_cost",
+        )
+    )
+
+
+Q2_SQL = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         MIN(l_extendedprice / l_quantity) AS supply_cost
+  FROM lineitem GROUP BY 1, 2
+)
+SELECT p_partkey, p_name, s_name AS supplier, n_name AS supp_nation, supply_cost
+FROM costs
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_type = 'SMALL' AND p_size <= 10
+  AND supply_cost = (SELECT MIN(c2.supply_cost) FROM costs c2
+                     WHERE c2.l_partkey = costs.l_partkey)
+"""
+
+
+def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape: NATION_5 suppliers' share of STANDARD-part order
+    volume delivered into ASIA, by order year. The share is one double
+    division of two decimal-exact sums.
+
+    Scale: one fact-fact shuffle (lineitem⋈orders on orderkey); all
+    four dims broadcast; the share aggregation is two parallel
+    conditional SUMs in a single pass."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1999-01-01").cast("timestamp"))
+    )
+    c = load_table(spark, sf_dir, "customer")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_type") == "STANDARD")
+    n_c = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("c_rkey")
+    )
+    r = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    n_s = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    nat_vol = F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(F.lit(0.0))
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            (dsum(nat_vol, 6) / dsum(vol, 6)).alias("mkt_share"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+Q8_SQL = f"""
+SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum("CASE WHEN n2.n_name = 'NATION_5' THEN l_extendedprice * (1 - l_discount) ELSE 0.0::DOUBLE END", 6)}
+       / {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS mkt_share,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON c_nationkey = n1.n_nationkey
+JOIN region   ON n1.n_regionkey = r_regionkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1999-01-01'
+GROUP BY 1
+"""
+
+
+def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape: profit on widget parts by supplier nation and
+    order year. With no partsupp table, cost is surrogated as
+    10% of retail price × quantity (same arithmetic both engines:
+    left-associated double product with a DOUBLE literal).
+
+    Scale: lineitem⋈orders is the one big shuffle; part/supplier/nation
+    broadcast; profit folds to decimal inside the agg."""
+    l = load_table(spark, sf_dir, "lineitem")
+    o = load_table(spark, sf_dir, "orders")
+    s = load_table(spark, sf_dir, "supplier")
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("widget"))
+    n = load_table(spark, sf_dir, "nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.col("l_quantity") * F.lit(0.1)
+    return (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("int").alias("o_year"),
+        )
+        .agg(dsum(profit, 6).alias("sum_profit"), F.count(F.lit(1)).alias("n_items"))
+    )
+
+
+Q9_SQL = f"""
+SELECT n_name AS nation, CAST(year(o_orderdate) AS INT) AS o_year,
+       {sql_dsum("l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity * 0.1::DOUBLE", 6)} AS sum_profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN part     ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%widget%'
+GROUP BY 1, 2
+"""
+
+
+Q11_FRACTION = 0.002
+
+
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: parts whose shipped value from NATION_13
+    suppliers exceeds a fraction of that nation's total shipped value —
+    per-group aggregate HAVING against a global scalar subquery.
+
+    Scale: the global total is a second aggregation over the SAME
+    grouped result (no second scan), broadcast as one row; the filter
+    is then map-side. Both operands of the comparison are
+    decimal-exact sums cast to double."""
+    l = load_table(spark, sf_dir, "lineitem")
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
+    scoped = (
+        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
+    )
+    per_part = scoped.groupBy("l_partkey").agg(
+        dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias("value")
+    )
+    total = per_part.agg(F.sum(F.col("value").cast("decimal(28,4)")).cast("double").alias("total"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") > F.col("total") * F.lit(Q11_FRACTION))
+        .select(F.col("l_partkey").alias("p_partkey"), "value")
+    )
+
+
+Q11_SQL = f"""
+WITH per_part AS (
+  SELECT l_partkey, {sql_dsum('l_extendedprice * l_quantity', 4)} AS value
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_13'
+  GROUP BY 1
+)
+SELECT l_partkey AS p_partkey, value
+FROM per_part
+WHERE value > (SELECT CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE)
+               FROM per_part) * {Q11_FRACTION}::DOUBLE
+"""
+
+
+def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape: distribution of customers by order count
+    (urgent orders excluded INSIDE the outer join, so order-less
+    customers still appear with c_count = 0).
+
+    Scale: customer⋈orders shuffles on custkey once; the distribution
+    re-agg is tiny (≤ max order count rows)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    counts = (
+        c.join(o, c.c_custkey == o.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return counts.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+"""
+
+
+def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape: quarterly revenue per supplier as a CTE ("the
+    view"), then the supplier(s) whose revenue EQUALS the maximum —
+    scalar-subquery equality on a decimal-exact double, ties kept.
+
+    Scale: revenue aggregates lineitem once on suppkey; the max is one
+    broadcast row; supplier dim broadcasts."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    revenue = l.groupBy("l_suppkey").agg(
+        dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
+            "total_revenue"
+        )
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
+    return (
+        revenue.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_revenue") == F.col("max_revenue"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .select(F.col("s_suppkey"), "s_name", "total_revenue")
+    )
+
+
+Q15_SQL = f"""
+WITH revenue AS (
+  SELECT l_suppkey,
+         {sql_dsum('l_extendedprice * (1 - l_discount)', 6)} AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+"""
+
+
+def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
+    over filtered parts, EXCLUDING low-balance suppliers via NOT IN.
+
+    Scale: the excluded-supplier set is tiny → broadcast anti join;
+    the distinct count shuffles (brand, type, size, suppkey) once."""
+    l = load_table(spark, sf_dir, "lineitem")
+    p = load_table(spark, sf_dir, "part").filter(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & (F.col("p_size").isin(1, 5, 10, 15, 20, 25, 30, 35))
+    )
+    bad = load_table(spark, sf_dir, "supplier").filter(
+        F.col("s_acctbal") < 1000.0
+    ).select(F.col("s_suppkey").alias("bad_key"))
+    return (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), l.l_suppkey == F.col("bad_key"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+  AND p_size IN (1, 5, 10, 15, 20, 25, 30, 35)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY 1, 2, 3
+"""
+
+
+Q20_QTY_THRESHOLD = 30
+
+
+def q20_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers qualified by a nested aggregate —
+    those who shipped more than a threshold quantity of bolt parts in
+    1997. Semi-join chain: part filter → grouped HAVING → IN.
+
+    Scale: the inner aggregate shuffles only bolt lineitems on suppkey;
+    the qualifying key set is small → broadcast LEFT SEMI."""
+    l = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    p = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("bolt"))
+    s = load_table(spark, sf_dir, "supplier")
+    qualified = (
+        l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
+        .groupBy("l_suppkey")
+        .agg(dsum(F.col("l_quantity"), 2).alias("bolt_qty"))
+        .filter(F.col("bolt_qty") > Q20_QTY_THRESHOLD)
+    )
+    return (
+        s.join(qualified, s.s_suppkey == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+
+
+Q20_SQL = f"""
+SELECT s_suppkey, s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE '%bolt%'
+    AND l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1998-01-01'
+  GROUP BY l_suppkey
+  HAVING {sql_dsum('l_quantity', 2)} > {Q20_QTY_THRESHOLD}
+)
+"""
+
+
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape: in each finalized ('F') multi-supplier order,
+    blame the supplier(s) whose item shipped STRICTLY LAST — EXISTS
+    (another supplier participated) + NOT EXISTS (anyone shipped later)
+    as one semi- and one anti-join over lineitem self-joins.
+
+    (The original predicate uses receiptdate > commitdate, columns the
+    synthetic schema lacks; ship-last is the same three-way self-join
+    shape.) Top 20 by wait count with name tiebreak.
+
+    Scale: both self-joins are equi on orderkey with a residual
+    predicate — hash joins, no cartesian; orders/supplier broadcast."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    s = load_table(spark, sf_dir, "supplier")
+    l1 = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+    )
+    l2 = l1.select(
+        F.col("l_orderkey").alias("k2"), F.col("l_suppkey").alias("s2")
+    )
+    l3 = l1.select(
+        F.col("l_orderkey").alias("k3"),
+        F.col("l_suppkey").alias("s3"),
+        F.col("l_shipdate").alias("ship3"),
+    )
+    waiting = (
+        l1.join(
+            l2,
+            (F.col("l_orderkey") == F.col("k2")) & (F.col("l_suppkey") != F.col("s2")),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("l_orderkey") == F.col("k3"))
+            & (F.col("l_suppkey") != F.col("s3"))
+            & (F.col("ship3") > F.col("l_shipdate")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.countDistinct("l_orderkey").alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("s_name"))
+        .limit(20)
+    )
+
+
+Q21_SQL = """
+SELECT s_name, COUNT(DISTINCT l1.l_orderkey) AS numwait
+FROM lineitem l1
+JOIN orders   ON l1.l_orderkey = o_orderkey
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE o_orderstatus = 'F'
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > l1.l_shipdate)
+GROUP BY s_name
+ORDER BY numwait DESC, s_name ASC
+LIMIT 20
+"""
+
+
+RELATIONAL_QUERIES_3: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query("q2_min_cost_supplier", q2_min_cost_supplier, Q2_SQL, "correlated min subquery (Q2)"),
+        Query("q8_market_share", q8_market_share, Q8_SQL, "volume share ratio by year (Q8)"),
+        Query("q9_product_profit", q9_product_profit, Q9_SQL, "profit by nation and year (Q9)"),
+        Query("q11_important_parts", q11_important_parts, Q11_SQL, "group value vs global scalar (Q11)"),
+        Query("q13_customer_distribution", q13_customer_distribution, Q13_SQL, "outer-join count histogram (Q13)"),
+        Query("q15_top_supplier", q15_top_supplier, Q15_SQL, "CTE view + max-equality scalar (Q15)"),
+        Query("q16_supplier_count", q16_supplier_count, Q16_SQL, "count-distinct with NOT IN (Q16)"),
+        Query("q20_bolt_suppliers", q20_bolt_suppliers, Q20_SQL, "nested-aggregate semi join (Q20)"),
+        Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL, "EXISTS + NOT EXISTS self-joins (Q21)"),
+    ]
+}
