@@ -50,6 +50,11 @@ BENCH_QUERIES = [
     "funnel_sessions",
     "pagerank_supplier_part",
     "streaming_events_hourly",
+    # added in round 2
+    "pipeline_pretrain_curation",
+    "q9_product_profit",
+    "q21_waiting_suppliers",
+    "streaming_sessionize",
 ]
 
 
