@@ -23,6 +23,7 @@ from map_reduce_lite_spark.relational.queries2 import RELATIONAL_QUERIES_2
 from map_reduce_lite_spark.relational.queries3 import RELATIONAL_QUERIES_3
 from map_reduce_lite_spark.streaming.windows import STREAMING_QUERIES
 from map_reduce_lite_spark.ops import (
+    CURATION_QUERIES,
     DEDUP_QUERIES,
     MULTIMODAL_QUERIES,
     PIPELINE_QUERIES,
@@ -48,6 +49,7 @@ _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 ALL_QUERIES = {
     **PARITY_QUERIES,
     **PIPELINE_QUERIES,
+    **CURATION_QUERIES,   # new this round — needs first driver pass
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
     **TEXT_QUERIES,

@@ -1,0 +1,474 @@
+"""Training-data curation operators beyond dedup: PII redaction,
+benchmark-contamination checks, repetition filtering, deterministic
+train/val/test splits, mixture sampling, and sequence packing.
+
+These are the remaining first-class pieces of a pretraining ingest
+(alongside ops/dedup.py, ops/text.py, ops/pipeline.py). The reference
+has no analog (driver-mandated extension surface); every operator here
+is a single declarative DataFrame plan with a DuckDB oracle twin.
+
+Scale shapes, per operator:
+- pii_redact: pure per-row projection (regexp_replace/regexp_count in
+  whole-stage codegen) + one map-side-combined groupBy. No joins.
+- contamination: the benchmark n-gram set is tiny relative to the
+  corpus (holdout docs only) — it is explicitly broadcast, so the
+  corpus-side shingle stream never shuffles for the join; the per-doc
+  hit count is a map-side-combined groupBy on doc id.
+- repetition_filter: per-doc bigram counts — one shuffle keyed by doc
+  (pre-aligned by _tokens' repartition), then a window-free two-level
+  agg. No corpus self-join anywhere.
+- train_split / mixture_plan: stateless per-row hash routing (portable
+  md5 — identical on any engine, any cluster size, any partitioning,
+  unlike rand(seed) which is partition-dependent) + one groupBy.
+- sequence_packing: cumulative token sums within (source) partitions —
+  one window sort per source partition, closed-form bin math, no
+  iteration. At 100 TB, sources are the natural pack-within unit; a
+  global pack would serialize on one partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.ops.dedup import shingles
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.relational.tables import load_table
+
+# --------------------------------------------------------------------------
+# PII redaction
+# --------------------------------------------------------------------------
+
+# Regex subset chosen to mean the same thing in Java regex (Spark) and
+# RE2 (DuckDB): no backrefs, no lookaround. Pluggable in production —
+# these two are the canonical email/phone demo pair.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+1-555-[0-9]{4}"
+_CHECKSUM_MOD = 1000003  # keep the per-source checksum sum far from BIGINT overflow
+
+
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mask emails then phone numbers; per-source redaction audit.
+
+    The synthetic corpus contains no natural PII (verified: zero digits
+    or '@' in any document), so the query first appends a DETERMINISTIC
+    contact footer derived from doc_id — the fixture makes the masking
+    measurably non-vacuous while keeping the operator itself (the regex
+    mask + audit aggregation) the real, reusable piece. Output columns:
+    (source, n_docs, emails_masked, phones_masked, redacted_checksum)
+    where the checksum is sum(md5_60bit(redacted_text) % 1000003) —
+    proving both engines produced byte-identical redacted text."""
+    d = load_table(spark, sf_dir, "documents")
+    contact = F.concat(
+        F.col("text"),
+        F.lit(" Contact: user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org or +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+        F.lit("."),
+    )
+    with_pii = d.select("doc_id", "source", contact.alias("raw"))
+    emails = F.regexp_count(F.col("raw"), F.lit(EMAIL_RE))
+    no_email = F.regexp_replace(F.col("raw"), EMAIL_RE, "[EMAIL]")
+    phones = F.regexp_count(no_email, F.lit(PHONE_RE))
+    redacted = F.regexp_replace(no_email, PHONE_RE, "[PHONE]")
+    audited = with_pii.select(
+        "source",
+        emails.alias("n_emails"),
+        phones.alias("n_phones"),
+        (md5_60bit(redacted) % _CHECKSUM_MOD).alias("csum"),
+    )
+    return audited.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_emails").alias("emails_masked"),
+        F.sum("n_phones").alias("phones_masked"),
+        F.sum("csum").alias("redacted_checksum"),
+    )
+
+
+PII_REDACT_SQL = rf"""
+WITH with_pii AS (
+  SELECT doc_id, source,
+         text || ' Contact: user' || CAST(doc_id AS VARCHAR)
+              || '@example.org or +1-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') || '.' AS raw
+  FROM documents
+), masked AS (
+  SELECT source,
+         len(regexp_extract_all(raw, '{EMAIL_RE}')) AS n_emails,
+         len(regexp_extract_all(regexp_replace(raw, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                                '{PHONE_RE}')) AS n_phones,
+         regexp_replace(regexp_replace(raw, '{EMAIL_RE}', '[EMAIL]', 'g'),
+                        '{PHONE_RE}', '[PHONE]', 'g') AS redacted
+  FROM with_pii
+)
+SELECT source, COUNT(*) AS n_docs,
+       SUM(n_emails) AS emails_masked,
+       SUM(n_phones) AS phones_masked,
+       SUM({sql_md5_60bit('redacted')} % {_CHECKSUM_MOD}) AS redacted_checksum
+FROM masked GROUP BY source
+"""
+
+
+# --------------------------------------------------------------------------
+# Benchmark-contamination check
+# --------------------------------------------------------------------------
+
+HOLDOUT_MOD = 97  # doc_id % 97 == 0 stands in for "the benchmark set"
+
+
+def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source training-set contamination against a benchmark set.
+
+    The benchmark is the doc_id % 97 == 0 holdout (stand-in for an eval
+    suite); a training doc is contaminated iff it shares ≥1 word
+    3-shingle with any benchmark doc. Output: (source, n_train,
+    n_contaminated, n_hit_shingles) where n_hit_shingles counts the
+    distinct (doc, shingle) collisions.
+
+    Scale: the benchmark shingle set is tiny (the holdout, not the
+    corpus) — broadcast, so the training shingle stream joins without a
+    shuffle; contaminated-doc detection is a semi-join-shaped groupBy
+    on ids only, never on text."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d, "doc_id", "text")
+    bench = F.broadcast(
+        sh.join(
+            d.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+                F.col("doc_id").alias("doc")
+            ),
+            "doc",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    train = sh.join(
+        d.filter(F.col("doc_id") % HOLDOUT_MOD != 0).select(F.col("doc_id").alias("doc")),
+        "doc",
+    )
+    hits = train.join(bench, "shingle").groupBy("doc").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    per_doc = (
+        d.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+        .select(F.col("doc_id").alias("doc"), "source")
+        .join(hits, "doc", "left")
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.sum(F.coalesce((F.col("n_hits") > 0).cast("long"), F.lit(0))).alias(
+            "n_contaminated"
+        ),
+        F.sum(F.coalesce("n_hits", F.lit(0))).alias("n_hit_shingles"),
+    )
+
+
+CONTAMINATION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, token, pos FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token,
+           unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS pos
+    FROM documents
+  ) WHERE token <> ''
+), sh AS (
+  SELECT DISTINCT doc,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL
+), bench AS (
+  SELECT DISTINCT shingle FROM sh WHERE doc % {HOLDOUT_MOD} = 0
+), train AS (
+  SELECT doc, shingle FROM sh WHERE doc % {HOLDOUT_MOD} <> 0
+), hits AS (
+  SELECT t.doc, COUNT(*) AS n_hits
+  FROM train t JOIN bench b ON t.shingle = b.shingle
+  GROUP BY t.doc
+)
+SELECT d.source, COUNT(*) AS n_train,
+       SUM(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS n_contaminated,
+       SUM(COALESCE(h.n_hits, 0)) AS n_hit_shingles
+FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
+WHERE d.doc_id % {HOLDOUT_MOD} <> 0
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Repetition (quality) filter
+# --------------------------------------------------------------------------
+
+REPETITION_MAX_SHARE = 0.08  # Gopher-style gate on the top bigram's share
+
+
+def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flag docs whose most-repeated word bigram exceeds 8% of all
+    bigrams (the Rae et al. 2021 repetition family of quality gates).
+
+    Output: (source, n_docs, n_flagged, share_e6_sum) where share_e6_sum
+    is sum(floor(1e6 * max_share)) — an exact-integer aggregate of the
+    per-doc shares, immune to float summation order.
+
+    Scale: bigram multiplicities need one shuffle keyed by doc (already
+    aligned by _tokens' repartition); both aggregation levels map-side
+    combine. Nothing is quadratic; no text leaves the scan."""
+    from map_reduce_lite_spark.ops.dedup import _tokens
+
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tokens(d, "doc_id", "text")
+    w = Window.partitionBy("doc").orderBy("pos")
+    bg = (
+        toks.select("doc", F.concat_ws(" ", F.col("token"), F.lead("token", 1).over(w)).alias("g"),
+                    F.lead("token", 1).over(w).alias("_t"))
+        .filter(F.col("_t").isNotNull())
+        .select("doc", "g")
+    )
+    counts = bg.groupBy("doc", "g").agg(F.count(F.lit(1)).alias("c"))
+    per_doc = counts.groupBy("doc").agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("max_c")
+    )
+    share = F.col("max_c").cast("double") / F.col("n_bigrams").cast("double")
+    flagged = per_doc.select(
+        "doc",
+        (share > F.lit(REPETITION_MAX_SHARE)).cast("long").alias("flag"),
+        F.floor(share * 1e6).cast("long").alias("share_e6"),
+    )
+    d_src = d.select(F.col("doc_id").alias("doc"), "source")
+    return d_src.join(flagged, "doc").groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("flag").alias("n_flagged"),
+        F.sum("share_e6").alias("share_e6_sum"),
+    )
+
+
+REPETITION_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id AS doc, token, pos FROM (
+    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token,
+           unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS pos
+    FROM documents
+  ) WHERE token <> ''
+), bg AS (
+  SELECT doc, token || ' ' || lead(token, 1) OVER w AS g
+  FROM toks WINDOW w AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY lead(token, 1) OVER w IS NOT NULL
+), counts AS (
+  SELECT doc, g, COUNT(*) AS c FROM bg GROUP BY doc, g
+), per_doc AS (
+  SELECT doc, SUM(c) AS n_bigrams, MAX(c) AS max_c FROM counts GROUP BY doc
+), flagged AS (
+  SELECT doc,
+         CASE WHEN CAST(max_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)
+                   > {REPETITION_MAX_SHARE}::DOUBLE THEN 1 ELSE 0 END AS flag,
+         CAST(floor(1e6 * (CAST(max_c AS DOUBLE) / CAST(n_bigrams AS DOUBLE)))
+              AS BIGINT) AS share_e6
+  FROM per_doc
+)
+SELECT d.source, COUNT(*) AS n_docs, SUM(f.flag) AS n_flagged,
+       SUM(f.share_e6) AS share_e6_sum
+FROM documents d JOIN flagged f ON f.doc = d.doc_id
+GROUP BY d.source
+"""
+
+
+# --------------------------------------------------------------------------
+# Deterministic train/val/test split
+# --------------------------------------------------------------------------
+
+TRAIN_PCT = 80
+VAL_PCT = 10  # test gets the remainder
+
+
+def train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-route every doc into train/val/test (80/10/10) and report
+    per-split stats: (split, n_docs, n_tokens, n_sources).
+
+    The router is a portable md5 of the doc id — NOT rand(seed), which
+    depends on partitioning and row order, silently reshuffling the
+    split on every repartition. A hash split is stable under any
+    cluster size, input order, or engine — the property that matters
+    when the split must be reproducible across a 100 TB re-run."""
+    d = load_table(spark, sf_dir, "documents")
+    bucket = md5_60bit(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        d.select(split.alias("split"), "source", n_tokens.alias("n_tokens"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+    )
+
+
+TRAIN_SPLIT_SQL = rf"""
+WITH routed AS (
+  SELECT CASE
+           WHEN {sql_md5_60bit("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT} THEN 'train'
+           WHEN {sql_md5_60bit("CAST(doc_id AS VARCHAR)")} % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split,
+         source,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+       COUNT(DISTINCT source) AS n_sources
+FROM routed GROUP BY split
+"""
+
+
+# --------------------------------------------------------------------------
+# Mixture sampling plan
+# --------------------------------------------------------------------------
+
+MIX_RATE_HI = 80  # % kept from even-numbered sources (the "high-quality" pile)
+MIX_RATE_LO = 30  # % kept from odd-numbered sources
+
+
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted per-source subsampling — the data-mixing step that turns
+    raw source piles into a pretraining mixture. Even-numbered sources
+    keep 80%, odd keep 30% (stand-ins for per-domain mixture weights).
+    Output: (source, rate_pct, n_total, n_sampled, sampled_tokens).
+
+    Deterministic Bernoulli via the portable doc-id hash: the sample is
+    identical on any engine/cluster/partitioning, and — unlike
+    df.sample() — a doc's membership never changes when the corpus
+    grows, so incremental ingests don't churn the mixture."""
+    d = load_table(spark, sf_dir, "documents")
+    src_num = F.substring("source", 4, 10).cast("long")
+    rate = F.when(src_num % 2 == 0, F.lit(MIX_RATE_HI)).otherwise(F.lit(MIX_RATE_LO))
+    keep = (md5_60bit(F.col("doc_id").cast("string")) % 100) < rate
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    return (
+        d.select(
+            "source",
+            rate.cast("long").alias("rate_pct"),
+            keep.cast("long").alias("kept"),
+            n_tokens.alias("n_tokens"),
+        )
+        .groupBy("source", "rate_pct")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.sum("kept").alias("n_sampled"),
+            F.sum(F.when(F.col("kept") == 1, F.col("n_tokens")).otherwise(F.lit(0))).alias(
+                "sampled_tokens"
+            ),
+        )
+    )
+
+
+MIXTURE_SQL = rf"""
+WITH flagged AS (
+  SELECT source,
+         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              THEN {MIX_RATE_HI} ELSE {MIX_RATE_LO} END AS rate_pct,
+         CASE WHEN {sql_md5_60bit("CAST(doc_id AS VARCHAR)")} % 100 <
+              CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+                   THEN {MIX_RATE_HI} ELSE {MIX_RATE_LO} END
+              THEN 1 ELSE 0 END AS kept,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct, COUNT(*) AS n_total,
+       SUM(kept) AS n_sampled,
+       SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS sampled_tokens
+FROM flagged GROUP BY source, rate_pct
+"""
+
+
+# --------------------------------------------------------------------------
+# Sequence packing
+# --------------------------------------------------------------------------
+
+CTX_TOKENS = 128  # context-window size for the demo corpus (parameter in prod)
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk packing audit: docs are concatenated in doc_id
+    order within each source and sliced into CTX_TOKENS-token training
+    sequences. Closed-form per-source report: (source, n_docs,
+    total_tokens, n_sequences, n_boundary_docs) where n_boundary_docs
+    counts docs split across a sequence boundary (the attention-mask
+    pollution metric packing strategies trade off).
+
+    Scale: one window sort per source partition (the natural packing
+    unit — a global order would serialize the corpus through one
+    partition), integer-only math, no iteration, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    staged = d.select("source", "doc_id", n_tokens.alias("n_tokens")).withColumn(
+        "cum", F.sum("n_tokens").over(w)
+    )
+    first_seq = F.floor((F.col("cum") - F.col("n_tokens")) / CTX_TOKENS)
+    last_seq = F.floor((F.col("cum") - 1) / CTX_TOKENS)
+    return staged.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        (F.floor((F.sum("n_tokens") - 1) / CTX_TOKENS) + 1).alias("n_sequences"),
+        F.sum((first_seq != last_seq).cast("long")).alias("n_boundary_docs"),
+    )
+
+
+SEQUENCE_PACKING_SQL = rf"""
+WITH staged AS (
+  SELECT source, doc_id,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+           OVER (PARTITION BY source ORDER BY doc_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM documents
+)
+SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+       CAST(floor((SUM(n_tokens) - 1) / {CTX_TOKENS}) + 1 AS BIGINT) AS n_sequences,
+       SUM(CASE WHEN floor((cum - n_tokens) / {CTX_TOKENS})
+                  <> floor((cum - 1) / {CTX_TOKENS}) THEN 1 ELSE 0 END)
+         AS n_boundary_docs
+FROM staged GROUP BY source
+"""
+
+
+CURATION_QUERIES: dict[str, Query] = {
+    "curation_pii_redact": Query(
+        "curation_pii_redact",
+        pii_redact,
+        PII_REDACT_SQL,
+        "email/phone masking with per-source redaction audit",
+    ),
+    "curation_contamination": Query(
+        "curation_contamination",
+        contamination_check,
+        CONTAMINATION_SQL,
+        "3-gram benchmark-contamination rate per source",
+    ),
+    "curation_repetition_filter": Query(
+        "curation_repetition_filter",
+        repetition_filter,
+        REPETITION_SQL,
+        "max-bigram-share repetition quality gate",
+    ),
+    "curation_train_split": Query(
+        "curation_train_split",
+        train_split,
+        TRAIN_SPLIT_SQL,
+        "deterministic hash-routed train/val/test split",
+    ),
+    "curation_mixture_plan": Query(
+        "curation_mixture_plan",
+        mixture_plan,
+        MIXTURE_SQL,
+        "weighted per-source mixture subsampling",
+    ),
+    "curation_sequence_packing": Query(
+        "curation_sequence_packing",
+        sequence_packing,
+        SEQUENCE_PACKING_SQL,
+        "concat-and-chunk context-window packing audit",
+    ),
+}

@@ -1,0 +1,103 @@
+"""Behavioral invariants for ops/curation.py (value parity vs DuckDB is
+covered query-by-query in tests/test_oracle_parity.py, which
+auto-discovers the CURATION_QUERIES registry)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.ops.curation import (
+    CTX_TOKENS,
+    MIX_RATE_HI,
+    MIX_RATE_LO,
+    TRAIN_PCT,
+    VAL_PCT,
+    contamination_check,
+    mixture_plan,
+    pii_redact,
+    repetition_filter,
+    sequence_packing,
+    train_split,
+)
+from tests.conftest import SF_SMALL
+
+
+def test_pii_redact_masks_everything(spark):
+    """Every doc gains exactly one email and one phone from the fixture
+    footer, and both get masked (the corpus itself has no PII)."""
+    rows = pii_redact(spark, SF_SMALL).collect()
+    assert sum(r.emails_masked for r in rows) == sum(r.n_docs for r in rows)
+    assert sum(r.phones_masked for r in rows) == sum(r.n_docs for r in rows)
+    # checksum is engine-portable and therefore never NULL
+    assert all(r.redacted_checksum is not None for r in rows)
+
+
+def test_contamination_nonvacuous_and_bounded(spark):
+    rows = contamination_check(spark, SF_SMALL).collect()
+    total_contaminated = sum(r.n_contaminated for r in rows)
+    assert total_contaminated > 0, "holdout must collide with some train docs"
+    for r in rows:
+        assert 0 <= r.n_contaminated <= r.n_train
+
+
+def test_repetition_flags_subset(spark):
+    rows = repetition_filter(spark, SF_SMALL).collect()
+    assert sum(r.n_flagged for r in rows) > 0
+    for r in rows:
+        assert 0 <= r.n_flagged <= r.n_docs
+        # max share is at most 1.0 → summed e6 shares bounded by n_docs * 1e6
+        assert r.share_e6_sum <= r.n_docs * 1_000_000
+
+
+def test_train_split_partitions_corpus(spark):
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    rows = {r.split: r for r in train_split(spark, SF_SMALL).collect()}
+    assert set(rows) == {"train", "val", "test"}
+    n_docs = load_table(spark, SF_SMALL, "documents").count()
+    assert sum(r.n_docs for r in rows.values()) == n_docs
+    # 80/10/10 routing should roughly hold (hash uniformity, wide tolerance)
+    assert rows["train"].n_docs > rows["val"].n_docs
+    assert rows["train"].n_docs > rows["test"].n_docs
+
+
+def test_train_split_is_stable_under_repartition(spark):
+    """The split must not depend on partitioning — the reason it is
+    hash-routed rather than rand(seed)-routed."""
+    from map_reduce_lite_spark.registry import md5_60bit
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bucket = (md5_60bit(F.col("doc_id").cast("string")) % 100).alias("b")
+    one = d.select("doc_id", bucket)
+    two = d.repartition(17).select("doc_id", bucket)
+    assert one.subtract(two).count() == 0 and two.subtract(one).count() == 0
+
+
+def test_mixture_rates_and_bounds(spark):
+    rows = mixture_plan(spark, SF_SMALL).collect()
+    for r in rows:
+        src_num = int(r.source[3:])
+        want = MIX_RATE_HI if src_num % 2 == 0 else MIX_RATE_LO
+        assert r.rate_pct == want
+        assert 0 <= r.n_sampled <= r.n_total
+    # the two rate tiers must actually sample differently overall
+    hi = sum(r.n_sampled for r in rows if r.rate_pct == MIX_RATE_HI)
+    lo = sum(r.n_sampled for r in rows if r.rate_pct == MIX_RATE_LO)
+    assert hi > lo
+
+
+def test_sequence_packing_math(spark):
+    rows = sequence_packing(spark, SF_SMALL).collect()
+    assert sum(r.n_boundary_docs for r in rows) > 0
+    for r in rows:
+        # concat-and-chunk: sequence count is exactly ceil(tokens / CTX)
+        assert r.n_sequences == (r.total_tokens + CTX_TOKENS - 1) // CTX_TOKENS
+        # a doc can cross a boundary at most once per CTX window; the
+        # boundary count can never exceed doc count or sequence count - 1
+        assert r.n_boundary_docs <= r.n_docs
+        assert r.n_sequences >= 1
+
+
+def test_split_percentages_sane():
+    assert TRAIN_PCT + VAL_PCT < 100  # test split must be nonempty by design
