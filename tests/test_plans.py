@@ -140,3 +140,29 @@ def test_grouping_sets_single_expand(spark):
     # one scan, not one per grouping set (formatted mode prints each
     # operator twice: once in the tree, once in the details section)
     assert plan.count("Scan parquet") <= 2, plan
+
+
+def test_contamination_broadcasts_benchmark_side(spark):
+    """The benchmark shingle set (the holdout) must broadcast — the
+    training-corpus shingle stream never shuffles for the overlap join."""
+    plan = _plan(_q(spark, "curation_contamination"))
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_pii_redact_is_scan_project_agg(spark):
+    """Redaction is a pure projection + one map-side-combined agg: no
+    joins, no Python, nothing that wouldn't stream at 100 TB."""
+    plan = _plan(_q(spark, "curation_pii_redact"))
+    assert "Join" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "partial_" in plan, plan  # map-side combine before the shuffle
+
+
+def test_hash_split_family_no_joins_no_python(spark):
+    for name in ("curation_train_split", "curation_mixture_plan",
+                 "curation_sequence_packing"):
+        plan = _plan(_q(spark, name))
+        assert "Join" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
