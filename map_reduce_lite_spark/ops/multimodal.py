@@ -268,13 +268,37 @@ def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
+# The fake decoder's features are pure byte math over the UTF-8 payload,
+# so DuckDB can replay it with per-char ord() sums (corpus is ASCII, so
+# char code == byte value and octet_length == length): the Python
+# mapInPandas path gets a FULL value oracle, not just a rows-only check.
+# Python's s/n and the SQL CAST(s AS DOUBLE)/n are the same IEEE
+# division → floor(mean*1e6) is bit-identical.
+DECODE_STUB_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         list_sum(list_transform(range(1, length(text) + 1),
+                                 i -> ord(substr(text, i, 1)))) AS s
+  FROM documents
+)
+SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
+       'application/octet-stream' AS mime,
+       CAST(floor((CAST(s AS DOUBLE) / n) * 1e6) AS BIGINT) AS mean_byte_e6
+FROM b
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("multimodal_bytes", multimodal_bytes, MULTIMODAL_BYTES_SQL, "binary column metrics"),
-        # Python decode path: not SQL-expressible → rows-only driver check;
-        # schema and determinism are pytest-verified.
-        Query("multimodal_decode_stub", multimodal_decode_stub, None, "mapInPandas decode plumbing"),
+        Query(
+            "multimodal_decode_stub",
+            multimodal_decode_stub,
+            DECODE_STUB_SQL,
+            "mapInPandas decode plumbing (value-checked)",
+        ),
         Query(
             "multimodal_frame_sample",
             multimodal_frame_sample,
