@@ -443,6 +443,80 @@ LIMIT 20
 """
 
 
+def events_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate rollup: hour, day, and
+    month resolutions of the events stream, materialized in ONE pass.
+
+    The timescale-ish pattern (a rollup cascade hour→day→month) becomes
+    a single GROUPING SETS plan in Spark: one scan, one Expand (3×), one
+    shuffle — instead of three jobs or a stored cascade. Each output row
+    is tagged with its resolution; a writer would partition by
+    (resolution, bucket_start) for pruned serving reads. At 100 TB the
+    Expand triples shuffle rows, but map-side partial aggregation
+    collapses them per (bucket, type) before the exchange — the same
+    bytes three sequential rollups would shuffle, minus two scans.
+    """
+    e = load_table(spark, sf_dir, "events")
+    bucketed = e.select(
+        F.date_trunc("hour", "ts").alias("hour_start"),
+        F.date_trunc("day", "ts").alias("day_start"),
+        F.date_trunc("month", "ts").alias("month_start"),
+        "event_type",
+        "value",
+    )
+    rolled = bucketed.groupingSets(
+        [
+            ["hour_start", "event_type"],
+            ["day_start", "event_type"],
+            ["month_start", "event_type"],
+        ],
+        "hour_start",
+        "day_start",
+        "month_start",
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum(F.col("value"), 4).alias("sum_value"),
+    )
+    resolution = (
+        F.when(F.col("hour_start").isNotNull(), F.lit("hour"))
+        .when(F.col("day_start").isNotNull(), F.lit("day"))
+        .otherwise(F.lit("month"))
+    )
+    return rolled.select(
+        resolution.alias("resolution"),
+        F.coalesce("hour_start", "day_start", "month_start").alias("bucket_start"),
+        "event_type",
+        "n_events",
+        "sum_value",
+    )
+
+
+EVENTS_MULTIRES_SQL = f"""
+WITH bucketed AS (
+  SELECT date_trunc('hour', ts) AS hour_start,
+         date_trunc('day', ts) AS day_start,
+         date_trunc('month', ts) AS month_start,
+         event_type, value
+  FROM events
+), rolled AS (
+  SELECT hour_start, day_start, month_start, event_type,
+         COUNT(*) AS n_events,
+         {sql_dsum('value', 4)} AS sum_value
+  FROM bucketed
+  GROUP BY GROUPING SETS ((hour_start, event_type),
+                          (day_start, event_type),
+                          (month_start, event_type))
+)
+SELECT CASE WHEN hour_start IS NOT NULL THEN 'hour'
+            WHEN day_start IS NOT NULL THEN 'day'
+            ELSE 'month' END AS resolution,
+       COALESCE(hour_start, day_start, month_start) AS bucket_start,
+       event_type, n_events, sum_value
+FROM rolled
+"""
+
+
 RELATIONAL_QUERIES_3: dict[str, Query] = {
     q.name: q
     for q in [
@@ -455,5 +529,11 @@ RELATIONAL_QUERIES_3: dict[str, Query] = {
         Query("q16_supplier_count", q16_supplier_count, Q16_SQL, "count-distinct with NOT IN (Q16)"),
         Query("q20_bolt_suppliers", q20_bolt_suppliers, Q20_SQL, "nested-aggregate semi join (Q20)"),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL, "EXISTS + NOT EXISTS self-joins (Q21)"),
+        Query(
+            "events_rollup_multires",
+            events_rollup_multires,
+            EVENTS_MULTIRES_SQL,
+            "hypertable-style hour/day/month rollup in one Expand pass",
+        ),
     ]
 }

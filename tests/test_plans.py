@@ -166,3 +166,12 @@ def test_hash_split_family_no_joins_no_python(spark):
         plan = _plan(_q(spark, name))
         assert "Join" not in plan, (name, plan)
         assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_multires_rollup_single_scan_single_expand(spark):
+    """The hour/day/month cascade must be ONE scan + ONE Expand, not
+    three rollup jobs (the continuous-aggregate promise)."""
+    plan = _plan(_q(spark, "events_rollup_multires"))
+    assert plan.count("Expand") >= 1, plan
+    assert plan.count("Scan parquet") <= 2, plan  # tree + details sections
+    assert "partial_" in plan, plan
