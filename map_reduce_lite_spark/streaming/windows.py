@@ -137,6 +137,62 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def streaming_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style hour/day/month rollup maintained BY THE STREAMING
+    ENGINE — the continuous-aggregate form of events_rollup_multires.
+
+    Streaming aggregation can't use GROUPING SETS, so each event is
+    exploded into its 3 (resolution, bucket_start) memberships BEFORE a
+    single groupBy — the same Expand-then-aggregate physical shape the
+    batch GROUPING SETS plan produces, and the same trick the sliding
+    oracle uses. One stateful aggregation maintains all three
+    resolutions; complete-mode drain for the deterministic oracle
+    replay. Production shape: per-resolution append-mode queries (or
+    foreachBatch upserts into the serving table) so watermarks can
+    evict closed buckets; state here is O(distinct buckets × types),
+    which for hour-grain on years of data is what the coarser grains
+    amortize.
+
+    Oracle: shares EVENTS_MULTIRES_SQL with the batch twin —
+    availableNow over a static source equals the batch aggregation."""
+    global _STREAM_RUN
+    staged = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    membership = F.explode(
+        F.array(
+            F.struct(
+                F.lit("hour").alias("resolution"),
+                F.date_trunc("hour", "ts").alias("bucket_start"),
+            ),
+            F.struct(
+                F.lit("day").alias("resolution"),
+                F.date_trunc("day", "ts").alias("bucket_start"),
+            ),
+            F.struct(
+                F.lit("month").alias("resolution"),
+                F.date_trunc("month", "ts").alias("bucket_start"),
+            ),
+        )
+    )
+    rolled = (
+        stream.select(membership.alias("m"), "event_type", "value")
+        .select("m.resolution", "m.bucket_start", "event_type", "value")
+        .groupBy("resolution", "bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_multires_{_STREAM_RUN}"
+    run_stream_to_memory(rolled, name)
+    return spark.table(name)
+
+
 def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sliding-window (1 h window / 15 min slide) mean value per type,
     computed by the streaming engine and drained with availableNow.
@@ -352,6 +408,12 @@ WHERE e.event_type = 'purchase'
 """
 
 
+def _multires_oracle() -> str:
+    from map_reduce_lite_spark.relational.queries3 import EVENTS_MULTIRES_SQL
+
+    return EVENTS_MULTIRES_SQL
+
+
 def _streaming_queries():
     from map_reduce_lite_spark.registry import Query
     from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
@@ -368,6 +430,12 @@ def _streaming_queries():
             streaming_events_sliding,
             EVENTS_SLIDING_SQL,
             "Structured Streaming sliding window == exploded-window oracle",
+        ),
+        "streaming_rollup_multires": Query(
+            "streaming_rollup_multires",
+            streaming_rollup_multires,
+            _multires_oracle(),
+            "streaming hour/day/month continuous aggregate == batch GROUPING SETS oracle",
         ),
         "streaming_purchase_view_join": Query(
             "streaming_purchase_view_join",
