@@ -286,6 +286,45 @@ def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantile summary per return flag via the Greenwald–Khanna sketch
+    (percentile_approx) — the other half of the sketch family next to
+    the HLL cardinality sketch.
+
+    THE scale pattern for quantiles at 100 TB: GK state is bounded
+    (O(accuracy)) and mergeable, so partials combine map-side instead
+    of sorting the column. Below `accuracy` distinct values the sketch
+    is EXACT and returns the discrete quantile — empirically identical
+    to DuckDB's quantile_disc at test scale, which is what the oracle
+    pins (per-column scalars, not an array — array cells break harness
+    canonicalization; the round-1 array_agg lesson)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    qs = F.percentile_approx(
+        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 100000
+    ).alias("qs")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(qs)
+        .select(
+            "l_returnflag",
+            F.col("qs")[0].alias("price_q25"),
+            F.col("qs")[1].alias("price_q50"),
+            F.col("qs")[2].alias("price_q75"),
+            F.col("qs")[3].alias("price_q95"),
+        )
+    )
+
+
+SKETCH_QUANTILES_SQL = """
+SELECT l_returnflag,
+       quantile_disc(l_extendedprice, 0.25) AS price_q25,
+       quantile_disc(l_extendedprice, 0.5) AS price_q50,
+       quantile_disc(l_extendedprice, 0.75) AS price_q75,
+       quantile_disc(l_extendedprice, 0.95) AS price_q95
+FROM lineitem GROUP BY l_returnflag
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -300,6 +339,12 @@ TEXT_QUERIES: dict[str, Query] = {
             sketch_distinct_tokens,
             None,  # HLL sketches are engine-specific; property-tested instead
             "HLL++ distinct-token cardinality per source",
+        ),
+        Query(
+            "sketch_quantiles_price",
+            sketch_quantiles_price,
+            SKETCH_QUANTILES_SQL,
+            "GK quantile sketch (exact-mode) per return flag",
         ),
     ]
 }

@@ -32,3 +32,13 @@ def test_rolling_hash_range_and_determinism(spark):
     again = {r["doc_id"]: r["rolling_hash"] for r in df.collect()}
     assert rows == again
     assert all(0 <= h < 2147483647 for h in rows.values())
+
+
+def test_gk_quantiles_monotone_and_bounded(spark):
+    from map_reduce_lite_spark.ops.text import sketch_quantiles_price
+    from tests.conftest import SF_SMALL
+
+    rows = sketch_quantiles_price(spark, SF_SMALL).collect()
+    assert rows, "must produce one row per return flag"
+    for r in rows:
+        assert r.price_q25 <= r.price_q50 <= r.price_q75 <= r.price_q95
