@@ -33,11 +33,12 @@ from map_reduce_lite_spark.ops import (
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
 # Ordered so the training-data-pipeline extension surface (dedup /
-# similarity / text / multimodal / streaming / graph) sits in the front
-# of the dict: a correctness harness that samples a prefix of the
-# query list still covers every operator family. Relational queries
-# that changed since the last verified run are fronted within their
-# block for the same reason.
+# similarity / text / multimodal / streaming / graph) and everything
+# new-or-changed this round sits in the front of the dict: a
+# correctness harness that samples a prefix of the query list still
+# covers every operator family and every unverified query. Queries
+# with standing driver evidence from the previous round (the four
+# parity workloads, the r01-green relational rear) yield their slots.
 _FRONTED_RELATIONAL = [
     "array_agg_priorities",   # output shape changed (array -> joined string)
     "stats_corr_qty_price",   # not yet driver-verified
@@ -47,17 +48,17 @@ _FRONTED_RELATIONAL = [
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
 ALL_QUERIES = {
-    **PARITY_QUERIES,
     **PIPELINE_QUERIES,
     **CURATION_QUERIES,   # new this round — needs first driver pass
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
-    **TEXT_QUERIES,
+    **TEXT_QUERIES,       # sketch_quantiles_price new this round
     **MULTIMODAL_QUERIES,
-    **STREAMING_QUERIES,
+    **STREAMING_QUERIES,  # streaming_rollup_multires new this round
     **GRAPH_QUERIES,
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **RELATIONAL_QUERIES_3,   # new this round — needs first driver pass
+    **PARITY_QUERIES,     # r01-green, unchanged; q1 also smoke-runs via entry()
     **_REAR,
 }
 

@@ -55,6 +55,8 @@ BENCH_QUERIES = [
     "q9_product_profit",
     "q21_waiting_suppliers",
     "streaming_sessionize",
+    "curation_contamination",
+    "events_rollup_multires",
 ]
 
 

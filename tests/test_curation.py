@@ -101,3 +101,85 @@ def test_sequence_packing_math(spark):
 
 def test_split_percentages_sane():
     assert TRAIN_PCT + VAL_PCT < 100  # test split must be nonempty by design
+
+
+def test_contamination_detects_planted_benchmark_copy(spark):
+    """Plant an exact copy of a benchmark doc in the training set: the
+    copy must be flagged as contaminated (recall-style guarantee the
+    per-source rates alone can't give)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.curation import HOLDOUT_MOD
+    from map_reduce_lite_spark.ops.dedup import shingles
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bench_doc = d.filter(F.col("doc_id") % HOLDOUT_MOD == 0).limit(1).collect()[0]
+    planted_id = 10_000_001  # not divisible by HOLDOUT_MOD -> lands in train
+    assert planted_id % HOLDOUT_MOD != 0
+    corpus = d.select("doc_id", "text", "source").unionByName(
+        spark.createDataFrame(
+            [(planted_id, bench_doc.text, "src_planted")],
+            "doc_id long, text string, source string",
+        )
+    )
+    sh = shingles(corpus, "doc_id", "text")
+    bench = (
+        sh.join(
+            corpus.filter(F.col("doc_id") % HOLDOUT_MOD == 0).select(
+                F.col("doc_id").alias("doc")
+            ),
+            "doc",
+        )
+        .select("shingle")
+        .distinct()
+    )
+    hits = (
+        sh.join(corpus.filter(F.col("doc_id") % HOLDOUT_MOD != 0)
+                .select(F.col("doc_id").alias("doc")), "doc")
+        .join(F.broadcast(bench), "shingle")
+        .select("doc")
+        .distinct()
+    )
+    flagged = {r.doc for r in hits.collect()}
+    assert planted_id in flagged
+
+
+def test_pretrain_export_roundtrip(spark, tmp_path):
+    """The pipeline's sink end: split the corpus, write train/val/test as
+    partitioned parquet, read back with a partition filter and verify
+    (a) counts survive the round trip and (b) the read prunes to the
+    requested split's files."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.registry import md5_60bit
+    from map_reduce_lite_spark.relational.tables import load_table
+    from map_reduce_lite_spark.sources.io import read_source, write_sink
+
+    d = load_table(spark, SF_SMALL, "documents")
+    bucket = md5_60bit(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    routed = d.select("doc_id", "text", "source", split.alias("split"))
+    want = {r.split: r.n for r in routed.groupBy("split").agg(F.count("*").alias("n")).collect()}
+
+    out = str(tmp_path / "export")
+    write_sink(routed, out, fmt="parquet", partition_by=["split"])
+
+    back = read_source(spark, out, fmt="parquet")
+    got = {r.split: r.n for r in back.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert got == want
+
+    # partition pruning: a split= filter must reach the scan as a
+    # partition filter, not a data filter over all files
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        back.filter(F.col("split") == "val").explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan and "split" in plan, plan
