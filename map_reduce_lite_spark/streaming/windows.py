@@ -137,6 +137,39 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+def multires_rollup_stream(stream: DataFrame) -> DataFrame:
+    """Explode each event into its hour/day/month (resolution, bucket)
+    memberships, then ONE stateful aggregation maintains all three
+    resolutions. Shared by the complete-mode oracle drain
+    (streaming_rollup_multires) and the update-mode foreachBatch upsert
+    serving pattern (tests/test_streaming.py)."""
+    membership = F.explode(
+        F.array(
+            F.struct(
+                F.lit("hour").alias("resolution"),
+                F.date_trunc("hour", "ts").alias("bucket_start"),
+            ),
+            F.struct(
+                F.lit("day").alias("resolution"),
+                F.date_trunc("day", "ts").alias("bucket_start"),
+            ),
+            F.struct(
+                F.lit("month").alias("resolution"),
+                F.date_trunc("month", "ts").alias("bucket_start"),
+            ),
+        )
+    )
+    return (
+        stream.select(membership.alias("m"), "event_type", "value")
+        .select("m.resolution", "m.bucket_start", "event_type", "value")
+        .groupBy("resolution", "bucket_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
+        )
+    )
+
+
 def streaming_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hypertable-style hour/day/month rollup maintained BY THE STREAMING
     ENGINE — the continuous-aggregate form of events_rollup_multires.
@@ -162,31 +195,7 @@ def streaming_rollup_multires(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "4")
         .parquet(staged)
     )
-    membership = F.explode(
-        F.array(
-            F.struct(
-                F.lit("hour").alias("resolution"),
-                F.date_trunc("hour", "ts").alias("bucket_start"),
-            ),
-            F.struct(
-                F.lit("day").alias("resolution"),
-                F.date_trunc("day", "ts").alias("bucket_start"),
-            ),
-            F.struct(
-                F.lit("month").alias("resolution"),
-                F.date_trunc("month", "ts").alias("bucket_start"),
-            ),
-        )
-    )
-    rolled = (
-        stream.select(membership.alias("m"), "event_type", "value")
-        .select("m.resolution", "m.bucket_start", "event_type", "value")
-        .groupBy("resolution", "bucket_start", "event_type")
-        .agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("sum_value"),
-        )
-    )
+    rolled = multires_rollup_stream(stream)
     _STREAM_RUN += 1
     name = f"mrl_stream_multires_{_STREAM_RUN}"
     run_stream_to_memory(rolled, name)

@@ -198,3 +198,56 @@ def test_enrich_stream_static_join(spark, events_parquet):
     out = spark.sql("SELECT * FROM enrich_test").collect()
     assert len(out) == spark.read.parquet(events_parquet).count()
     assert all(r["type_code"] is not None for r in out)
+
+
+def test_multires_foreachbatch_upsert_serving(spark, tmp_path):
+    """The production serving shape for the continuous aggregate:
+    update-mode stream -> foreachBatch appends versioned rows ->
+    latest-version view == the batch GROUPING SETS rollup. (The
+    append+latest-view pattern is the Delta/Iceberg MERGE stand-in on
+    plain parquet.)"""
+    from pyspark.sql import Window
+
+    from map_reduce_lite_spark.relational.queries3 import events_rollup_multires
+    from map_reduce_lite_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        _stage_events,
+        multires_rollup_stream,
+    )
+
+    staged = _stage_events(spark, SF_SMALL)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "2")
+        .parquet(staged)
+    )
+    serving_dir = str(tmp_path / "serving")
+
+    def upsert(bdf, batch_id):
+        bdf.withColumn("_v", F.lit(batch_id)).write.mode("append").parquet(serving_dir)
+
+    q = (
+        multires_rollup_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(180), "upsert drain must finish"
+    q.stop()
+
+    w = Window.partitionBy("resolution", "bucket_start", "event_type").orderBy(
+        F.desc("_v")
+    )
+    serving = (
+        spark.read.parquet(serving_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("resolution", "bucket_start", "event_type", "n_events", "sum_value")
+    )
+    got = Counter(tuple(map(str, r)) for r in serving.collect())
+    want = Counter(
+        tuple(map(str, r)) for r in events_rollup_multires(spark, SF_SMALL).collect()
+    )
+    assert sum(want.values()) > 0
+    assert got == want
