@@ -434,6 +434,149 @@ FROM staged GROUP BY source
 """
 
 
+# --------------------------------------------------------------------------
+# Leakage-safe (cluster-level) split
+# --------------------------------------------------------------------------
+
+
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test routing that cannot leak near-duplicates across
+    splits: route whole near-dup CLUSTERS, not documents.
+
+    A doc-level hash split puts ~19% of each near-dup pair's mass in a
+    different split than its twin — the classic eval-contamination bug.
+    Here the route key is the connected-component representative of the
+    LSH-blocked embedding near-dup graph (ops/dedup.dedup_components'
+    machinery), so every member of a cluster lands together. The output
+    audits itself: n_cross_pairs counts near-dup pairs whose ends fall
+    in different splits, keyed by the keep-end's split — zero by
+    construction, and the oracle proves both engines agree it is.
+
+    Output: (split, n_vecs, n_clusters, n_cross_pairs).
+
+    Scale: pair finding is the banded LSH path (no O(n²)); components
+    is iterative join+agg on ids; the routing itself is stateless hash
+    math. The audit join carries (8-byte id, split) pairs only."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.graph import connected_components
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM).select(
+        "keep_id", "dup_id"
+    )
+    comp = connected_components(pairs, src="keep_id", dst="dup_id")
+    assigned = (
+        emb.select("vec_id")
+        .join(comp, F.col("vec_id") == F.col("node"), "left")
+        .select(
+            "vec_id", F.coalesce("component", F.col("vec_id")).alias("cluster")
+        )
+    )
+    bucket = md5_60bit(F.col("cluster").cast("string")) % 100
+    split = (
+        F.when(bucket < TRAIN_PCT, F.lit("train"))
+        .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    routed = assigned.select("vec_id", "cluster", split.alias("split"))
+    crossing = (
+        pairs.join(
+            routed.select(F.col("vec_id").alias("keep_id"), F.col("split").alias("split_a")),
+            "keep_id",
+        )
+        .join(
+            routed.select(F.col("vec_id").alias("dup_id"), F.col("split").alias("split_b")),
+            "dup_id",
+        )
+        .filter(F.col("split_a") != F.col("split_b"))
+        .groupBy(F.col("split_a").alias("split"))
+        .agg(F.count(F.lit(1)).alias("n_cross"))
+    )
+    return (
+        routed.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.countDistinct("cluster").alias("n_clusters"),
+        )
+        .join(crossing, "split", "left")
+        .select(
+            "split",
+            "n_vecs",
+            "n_clusters",
+            F.coalesce("n_cross", F.lit(0)).alias("n_cross_pairs"),
+        )
+    )
+
+
+def _leakage_split_sql() -> str:
+    from map_reduce_lite_spark.ops.dedup import NEAR_DUP_COS
+    from map_reduce_lite_spark.ops.similarity import (
+        EMB_DIM,
+        LSH_N_BANDS,
+        LSH_PLANES,
+        _hyperplanes,
+        _sql_cos,
+        sql_bands_cte,
+    )
+
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    return f"""
+WITH RECURSIVE bands AS (
+{sql_bands_cte(planes, LSH_N_BANDS)}
+), cands AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.keep_id, c.dup_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM cands c
+  JOIN embeddings ea ON ea.vec_id = c.keep_id
+  JOIN embeddings eb ON eb.vec_id = c.dup_id
+), pairs AS (
+  SELECT keep_id, dup_id FROM scored WHERE sim >= {NEAR_DUP_COS}
+), edges AS (
+  SELECT keep_id AS a, dup_id AS b FROM pairs
+  UNION
+  SELECT dup_id, keep_id FROM pairs
+), reach(a, b) AS (
+  SELECT a, b FROM edges
+  UNION
+  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+), comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component
+  FROM reach GROUP BY a
+), routed AS (
+  SELECT e.vec_id,
+         COALESCE(c.component, e.vec_id) AS cluster,
+         CASE
+           WHEN {sql_md5_60bit("CAST(COALESCE(c.component, e.vec_id) AS VARCHAR)")}
+                % 100 < {TRAIN_PCT} THEN 'train'
+           WHEN {sql_md5_60bit("CAST(COALESCE(c.component, e.vec_id) AS VARCHAR)")}
+                % 100 < {TRAIN_PCT + VAL_PCT} THEN 'val'
+           ELSE 'test'
+         END AS split
+  FROM embeddings e LEFT JOIN comp c ON c.node = e.vec_id
+), crossing AS (
+  SELECT ra.split AS split, COUNT(*) AS n_cross
+  FROM pairs p
+  JOIN routed ra ON ra.vec_id = p.keep_id
+  JOIN routed rb ON rb.vec_id = p.dup_id
+  WHERE ra.split <> rb.split
+  GROUP BY ra.split
+)
+SELECT r.split, COUNT(*) AS n_vecs, COUNT(DISTINCT r.cluster) AS n_clusters,
+       COALESCE(MAX(x.n_cross), 0) AS n_cross_pairs
+FROM routed r LEFT JOIN crossing x ON x.split = r.split
+GROUP BY r.split
+"""
+
+
+LEAKAGE_SPLIT_SQL = _leakage_split_sql()
+
+
 CURATION_QUERIES: dict[str, Query] = {
     "curation_pii_redact": Query(
         "curation_pii_redact",
@@ -470,5 +613,11 @@ CURATION_QUERIES: dict[str, Query] = {
         sequence_packing,
         SEQUENCE_PACKING_SQL,
         "concat-and-chunk context-window packing audit",
+    ),
+    "curation_leakage_safe_split": Query(
+        "curation_leakage_safe_split",
+        leakage_safe_split,
+        LEAKAGE_SPLIT_SQL,
+        "cluster-level split: near-dups never straddle train/val/test",
     ),
 }

@@ -183,3 +183,41 @@ def test_pretrain_export_roundtrip(spark, tmp_path):
         back.filter(F.col("split") == "val").explain("formatted")
     plan = buf.getvalue()
     assert "PartitionFilters" in plan and "split" in plan, plan
+
+
+def test_leakage_safe_split_zero_cross_doc_level_leaks(spark):
+    """Cluster routing must never put a near-dup pair across splits;
+    doc-level routing on the same corpus DOES (the audit is
+    non-vacuous, the operator is load-bearing)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.curation import TRAIN_PCT, VAL_PCT, leakage_safe_split
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.registry import md5_60bit
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    rows = leakage_safe_split(spark, SF_SMALL).collect()
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assert sum(r.n_vecs for r in rows) == emb.count()
+    assert all(r.n_cross_pairs == 0 for r in rows)
+    # clustering must be active (fewer clusters than vectors overall)
+    assert sum(r.n_clusters for r in rows) < sum(r.n_vecs for r in rows)
+
+    # contrast: naive doc-level routing leaks pairs across splits
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+    bucket = md5_60bit(F.col("vec_id").cast("string")) % 100
+    naive = emb.select(
+        "vec_id",
+        F.when(bucket < TRAIN_PCT, "train")
+        .when(bucket < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    crossed = (
+        pairs.join(naive.select(F.col("vec_id").alias("keep_id"), F.col("split").alias("sa")), "keep_id")
+        .join(naive.select(F.col("vec_id").alias("dup_id"), F.col("split").alias("sb")), "dup_id")
+        .filter(F.col("sa") != F.col("sb"))
+        .count()
+    )
+    assert crossed > 0, "doc-level split should leak on this corpus"
