@@ -175,3 +175,36 @@ def test_multires_rollup_single_scan_single_expand(spark):
     assert plan.count("Expand") >= 1, plan
     assert plan.count("Scan parquet") <= 2, plan  # tree + details sections
     assert "partial_" in plan, plan
+
+
+def test_no_cartesian_product_anywhere(spark):
+    """Global lint: NO query in the entire surface may compile to a
+    CartesianProduct, and unbounded BroadcastNestedLoopJoin is allowed
+    only in the explicitly-quadratic exactness baselines (which
+    broadcast a provably small side). Streaming queries are skipped —
+    their builders execute a drain, and their batch twins are linted."""
+    import __spark_entry__ as e
+
+    allowed_bnlj = {
+        # exact O(n²) recall oracles — broadcast small side by design
+        "dedup_embedding_cosine",
+        "similarity_bruteforce",
+        # range join is non-equi by semantics; small side broadcast
+        "range_join_qty_bands",
+        "subquery_small_qty_revenue",
+        "q11_important_parts",  # global-scalar HAVING compare
+        "q15_top_supplier",     # max-equality scalar compare
+        "q22_idle_rich_customers",  # 1-row global-average scalar compare
+        "similarity_ann_ivf",   # broadcast centroid table (k rows)
+        "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
+    }
+    failures = []
+    for name, builder in e.queries().items():
+        if name.startswith("streaming_"):
+            continue
+        plan = _plan(builder(spark, SF_SMALL), "extended")
+        if "CartesianProduct" in plan:
+            failures.append((name, "CartesianProduct"))
+        if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
+            failures.append((name, "BroadcastNestedLoopJoin"))
+    assert not failures, failures
