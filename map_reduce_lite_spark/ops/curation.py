@@ -102,9 +102,10 @@ WITH with_pii AS (
   FROM with_pii
 )
 SELECT source, COUNT(*) AS n_docs,
-       SUM(n_emails) AS emails_masked,
-       SUM(n_phones) AS phones_masked,
-       SUM({sql_md5_60bit('redacted')} % {_CHECKSUM_MOD}) AS redacted_checksum
+       CAST(SUM(n_emails) AS BIGINT) AS emails_masked,
+       CAST(SUM(n_phones) AS BIGINT) AS phones_masked,
+       CAST(SUM({sql_md5_60bit('redacted')} % {_CHECKSUM_MOD}) AS BIGINT)
+         AS redacted_checksum
 FROM masked GROUP BY source
 """
 
@@ -184,8 +185,9 @@ WITH toks AS (
   GROUP BY t.doc
 )
 SELECT d.source, COUNT(*) AS n_train,
-       SUM(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS n_contaminated,
-       SUM(COALESCE(h.n_hits, 0)) AS n_hit_shingles
+       CAST(SUM(CASE WHEN h.n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_contaminated,
+       CAST(SUM(COALESCE(h.n_hits, 0)) AS BIGINT) AS n_hit_shingles
 FROM documents d LEFT JOIN hits h ON h.doc = d.doc_id
 WHERE d.doc_id % {HOLDOUT_MOD} <> 0
 GROUP BY d.source
@@ -262,8 +264,9 @@ WITH toks AS (
               AS BIGINT) AS share_e6
   FROM per_doc
 )
-SELECT d.source, COUNT(*) AS n_docs, SUM(f.flag) AS n_flagged,
-       SUM(f.share_e6) AS share_e6_sum
+SELECT d.source, COUNT(*) AS n_docs,
+       CAST(SUM(f.flag) AS BIGINT) AS n_flagged,
+       CAST(SUM(f.share_e6) AS BIGINT) AS share_e6_sum
 FROM documents d JOIN flagged f ON f.doc = d.doc_id
 GROUP BY d.source
 """
@@ -316,7 +319,8 @@ WITH routed AS (
          CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 )
-SELECT split, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+SELECT split, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
        COUNT(DISTINCT source) AS n_sources
 FROM routed GROUP BY split
 """
@@ -376,8 +380,9 @@ WITH flagged AS (
   FROM documents
 )
 SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct, COUNT(*) AS n_total,
-       SUM(kept) AS n_sampled,
-       SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS sampled_tokens
+       CAST(SUM(kept) AS BIGINT) AS n_sampled,
+       CAST(SUM(CASE WHEN kept = 1 THEN n_tokens ELSE 0 END) AS BIGINT)
+         AS sampled_tokens
 FROM flagged GROUP BY source, rate_pct
 """
 
@@ -425,10 +430,11 @@ WITH staged AS (
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents
 )
-SELECT source, COUNT(*) AS n_docs, SUM(n_tokens) AS total_tokens,
+SELECT source, COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
        CAST(floor((SUM(n_tokens) - 1) / {CTX_TOKENS}) + 1 AS BIGINT) AS n_sequences,
-       SUM(CASE WHEN floor((cum - n_tokens) / {CTX_TOKENS})
-                  <> floor((cum - 1) / {CTX_TOKENS}) THEN 1 ELSE 0 END)
+       CAST(SUM(CASE WHEN floor((cum - n_tokens) / {CTX_TOKENS})
+                  <> floor((cum - 1) / {CTX_TOKENS}) THEN 1 ELSE 0 END) AS BIGINT)
          AS n_boundary_docs
 FROM staged GROUP BY source
 """

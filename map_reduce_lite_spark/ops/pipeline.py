@@ -165,8 +165,9 @@ WITH feats AS (
   WHERE dr.doc_id IS NULL
 ), funnel AS (
   SELECT source, COUNT(*) AS n_total,
-         SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS n_quality,
-         SUM(CASE WHEN q_ok AND pred = 'en' THEN 1 ELSE 0 END) AS n_lang
+         CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         CAST(SUM(CASE WHEN q_ok AND pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_lang
   FROM flagged GROUP BY source
 ), kept_stats AS (
   SELECT source, COUNT(*) AS n_kept, SUM(n_tokens) AS kept_tokens

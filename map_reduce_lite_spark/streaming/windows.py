@@ -226,8 +226,8 @@ def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SLIDING_SQL = """
 WITH exploded AS (
-  SELECT to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
-           AS win_start,
+  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+              AS TIMESTAMP) AS win_start,
          event_type, value
   FROM events, LATERAL unnest(generate_series(0, 3)) AS k(k)
 )
