@@ -33,6 +33,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
         if dict(df.dtypes).get("ts") == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        if dict(df.dtypes).get("ts") == "timestamp_ntz":
+            # Plain timestamp[us] parquet reads as TIMESTAMP_NTZ in Spark 4.x,
+            # which unix_millis() and friends reject. Session TZ is pinned to
+            # UTC, so the cast is value-preserving and epoch_ms oracles match.
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
