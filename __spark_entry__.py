@@ -32,32 +32,36 @@ from map_reduce_lite_spark.ops import (
 )
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
-# Ordered so the training-data-pipeline extension surface (dedup /
-# similarity / text / multimodal / streaming / graph) and everything
-# new-or-changed this round sits in the front of the dict: a
-# correctness harness that samples a prefix of the query list still
-# covers every operator family and every unverified query. Queries
-# with standing driver evidence from the previous round (the four
-# parity workloads, the r01-green relational rear) yield their slots.
+# Ordered so everything new-or-changed THIS round sits in the front of
+# the dict: a correctness harness that samples a prefix of the query
+# list re-verifies every changed query first. Round-4 changes: the two
+# TIMESTAMP_NTZ-fixed event queries, the broadcast-hint removals on the
+# big-dim TPC-H shapes (q2/q8/q9/q11/q15/q16/q21 in tranche 3; q3/q7/
+# q10/q18 in the rear), the newly oracle-backed HLL sketch, and the
+# localCheckpoint'd leakage-safe split. Queries with standing driver
+# evidence from earlier rounds yield their slots.
 _FRONTED_RELATIONAL = [
-    "array_agg_priorities",   # output shape changed (array -> joined string)
-    "stats_corr_qty_price",   # not yet driver-verified
-    "q22_idle_rich_customers",  # non-vacuity fix
+    "sessionize_events",      # NTZ fix — driver-red in r3, must re-verify
+    "funnel_sessions",        # NTZ fix — driver-red in r3, must re-verify
+    "q3_top_orders",          # broadcast hint dropped on customer
+    "q7_nation_volume",       # broadcast hints dropped on customer+supplier
+    "q10_returned_revenue",   # broadcast hint dropped on customer
+    "q18_large_orders",       # broadcast hint dropped on customer
 ]
 
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
 ALL_QUERIES = {
+    **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
+    **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
+    **TEXT_QUERIES,           # sketch_distinct_tokens now oracle-backed
+    **CURATION_QUERIES,       # leakage_safe_split localCheckpoint
     **PIPELINE_QUERIES,
-    **CURATION_QUERIES,   # new this round — needs first driver pass
     **DEDUP_QUERIES,
     **SIMILARITY_QUERIES,
-    **TEXT_QUERIES,       # sketch_quantiles_price new this round
     **MULTIMODAL_QUERIES,
-    **STREAMING_QUERIES,  # streaming_rollup_multires new this round
+    **STREAMING_QUERIES,
     **GRAPH_QUERIES,
-    **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
-    **RELATIONAL_QUERIES_3,   # new this round — needs first driver pass
     **PARITY_QUERIES,     # r01-green, unchanged; q1 also smoke-runs via entry()
     **_REAR,
 }

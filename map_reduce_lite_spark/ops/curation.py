@@ -462,14 +462,20 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: pair finding is the banded LSH path (no O(n²)); components
     is iterative join+agg on ids; the routing itself is stateless hash
-    math. The audit join carries (8-byte id, split) pairs only."""
+    math. The audit join carries (8-byte id, split) pairs only. The
+    pair set feeds BOTH the components iteration and the crossing
+    audit, so it is materialized exactly once via an eager
+    localCheckpoint — without it the LSH band join + cosine verify
+    (the most expensive stage here) would execute twice."""
     from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
     from map_reduce_lite_spark.ops.graph import connected_components
     from map_reduce_lite_spark.ops.similarity import EMB_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM).select(
-        "keep_id", "dup_id"
+    pairs = (
+        embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+        .select("keep_id", "dup_id")
+        .localCheckpoint(eager=True)
     )
     comp = connected_components(pairs, src="keep_id", dst="dup_id")
     assigned = (

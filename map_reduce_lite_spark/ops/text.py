@@ -265,25 +265,67 @@ FROM documents
 """
 
 
-def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Distinct-token cardinality per source via HyperLogLog++ sketches
-    (approx_count_distinct, rsd=5%) next to the exact count.
+# HLL++ with rsd=5%: |approx - exact| / exact stays within 3·rsd with
+# overwhelming probability; the driver-hashed within_tolerance flag
+# hard-fails if the sketch ever drifts past it.
+SKETCH_RSD = 0.05
+SKETCH_TOL = 3 * SKETCH_RSD
 
-    THE scale pattern for cardinality at 100 TB: the sketch is a few KB
-    of mergeable state per group — map-side partials merge instead of
-    shuffling every distinct token. No oracle (DuckDB's HLL differs
-    bit-wise by construction); correctness is the property test pinning
-    the approximation within rsd of exact (tests/test_sketch.py)."""
+
+def sketch_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The live HLL++ estimate next to the exact count — the internal
+    aggregate behind sketch_distinct_tokens, exposed for the accuracy
+    property test (tests/test_sketch.py)."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
         F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
     ).filter(F.length("token") > 0)
     return toks.groupBy("source").agg(
-        F.approx_count_distinct("token", rsd=0.05).alias("approx_distinct"),
+        F.approx_count_distinct("token", rsd=SKETCH_RSD).alias("approx_distinct"),
         F.countDistinct("token").alias("exact_distinct"),
         F.count(F.lit(1)).alias("n_tokens"),
     )
+
+
+def sketch_distinct_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-token cardinality per source via HyperLogLog++ sketches
+    (approx_count_distinct, rsd=5%) next to the exact count.
+
+    THE scale pattern for cardinality at 100 TB: the sketch is a few KB
+    of mergeable state per group — map-side partials merge instead of
+    shuffling every distinct token. DuckDB's HLL differs bit-wise by
+    construction, so the ESTIMATE itself can't be oracle-hashed;
+    instead the output carries the exactly-replayable columns
+    (exact_distinct, n_tokens) plus within_tolerance — a boolean the
+    Spark side computes from the live sketch and the oracle asserts
+    TRUE. A sketch regression past 3·rsd flips the flag and
+    hash-fails the driver compare. The estimate's accuracy curve is
+    additionally property-tested (tests/test_sketch.py)."""
+    agg = sketch_distinct_raw(spark, sf_dir)
+    within = (
+        F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+        / F.col("exact_distinct")
+        <= F.lit(SKETCH_TOL)
+    )
+    return agg.select(
+        "source", "exact_distinct", "n_tokens", within.alias("within_tolerance")
+    )
+
+
+SKETCH_DISTINCT_SQL = """
+SELECT source,
+       COUNT(DISTINCT token) AS exact_distinct,
+       COUNT(*) AS n_tokens,
+       TRUE AS within_tolerance
+FROM (
+  SELECT source,
+         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+)
+WHERE length(token) > 0
+GROUP BY source
+"""
 
 
 def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -337,8 +379,8 @@ TEXT_QUERIES: dict[str, Query] = {
         Query(
             "sketch_distinct_tokens",
             sketch_distinct_tokens,
-            None,  # HLL sketches are engine-specific; property-tested instead
-            "HLL++ distinct-token cardinality per source",
+            SKETCH_DISTINCT_SQL,
+            "HLL++ distinct-token cardinality per source (tolerance-flagged)",
         ),
         Query(
             "sketch_quantiles_price",

@@ -68,7 +68,9 @@ GROUP BY l_returnflag, l_linestatus
 def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q3 shape: selective 3-way join + agg + deterministic top-k.
 
-    customer is small relative to the facts → Catalyst broadcasts it;
+    customer (segment-filtered, but still ~1/5 of a big dim at 100 TB)
+    carries NO broadcast hint: Catalyst's size stats broadcast it at
+    small scale, AQE falls back to shuffle at cluster scale;
     orders⋈lineitem shuffles on orderkey (the natural co-partition key).
     """
     c = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
@@ -81,7 +83,7 @@ def q3_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(dsum(revenue, 6).alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("l_orderkey"))

@@ -62,7 +62,9 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01'
 
 def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q10 shape: returned-item revenue per customer, top 20.
-    lineitem⋈orders shuffles on orderkey; customer/nation broadcast."""
+    lineitem⋈orders shuffles on orderkey; nation broadcasts (25 rows at
+    any SF); customer is a big dim so it gets no hint — AQE broadcasts
+    at test scale, shuffles on custkey at 100 TB."""
     c = load_table(spark, sf_dir, "customer")
     o = load_table(spark, sf_dir, "orders")
     l = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
@@ -70,7 +72,7 @@ def q10_returned_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
         .agg(dsum(revenue, 6).alias("revenue"))
@@ -173,7 +175,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         big.join(o, big.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
         .orderBy(F.desc("sum_qty"), F.asc("o_orderkey"))
         .limit(20)
@@ -381,8 +383,10 @@ GROUP BY l_suppkey
 
 def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q7 shape: shipping volume between two fixed nations by year.
-    Both nation dims broadcast; the only fact shuffle is
-    lineitem⋈orders on orderkey."""
+    Both nation dims broadcast (25 rows each at any SF); customer and
+    supplier — the big dims — carry no hint, so AQE broadcasts them at
+    test scale and shuffles at 100 TB. The only unavoidable fact
+    shuffle is lineitem⋈orders on orderkey."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     c = load_table(spark, sf_dir, "customer")
@@ -399,8 +403,8 @@ def q7_nation_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
         .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
         .filter(pair)

@@ -30,7 +30,9 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale: unit costs aggregate lineitem once on (partkey, suppkey);
     the per-part minimum reuses that shuffle's output partitioning
     (child groupBy on a prefix key), and the equality join back is
-    broadcast-friendly because the min side is one row per part."""
+    broadcast-friendly because the min side is one row per part.
+    supplier is a big dim at 100 TB → no hint (AQE decides);
+    nation stays hinted (25 rows at any SF)."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_type") == "SMALL") & (F.col("p_size") <= 10)
@@ -47,7 +49,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         costs.join(min_cost, "l_partkey")
         .filter(F.col("supply_cost") == F.col("min_cost"))
         .join(p, F.col("l_partkey") == p.p_partkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .select(
             "p_partkey",
@@ -81,9 +83,13 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume delivered into ASIA, by order year. The share is one double
     division of two decimal-exact sums.
 
-    Scale: one fact-fact shuffle (lineitem⋈orders on orderkey); all
-    four dims broadcast; the share aggregation is two parallel
-    conditional SUMs in a single pass."""
+    Scale: one fact-fact shuffle (lineitem⋈orders on orderkey); the
+    tiny dims (part-filtered, nation, region) carry explicit broadcast
+    hints, while customer and supplier — the two LARGEST dims, far past
+    any sane autoBroadcast threshold at 100 TB — are left unhinted so
+    AQE broadcasts them at small scale and falls back to shuffle joins
+    at cluster scale instead of OOMing executors. The share aggregation
+    is two parallel conditional SUMs in a single pass."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
@@ -104,10 +110,10 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n_c), F.col("c_nationkey") == F.col("cn_key"))
         .join(F.broadcast(r), F.col("c_rkey") == r.r_regionkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n_s), F.col("s_nationkey") == F.col("sn_key"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -143,8 +149,10 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     10% of retail price × quantity (same arithmetic both engines:
     left-associated double product with a DOUBLE literal).
 
-    Scale: lineitem⋈orders is the one big shuffle; part/supplier/nation
-    broadcast; profit folds to decimal inside the agg."""
+    Scale: lineitem⋈orders is the one big shuffle; the filtered part
+    and tiny nation dims carry broadcast hints, but supplier (a big dim
+    at 100 TB) is unhinted — AQE broadcasts it at small scale and
+    shuffles it at cluster scale. Profit folds to decimal in the agg."""
     l = load_table(spark, sf_dir, "lineitem")
     o = load_table(spark, sf_dir, "orders")
     s = load_table(spark, sf_dir, "supplier")
@@ -156,7 +164,7 @@ def q9_product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         l.join(o, l.l_orderkey == o.o_orderkey)
         .join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(s, l.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
         .groupBy(
             F.col("n_name").alias("nation"),
@@ -190,15 +198,18 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: the global total is a second aggregation over the SAME
     grouped result (no second scan), broadcast as one row; the filter
-    is then map-side. Both operands of the comparison are
-    decimal-exact sums cast to double."""
+    is then map-side. The 1-row nation filter is pushed INTO supplier
+    first (broadcast nation → ~1/25 of supplier survives), and that
+    pre-filtered supplier side joins lineitem unhinted — AQE broadcasts
+    it at test scale, shuffles at 100 TB. Both operands of the
+    comparison are decimal-exact sums cast to double."""
     l = load_table(spark, sf_dir, "lineitem")
     s = load_table(spark, sf_dir, "supplier")
     n = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_13")
-    scoped = (
-        l.join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), F.col("s_nationkey") == n.n_nationkey)
-    )
+    nation_suppliers = s.join(
+        F.broadcast(n), s.s_nationkey == n.n_nationkey, "left_semi"
+    ).select("s_suppkey")
+    scoped = l.join(nation_suppliers, l.l_suppkey == F.col("s_suppkey"), "left_semi")
     per_part = scoped.groupBy("l_partkey").agg(
         dsum(F.col("l_extendedprice") * F.col("l_quantity"), 4).alias("value")
     )
@@ -263,7 +274,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     scalar-subquery equality on a decimal-exact double, ties kept.
 
     Scale: revenue aggregates lineitem once on suppkey; the max is one
-    broadcast row; supplier dim broadcasts."""
+    broadcast row. The max-equality filter leaves a HANDFUL of rows, so
+    the supplier join is unhinted — AQE broadcasts the tiny filtered
+    side, never the full supplier dim."""
     l = load_table(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
@@ -278,7 +291,7 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_revenue") == F.col("max_revenue"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .select(F.col("s_suppkey"), "s_name", "total_revenue")
     )
 
@@ -302,8 +315,10 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q16 shape: distinct supplier count per (brand, type, size)
     over filtered parts, EXCLUDING low-balance suppliers via NOT IN.
 
-    Scale: the excluded-supplier set is tiny → broadcast anti join;
-    the distinct count shuffles (brand, type, size, suppkey) once."""
+    Scale: the excluded-supplier set is ~10% of a big dim (acctbal is
+    roughly uniform), so the anti join is unhinted — AQE broadcasts it
+    at test scale and shuffles at 100 TB; the distinct count shuffles
+    (brand, type, size, suppkey) once."""
     l = load_table(spark, sf_dir, "lineitem")
     p = load_table(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
@@ -315,7 +330,7 @@ def q16_supplier_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("s_suppkey").alias("bad_key"))
     return (
         l.join(F.broadcast(p), l.l_partkey == p.p_partkey)
-        .join(F.broadcast(bad), l.l_suppkey == F.col("bad_key"), "left_anti")
+        .join(bad, l.l_suppkey == F.col("bad_key"), "left_anti")
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
     )
@@ -385,12 +400,16 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     shape.) Top 20 by wait count with name tiebreak.
 
     Scale: both self-joins are equi on orderkey with a residual
-    predicate — hash joins, no cartesian; orders/supplier broadcast."""
+    predicate — hash joins, no cartesian. The orders side is a FACT
+    table (status 'F' keeps ~half of it), so it gets no broadcast hint:
+    at 100 TB that join must shuffle on orderkey, the same partitioning
+    the two self-joins reuse. Supplier is unhinted for the same reason;
+    AQE broadcasts both at test scale."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     s = load_table(spark, sf_dir, "supplier")
     l1 = (
         load_table(spark, sf_dir, "lineitem")
-        .join(F.broadcast(o.select("o_orderkey")), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(o.select("o_orderkey"), F.col("l_orderkey") == F.col("o_orderkey"))
         .select("l_orderkey", "l_suppkey", "l_shipdate")
     )
     l2 = l1.select(
@@ -416,7 +435,7 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return (
-        waiting.join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        waiting.join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.countDistinct("l_orderkey").alias("numwait"))
         .orderBy(F.desc("numwait"), F.asc("s_name"))

@@ -226,8 +226,10 @@ def streaming_events_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_SLIDING_SQL = """
 WITH exploded AS (
-  SELECT CAST(to_timestamp(CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
-              AS TIMESTAMP) AS win_start,
+  -- make_timestamp(µs) is timezone-free; to_timestamp would round-trip
+  -- through TIMESTAMPTZ and silently depend on the host session TimeZone
+  SELECT make_timestamp((CAST(floor(epoch(ts) / 900) AS BIGINT) * 900 - k.k * 900)
+                        * 1000000) AS win_start,
          event_type, value
   FROM events, LATERAL unnest(generate_series(0, 3)) AS k(k)
 )
@@ -262,12 +264,33 @@ def _stage_events(spark: SparkSession, sf_dir: str) -> str:
     tag = re.sub(r"[^A-Za-z0-9]+", "_", sf_dir).strip("_")
     staged = f"/tmp/mrl_stream_events_{tag}_{fp}"
     if not os.path.exists(os.path.join(staged, "_SUCCESS")):
+        # Sweep tmp dirs leaked by crashed prior runs. Age-gated so a
+        # LIVE concurrent writer's tmp dir is never pulled out from
+        # under it mid-write.
+        import glob
+        import time
+
+        for stale in glob.glob(f"{staged}.tmp.*"):
+            try:
+                if time.time() - os.path.getmtime(stale) > 3600:
+                    shutil.rmtree(stale, ignore_errors=True)
+            except OSError:
+                pass
         tmp = f"{staged}.tmp.{uuid.uuid4().hex[:8]}"
         load_table(spark, sf_dir, "events").write.mode("overwrite").parquet(tmp)
         try:
             os.rename(tmp, staged)
-        except OSError:  # concurrent run won the rename race — use theirs
-            shutil.rmtree(tmp, ignore_errors=True)
+        except OSError:
+            # Two distinct causes land here: a concurrent run won the
+            # rename race (fine — use theirs), or the rename itself
+            # failed (EXDEV, permissions, ...). Only discard our fresh
+            # data once the winner is PROVEN complete; otherwise
+            # swallowing the error would return a nonexistent path.
+            if os.path.exists(os.path.join(staged, "_SUCCESS")):
+                shutil.rmtree(tmp, ignore_errors=True)
+            else:
+                shutil.rmtree(tmp, ignore_errors=True)
+                raise
     return staged
 
 
@@ -353,6 +376,60 @@ SELECT user_id, start_ms, end_ms, n_events,
        session_id <> MAX(session_id) OVER (PARTITION BY user_id) AS closed
 FROM sess
 """
+
+
+def streaming_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRODUCTION serving shape for the continuous aggregate, end to
+    end: update-mode multi-resolution rollup → foreachBatch appends
+    version-stamped rows to a parquet serving table → latest-version
+    view. The append + latest-version-wins read is the plain-parquet
+    stand-in for a Delta/Iceberg MERGE target.
+
+    Update mode emits each key's CUMULATIVE state whenever a batch
+    touches it, so after an availableNow drain the highest-version row
+    per key is that key's final aggregate — which is why the batch
+    GROUPING SETS rollup (EVENTS_MULTIRES_SQL) is an exact oracle for
+    the served view. Scale: the stream side is the same single stateful
+    aggregation as streaming_rollup_multires; the serving read prunes
+    to one row per key with a window rank, which a real lakehouse table
+    replaces with MERGE (no read-side rank at all)."""
+    global _STREAM_RUN
+    import tempfile
+
+    from pyspark.sql import Window
+
+    staged = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    serving_dir = tempfile.mkdtemp(prefix="mrl_serving_upsert_")
+
+    def upsert(bdf: DataFrame, batch_id: int) -> None:
+        bdf.withColumn("_v", F.lit(batch_id)).write.mode("append").parquet(serving_dir)
+
+    _STREAM_RUN += 1
+    q = (
+        multires_rollup_stream(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(upsert)
+        .trigger(availableNow=True)
+        .start()
+    )
+    finished = q.awaitTermination(180)
+    q.stop()
+    if not finished:
+        raise TimeoutError("serving upsert drain did not finish within 180s")
+    w = Window.partitionBy("resolution", "bucket_start", "event_type").orderBy(
+        F.desc("_v")
+    )
+    return (
+        spark.read.parquet(serving_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("resolution", "bucket_start", "event_type", "n_events", "sum_value")
+    )
 
 
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -445,6 +522,12 @@ def _streaming_queries():
             streaming_rollup_multires,
             _multires_oracle(),
             "streaming hour/day/month continuous aggregate == batch GROUPING SETS oracle",
+        ),
+        "streaming_serving_upsert": Query(
+            "streaming_serving_upsert",
+            streaming_serving_upsert,
+            _multires_oracle(),
+            "foreachBatch upsert serving table == batch GROUPING SETS oracle",
         ),
         "streaming_purchase_view_join": Query(
             "streaming_purchase_view_join",

@@ -30,6 +30,9 @@ def duck():
     import duckdb
 
     con = duckdb.connect()
+    # Oracles must be timezone-free (Spark session is pinned to UTC);
+    # pin DuckDB too so a non-UTC host can't skew any TIMESTAMPTZ detour.
+    con.execute("SET TimeZone='UTC'")
     for name in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

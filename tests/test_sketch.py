@@ -12,9 +12,9 @@ from tests.conftest import SF_SMALL
 
 
 def test_hll_within_rsd_of_exact(spark):
-    import __spark_entry__ as e
+    from map_reduce_lite_spark.ops.text import sketch_distinct_raw
 
-    rows = e.queries()["sketch_distinct_tokens"](spark, SF_SMALL).collect()
+    rows = sketch_distinct_raw(spark, SF_SMALL).collect()
     assert rows, "no sources"
     for r in rows:
         exact = r["exact_distinct"]
@@ -22,6 +22,15 @@ def test_hll_within_rsd_of_exact(spark):
         assert exact > 0
         # 5% rsd ⇒ 3σ bound of 15%; generous but catches a broken sketch
         assert abs(approx - exact) / exact < 0.15, (r["source"], approx, exact)
+
+
+def test_sketch_query_tolerance_flag_true(spark):
+    """The driver-facing query's within_tolerance flag (the oracle
+    asserts literal TRUE) must actually be computed and true."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["sketch_distinct_tokens"](spark, SF_SMALL).collect()
+    assert rows and all(r["within_tolerance"] for r in rows)
 
 
 def test_rolling_hash_range_and_determinism(spark):

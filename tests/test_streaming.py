@@ -251,3 +251,67 @@ def test_multires_foreachbatch_upsert_serving(spark, tmp_path):
     )
     assert sum(want.values()) > 0
     assert got == want
+
+
+def test_stage_events_rename_failure_raises_not_data_loss(spark, monkeypatch):
+    """A rename that fails WITHOUT a concurrent winner must raise — the
+    old swallow-all fallback silently returned a nonexistent path and
+    deleted the freshly written data (VERDICT r3 'What's wrong' #6)."""
+    import os
+    import shutil
+
+    from map_reduce_lite_spark.streaming import windows as W
+
+    staged_expected = W._stage_events(spark, SF_SMALL)  # warm: real staging works
+    assert os.path.exists(os.path.join(staged_expected, "_SUCCESS"))
+
+    # wipe the staged dir so _stage_events must re-write, then make the
+    # rename fail as if crossing a filesystem boundary (EXDEV)
+    shutil.rmtree(staged_expected)
+
+    def failing_rename(src, dst):
+        raise OSError(18, "Invalid cross-device link", src)
+
+    monkeypatch.setattr(os, "rename", failing_rename)
+    try:
+        import pytest as _pytest
+
+        with _pytest.raises(OSError):
+            W._stage_events(spark, SF_SMALL)
+    finally:
+        monkeypatch.undo()
+
+    # no half-staged dir may be left claiming success
+    assert not os.path.exists(os.path.join(staged_expected, "_SUCCESS"))
+    # re-staging after the failure works and yields complete output again
+    staged = W._stage_events(spark, SF_SMALL)
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+
+
+def test_stage_events_lost_race_uses_winner(spark, monkeypatch):
+    """A rename that fails because a CONCURRENT run already renamed its
+    complete output into place must return the winner's path and clean
+    up our tmp dir."""
+    import glob
+    import os
+    import shutil
+
+    from map_reduce_lite_spark.streaming import windows as W
+
+    staged_expected = W._stage_events(spark, SF_SMALL)
+    shutil.rmtree(staged_expected)
+    real_rename = os.rename
+
+    def racing_rename(src, dst):
+        # simulate the concurrent winner completing first
+        real_rename(src, dst)
+        raise OSError(39, "Directory not empty", dst)
+
+    monkeypatch.setattr(os, "rename", racing_rename)
+    try:
+        staged = W._stage_events(spark, SF_SMALL)
+    finally:
+        monkeypatch.undo()
+    assert staged == staged_expected
+    assert os.path.exists(os.path.join(staged, "_SUCCESS"))
+    assert not glob.glob(f"{staged}.tmp.*"), "tmp dirs must be cleaned up"
