@@ -27,6 +27,7 @@ from map_reduce_lite_spark.ops import (
     DEDUP_QUERIES,
     MULTIMODAL_QUERIES,
     PIPELINE_QUERIES,
+    SAMPLING_QUERIES,
     SIMILARITY_QUERIES,
     TEXT_QUERIES,
 )
@@ -53,6 +54,7 @@ _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
 ALL_QUERIES = {
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
+    **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
     **TEXT_QUERIES,           # sketch_distinct_tokens now oracle-backed
     **CURATION_QUERIES,       # leakage_safe_split localCheckpoint
