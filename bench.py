@@ -57,6 +57,10 @@ BENCH_QUERIES = [
     "streaming_sessionize",
     "curation_contamination",
     "events_rollup_multires",
+    # added in round 4
+    "heavy_hitters_tokens",
+    "sample_stratified_sources",
+    "streaming_serving_upsert",
 ]
 
 

@@ -177,6 +177,33 @@ def test_multires_rollup_single_scan_single_expand(spark):
     assert "partial_" in plan, plan
 
 
+def test_leakage_split_pairs_materialized_once(spark):
+    """The LSH pair set feeds both the components iteration and the
+    crossing audit; the eager localCheckpoint must make the final plan
+    read the MATERIALIZED pairs (ExistingRDD scans) instead of
+    re-deriving the band join + cosine verify per consumer."""
+    plan = _plan(_q(spark, "curation_leakage_safe_split"))
+    assert "ExistingRDD" in plan, plan
+    # the LSH machinery (hyperplane projections via posexplode of the
+    # band structs) must NOT appear downstream of the checkpoint
+    assert "posexplode" not in plan.lower(), plan
+
+
+def test_sampling_family_no_joins_no_python(spark):
+    """Deterministic sampling is scan → hash filter → small agg: no
+    joins, no Python, nothing stateful."""
+    for name in ("sample_bernoulli_docs", "sample_stratified_sources"):
+        plan = _plan(_q(spark, name))
+        assert "Join" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan, (name, plan)
+
+
+def test_heavy_hitters_take_ordered(spark):
+    plan = _plan(_q(spark, "heavy_hitters_tokens"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "partial_" in plan, plan  # map-side combine of local vocab
+
+
 def test_no_cartesian_product_anywhere(spark):
     """Global lint: NO query in the entire surface may compile to a
     CartesianProduct, and unbounded BroadcastNestedLoopJoin is allowed
