@@ -15,8 +15,9 @@ Reference parity:
   writes ``part-*`` files through a committer (staged rename ≈ the
   reference's straggler_copy + move_objects dance, job_queue.rs:650-656).
 
-Beyond parity, ``read_source``/``write_sink`` expose csv/json/parquet —
-the formats a real corpus arrives in. Scale notes: parquet reads get
+Beyond parity, ``read_source``/``write_sink`` expose csv/json/parquet/orc
+— the formats a real corpus arrives in (orc, like parquet, gets
+predicate pushdown + column pruning from the native reader). Scale notes: parquet reads get
 predicate pushdown + column pruning from Catalyst (verify via
 ``.explain`` → PushedFilters/ReadSchema); ``partition_by`` writes
 hive-layout directories so downstream reads partition-prune;
@@ -30,7 +31,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-FORMATS = ("text", "csv", "json", "parquet")
+FORMATS = ("text", "csv", "json", "parquet", "orc")
 
 
 def scan_lines(spark: SparkSession, path_glob: str, with_file: bool = False) -> DataFrame:

@@ -40,7 +40,7 @@ def test_scan_whole_files_one_row_per_file(spark, textdir):
     assert by_name["b.txt"] == "beta one\n"
 
 
-@pytest.mark.parametrize("fmt", ["csv", "json", "parquet"])
+@pytest.mark.parametrize("fmt", ["csv", "json", "parquet", "orc"])
 def test_roundtrip_formats(spark, tmp_path, fmt):
     df = spark.createDataFrame(
         [Row(k=1, name="x", v=1.5), Row(k=2, name="y", v=2.5)]
@@ -77,3 +77,15 @@ def test_partitioned_write_prunes(spark, tmp_path):
 def test_unknown_format_raises(spark, tmp_path):
     with pytest.raises(ValueError):
         read_source(spark, str(tmp_path), fmt="avro")
+
+
+def test_orc_predicate_pushdown(spark, tmp_path):
+    """ORC goes through the same native scan machinery as parquet:
+    filters must reach the file scan (PushedFilters), not run post-hoc."""
+    df = spark.range(1000).selectExpr("id AS k", "CAST(id % 7 AS STRING) AS tag")
+    out = str(tmp_path / "orc_pd")
+    write_sink(df, out, fmt="orc")
+    back = read_source(spark, out, fmt="orc").filter(F.col("k") > 900).select("k")
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "k" in plan, plan
+    assert back.count() == 99
