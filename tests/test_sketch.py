@@ -51,3 +51,20 @@ def test_gk_quantiles_monotone_and_bounded(spark):
     assert rows, "must produce one row per return flag"
     for r in rows:
         assert r.price_q25 <= r.price_q50 <= r.price_q75 <= r.price_q95
+
+
+def test_gk_exact_mode_assumption_holds(spark, duck):
+    """The GK quantile oracle (quantile_disc equality) is valid ONLY in
+    the sketch's exact mode: percentile_approx(accuracy=1e5) returns the
+    discrete quantile exactly while each group's distinct-value count is
+    below the accuracy parameter. This pins that precondition at test
+    scale, so a testdata regeneration that silently crosses it fails a
+    NAMED test instead of a hash mismatch deep in the driver."""
+    max_distinct = duck.execute(
+        "SELECT MAX(cnt) FROM (SELECT COUNT(DISTINCT l_extendedprice) AS cnt "
+        "FROM lineitem GROUP BY l_returnflag)"
+    ).fetchone()[0]
+    assert max_distinct < 100000, (
+        f"{max_distinct} distinct prices per group: percentile_approx is no "
+        "longer exact; the quantile oracle must switch to a tolerance check"
+    )
