@@ -328,6 +328,18 @@ GROUP BY source
 """
 
 
+# exact-mode accuracy: percentile_approx returns the exact discrete
+# quantile while per-group distinct values stay below this (guarded by
+# tests/test_sketch.py — sf0.1 has ~2e5 distinct prices per group, so
+# the old 1e5 setting silently left exact mode between sf0.01 and sf0.1)
+GK_EXACT_ACCURACY = 1_000_000
+# the production-tier sketch whose approximation quality the tolerance
+# flag pins (state O(accuracy), mergeable — the true 100 TB setting)
+GK_PROD_ACCURACY = 1_000
+GK_VALUE_TOL = 0.05
+_GK_PROBS = [0.25, 0.5, 0.75, 0.95]
+
+
 def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quantile summary per return flag via the Greenwald–Khanna sketch
     (percentile_approx) — the other half of the sketch family next to
@@ -335,25 +347,37 @@ def sketch_quantiles_price(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     THE scale pattern for quantiles at 100 TB: GK state is bounded
     (O(accuracy)) and mergeable, so partials combine map-side instead
-    of sorting the column. Below `accuracy` distinct values the sketch
-    is EXACT and returns the discrete quantile — empirically identical
-    to DuckDB's quantile_disc at test scale, which is what the oracle
-    pins (per-column scalars, not an array — array cells break harness
-    canonicalization; the round-1 array_agg lesson)."""
+    of sorting the column. Two tiers run in ONE aggregation pass: the
+    exact-mode tier (accuracy 1e6 — discrete-quantile EXACT while
+    per-group distinct values stay below it, which the oracle pins as
+    quantile_disc equality and a named test guards), and the
+    production tier (accuracy 1e3 — the state size a 100 TB run would
+    actually carry), pinned by within_tolerance: the oracle asserts
+    TRUE, so a sketch regression past 5% value error hash-fails the
+    driver compare. Per-column scalars, not an array — array cells
+    break harness canonicalization (the round-1 array_agg lesson)."""
     li = load_table(spark, sf_dir, "lineitem")
     qs = F.percentile_approx(
-        "l_extendedprice", [0.25, 0.5, 0.75, 0.95], 100000
+        "l_extendedprice", _GK_PROBS, GK_EXACT_ACCURACY
     ).alias("qs")
-    return (
-        li.groupBy("l_returnflag")
-        .agg(qs)
-        .select(
-            "l_returnflag",
-            F.col("qs")[0].alias("price_q25"),
-            F.col("qs")[1].alias("price_q50"),
-            F.col("qs")[2].alias("price_q75"),
-            F.col("qs")[3].alias("price_q95"),
+    qs_prod = F.percentile_approx(
+        "l_extendedprice", _GK_PROBS, GK_PROD_ACCURACY
+    ).alias("qs_prod")
+    agg = li.groupBy("l_returnflag").agg(qs, qs_prod)
+    within = None
+    for i in range(len(_GK_PROBS)):
+        ok_i = (
+            F.abs(F.col("qs_prod")[i] - F.col("qs")[i]) / F.col("qs")[i]
+            <= F.lit(GK_VALUE_TOL)
         )
+        within = ok_i if within is None else (within & ok_i)
+    return agg.select(
+        "l_returnflag",
+        F.col("qs")[0].alias("price_q25"),
+        F.col("qs")[1].alias("price_q50"),
+        F.col("qs")[2].alias("price_q75"),
+        F.col("qs")[3].alias("price_q95"),
+        within.alias("within_tolerance"),
     )
 
 
@@ -362,7 +386,8 @@ SELECT l_returnflag,
        quantile_disc(l_extendedprice, 0.25) AS price_q25,
        quantile_disc(l_extendedprice, 0.5) AS price_q50,
        quantile_disc(l_extendedprice, 0.75) AS price_q75,
-       quantile_disc(l_extendedprice, 0.95) AS price_q95
+       quantile_disc(l_extendedprice, 0.95) AS price_q95,
+       TRUE AS within_tolerance
 FROM lineitem GROUP BY l_returnflag
 """
 

@@ -53,18 +53,31 @@ def test_gk_quantiles_monotone_and_bounded(spark):
         assert r.price_q25 <= r.price_q50 <= r.price_q75 <= r.price_q95
 
 
-def test_gk_exact_mode_assumption_holds(spark, duck):
+def test_gk_exact_mode_assumption_holds():
     """The GK quantile oracle (quantile_disc equality) is valid ONLY in
-    the sketch's exact mode: percentile_approx(accuracy=1e5) returns the
-    discrete quantile exactly while each group's distinct-value count is
-    below the accuracy parameter. This pins that precondition at test
-    scale, so a testdata regeneration that silently crosses it fails a
-    NAMED test instead of a hash mismatch deep in the driver."""
-    max_distinct = duck.execute(
-        "SELECT MAX(cnt) FROM (SELECT COUNT(DISTINCT l_extendedprice) AS cnt "
-        "FROM lineitem GROUP BY l_returnflag)"
-    ).fetchone()[0]
-    assert max_distinct < 100000, (
-        f"{max_distinct} distinct prices per group: percentile_approx is no "
-        "longer exact; the quantile oracle must switch to a tolerance check"
-    )
+    the sketch's exact mode: percentile_approx returns the discrete
+    quantile exactly while each group's distinct-value count is below
+    the accuracy parameter. Checked at EVERY scale factor the harness
+    touches (sf0.1 is what caught the old 1e5 accuracy silently leaving
+    exact mode: ~2e5 distinct prices per group), so a testdata
+    regeneration that crosses the bound fails a NAMED test instead of a
+    hash mismatch deep in the driver."""
+    import os
+
+    import duckdb
+
+    from map_reduce_lite_spark.ops.text import GK_EXACT_ACCURACY
+
+    for sf_dir in ("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+                   "/root/testdata/sf0.1"):
+        if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+            continue
+        max_distinct = duckdb.sql(
+            "SELECT MAX(cnt) FROM (SELECT COUNT(DISTINCT l_extendedprice) AS cnt "
+            f"FROM read_parquet('{sf_dir}/lineitem.parquet') GROUP BY l_returnflag)"
+        ).fetchone()[0]
+        assert max_distinct < GK_EXACT_ACCURACY, (
+            f"{sf_dir}: {max_distinct} distinct prices per group >= accuracy "
+            f"{GK_EXACT_ACCURACY}: percentile_approx is no longer exact; raise "
+            "the accuracy or switch the oracle to a tolerance check"
+        )
