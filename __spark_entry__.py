@@ -52,14 +52,23 @@ _FRONTED_RELATIONAL = [
 
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
+# streaming queries new or changed this round, pulled ahead of their
+# family so they sit inside the driver's prefix window; the rest of the
+# streaming family keeps its r3-green standing evidence.
+_FRONTED_STREAMING = [
+    "streaming_serving_upsert",   # NEW — foreachBatch upsert serving
+    "streaming_events_sliding",   # oracle made timezone-free
+]
+
 ALL_QUERIES = {
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
+    **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
-    **TEXT_QUERIES,           # sketch_distinct_tokens now oracle-backed
+    **TEXT_QUERIES,           # both sketches now oracle-backed (HLL + 2-tier GK)
     **CURATION_QUERIES,       # leakage_safe_split localCheckpoint
     **PIPELINE_QUERIES,
-    **DEDUP_QUERIES,
+    **DEDUP_QUERIES,          # minhash/embedding band signatures checkpointed
     **SIMILARITY_QUERIES,
     **MULTIMODAL_QUERIES,
     **STREAMING_QUERIES,
