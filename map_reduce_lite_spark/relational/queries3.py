@@ -44,6 +44,14 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs = l.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supply_cost")
     )
+    # costs feeds BOTH the per-part minimum and the equality join back;
+    # the two consumers prune different columns so their exchanges are
+    # not identical and AQE's ReusedExchange does NOT fire (verified on
+    # the final adaptive plan). persist() computes the dominant lineitem
+    # shuffle once for both consumers — dim-scale state (one row per
+    # part-supplier), spillable, and recomputable on executor loss
+    # (which a localCheckpoint is not).
+    costs = costs.persist()
     min_cost = costs.groupBy("l_partkey").agg(F.min("supply_cost").alias("min_cost"))
     return (
         costs.join(min_cost, "l_partkey")
@@ -286,7 +294,9 @@ def q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * (1 - F.col("l_discount")), 6).alias(
             "total_revenue"
         )
-    )
+    ).persist()  # feeds the max AND the equality filter; ReusedExchange
+    # does not fire (1-row agg vs filter side), so compute the
+    # one-row-per-supplier aggregate once — spillable, loss-recoverable
     max_rev = revenue.agg(F.max("total_revenue").alias("max_revenue"))
     return (
         revenue.crossJoin(F.broadcast(max_rev))
