@@ -57,6 +57,7 @@ _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 # streaming family keeps its r3-green standing evidence.
 _FRONTED_STREAMING = [
     "streaming_serving_upsert",   # NEW — foreachBatch upsert serving
+    "streaming_sessionize_native",  # NEW — JVM session_window tier
     "streaming_events_sliding",   # oracle made timezone-free
 ]
 

@@ -432,6 +432,70 @@ def streaming_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+SESSION_GAP = "30 minutes"
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def streaming_sessionize_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization via Spark's NATIVE session_window — the JVM-tier
+    sibling of the applyInPandasWithState operator (streaming_sessionize).
+
+    When the per-session logic is a plain aggregate, the built-in
+    session window keeps the whole operator inside the streaming
+    engine's state store and codegen — no Python workers, no Arrow
+    transfer — which is the first-choice form at 100 TB; the Pandas
+    stateful op remains for logic a built-in can't express. Spark's
+    session end is last_event + gap, so end_ms subtracts the gap back
+    to the last-event timestamp, making the output exactly the batch
+    gaps-and-islands session set (same oracle family as the custom op,
+    minus its open/closed flag — complete-mode drain finalizes all)."""
+    global _STREAM_RUN
+    staged = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    sessions = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", SESSION_GAP).alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.unix_millis(F.col("w.start")).alias("start_ms"),
+            (F.unix_millis(F.col("w.end")) - F.lit(SESSION_GAP_MS)).alias(
+                "end_ms"
+            ),
+            "n_events",
+        )
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_sess_native_{_STREAM_RUN}"
+    run_stream_to_memory(sessions, name)
+    return spark.table(name)
+
+
+SESSIONIZE_NATIVE_SQL = """
+WITH flagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w > 1800000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), numbered AS (
+  SELECT user_id, ts,
+         CAST(SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+              AS BIGINT) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       MIN(epoch_ms(ts)) AS start_ms, MAX(epoch_ms(ts)) AS end_ms,
+       COUNT(*) AS n_events
+FROM numbered GROUP BY user_id, session_id
+"""
+
+
 def streaming_dedup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming exact dedup (``dropDuplicatesWithinWatermark``) on
     (user_id, event_type): first arrival per key wins, later duplicates
@@ -540,6 +604,12 @@ def _streaming_queries():
             streaming_sessionize,
             STREAMING_SESSIONIZE_SQL,
             "applyInPandasWithState sessions == gaps-and-islands oracle",
+        ),
+        "streaming_sessionize_native": Query(
+            "streaming_sessionize_native",
+            streaming_sessionize_native,
+            SESSIONIZE_NATIVE_SQL,
+            "native JVM session_window == gaps-and-islands oracle",
         ),
         "streaming_dedup_events": Query(
             "streaming_dedup_events",
