@@ -23,12 +23,14 @@ from map_reduce_lite_spark.relational.queries2 import RELATIONAL_QUERIES_2
 from map_reduce_lite_spark.relational.queries3 import RELATIONAL_QUERIES_3
 from map_reduce_lite_spark.streaming.windows import STREAMING_QUERIES
 from map_reduce_lite_spark.ops import (
+    CLUSTERING_QUERIES,
     CURATION_QUERIES,
     DEDUP_QUERIES,
     MULTIMODAL_QUERIES,
     PIPELINE_QUERIES,
     SAMPLING_QUERIES,
     SIMILARITY_QUERIES,
+    SPAN_QUERIES,
     TEXT_QUERIES,
 )
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
@@ -63,6 +65,8 @@ _FRONTED_STREAMING = [
 
 ALL_QUERIES = {
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
+    **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
+    **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite

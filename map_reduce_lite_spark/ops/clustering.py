@@ -1,0 +1,274 @@
+"""Embedding clustering (k-means) and cluster-scoped semantic dedup.
+
+Corpus organization at 100 TB runs on clustering: partition the
+embedding space, then do expensive pairwise work only WITHIN clusters
+(SemDeDup — Abbas et al. 2023: k-means the embeddings, near-dedup
+inside each cluster). The reference has no clustering operator; this
+module is part of the training-data-pipeline extension surface, same
+contract as ops/dedup.py / ops/similarity.py.
+
+Determinism: Lloyd's algorithm over doubles is not value-portable
+(centroid means are order-dependent float sums), so the operator runs
+on fixed-point embeddings — each coordinate is quantized ONCE to
+floor(x * 1e6) (the double multiply and floor are bit-identical in
+both engines), after which every distance is an EXACT int64 and every
+centroid mean is floor(int_sum / count) — one double division of
+exact integers, identical everywhere. Quantization error (1e-6 per
+coordinate) is orders of magnitude below the inter-point distances
+here; production could run float k-means, at the price of making
+results cluster-topology-reproducible rather than bit-reproducible.
+Initial centroids are the first K vectors by vec_id — deterministic
+and oracle-replayable (k-means++ would need a seeded RNG contract).
+
+Scale notes:
+- Assignment: corpus × K broadcast-nested-loop against a K-row
+  centroid table (never a shuffle, never a CartesianProduct), then a
+  per-vector argmin via one window. The FLOP cost is O(n·K·dim) —
+  the same shape MLlib uses.
+- Update: 64 integer SUM aggregates + COUNT per cluster in ONE
+  groupBy — no posexplode (that would inflate rows dim×), map-side
+  partial aggregation does the heavy lifting. int64 sums are exact up
+  to ~9e12 rows per cluster at this quantization (|q| <= 1e6 needs
+  sum < 2^63); the floor-mean's double conversion is exact while
+  cluster sums stay under 2^53 — beyond that, swap the cast for a
+  DECIMAL(38,0) sum, same plan shape.
+- Iterations are unrolled (KMEANS_ITERS is a compile-time constant);
+  each round's K-row centroid table is localCheckpoint'd so lineage
+  stays flat (the ops/graph.py lesson).
+- SemDeDup: the pair join keys on (cluster) — quadratic only within a
+  cluster, the entire point of clustering-scoped dedup. The cosine
+  verify reuses the exact fold from ops/similarity.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.ops.similarity import (
+    EMB_DIM,
+    _dot,
+    _norm,
+    _spread,
+    _sql_cos,
+)
+from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.relational.tables import load_table
+
+QUANT = 1_000_000.0  # fixed-point scale: q = floor(x * 1e6)
+K_CLUSTERS = 4
+KMEANS_ITERS = 2     # unrolled Lloyd rounds (assign → update, twice) + final assign
+SEMDEDUP_COS = 0.40  # same threshold as the whole-corpus near-dup family
+
+
+def _quantize(vec):
+    return F.transform(
+        vec, lambda x: F.floor(x.cast("double") * F.lit(QUANT)).cast("long")
+    )
+
+
+def _sqdist(a, b):
+    """Exact integer squared L2 distance between quantized vectors."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest centroid per vector (ties → lowest cluster id)."""
+    scored = q.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "qv",
+        "cluster",
+        _sqdist(F.col("qv"), F.col("cv")).alias("dist_q"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cluster"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _update(assign: DataFrame) -> DataFrame:
+    """Per-cluster floor-mean centroid: one groupBy, dim SUMs + COUNT."""
+    sums = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(EMB_DIM)]
+    g = assign.groupBy("cluster").agg(*sums, F.count(F.lit(1)).alias("n"))
+    cv = F.array(
+        *[
+            F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
+            for i in range(EMB_DIM)
+        ]
+    )
+    return g.select("cluster", cv.alias("cv"))
+
+
+def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Final (vec_id, cluster, dist_q) after KMEANS_ITERS Lloyd rounds."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    cents = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
+    )
+    for _ in range(KMEANS_ITERS):
+        # K tiny rows — checkpoint keeps each round's plan flat
+        cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
+    return _assign(q, cents).select(
+        "vec_id", F.col("cluster").cast("int").alias("cluster"), "dist_q"
+    )
+
+
+def cluster_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return kmeans_assignments(spark, sf_dir)
+
+
+def _sql_quant(expr: str) -> str:
+    return (
+        f"list_transform({expr}, "
+        f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
+    )
+
+
+def _sql_sqdist(a: str, b: str) -> str:
+    # generated 64-term integer sum — exact, order-free
+    terms = [
+        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        for i in range(1, EMB_DIM + 1)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _sql_assign(src_q: str, src_c: str, out_qv: bool) -> str:
+    cols = "vec_id, qv, cluster, dist_q" if out_qv else "vec_id, cluster, dist_q"
+    return f"""(
+  SELECT {cols} FROM (
+    SELECT q.vec_id, q.qv, c.cluster,
+           {_sql_sqdist('q.qv', 'c.cv')} AS dist_q,
+           row_number() OVER (
+             PARTITION BY q.vec_id
+             ORDER BY {_sql_sqdist('q.qv', 'c.cv')} ASC, c.cluster ASC) AS rn
+    FROM {src_q} q CROSS JOIN {src_c} c
+  ) WHERE rn = 1
+)"""
+
+
+def _sql_update(src_a: str) -> str:
+    means = ", ".join(
+        f"CAST(floor(CAST(SUM(qv[{i}]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m{i}"
+        for i in range(1, EMB_DIM + 1)
+    )
+    lst = "[" + ", ".join(f"m{i}" for i in range(1, EMB_DIM + 1)) + "]"
+    return f"""(
+  SELECT cluster, {lst} AS cv FROM (
+    SELECT cluster, {means} FROM {src_a} GROUP BY cluster
+  )
+)"""
+
+
+def _kmeans_ctes() -> str:
+    """Shared CTE chain: q, c0, a0, c1, a1, c2 (… per KMEANS_ITERS)."""
+    parts = [
+        f"q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qv AS cv FROM q WHERE vec_id < {K_CLUSTERS})",
+    ]
+    for t in range(KMEANS_ITERS):
+        parts.append(f"a{t} AS {_sql_assign('q', f'c{t}', out_qv=True)}")
+        parts.append(f"c{t + 1} AS {_sql_update(f'a{t}')}")
+    return "WITH " + ",\n".join(parts)
+
+
+def _kmeans_sql() -> str:
+    return (
+        _kmeans_ctes()
+        + f""",
+final AS {_sql_assign('q', f'c{KMEANS_ITERS}', out_qv=False)}
+SELECT vec_id, CAST(cluster AS INT) AS cluster, dist_q FROM final
+"""
+    )
+
+
+KMEANS_SQL = _kmeans_sql()
+
+
+def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup: cosine near-dup pairs WITHIN k-means clusters.
+
+    The pair join is keyed on the cluster id, so candidate generation
+    is O(Σ cluster_size²) instead of O(n²) — clustering is the
+    blocking structure, exactly like LSH bands are for
+    dedup_embedding_lsh, but driven by the learned partition of the
+    space rather than random hyperplanes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    side = emb.join(assign, "vec_id").select(
+        "vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("nrm")
+    )
+    a = side.select(
+        F.col("vec_id").alias("keep_id"),
+        "cluster",
+        F.col("embedding").alias("a_vec"),
+        F.col("nrm").alias("a_norm"),
+    )
+    b = side.select(
+        F.col("vec_id").alias("dup_id"),
+        "cluster",
+        F.col("embedding").alias("b_vec"),
+        F.col("nrm").alias("b_norm"),
+    )
+    pairs = _spread(
+        a.join(b, "cluster").filter(F.col("keep_id") < F.col("dup_id")), "keep_id"
+    )
+    sim = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))
+    return (
+        pairs.select("cluster", "keep_id", "dup_id", sim.alias("sim"))
+        .filter(F.col("sim") >= F.lit(SEMDEDUP_COS))
+        .select(
+            "cluster",
+            "keep_id",
+            "dup_id",
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def _semdedup_sql() -> str:
+    return (
+        _kmeans_ctes()
+        + f""",
+final AS {_sql_assign('q', f'c{KMEANS_ITERS}', out_qv=False)},
+scored AS (
+  SELECT fa.cluster, fa.vec_id AS keep_id, fb.vec_id AS dup_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM final fa
+  JOIN final fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  JOIN embeddings ea ON ea.vec_id = fa.vec_id
+  JOIN embeddings eb ON eb.vec_id = fb.vec_id
+)
+SELECT CAST(cluster AS INT) AS cluster, keep_id, dup_id,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM scored WHERE sim >= {SEMDEDUP_COS}
+"""
+    )
+
+
+SEMDEDUP_SQL = _semdedup_sql()
+
+
+CLUSTERING_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query(
+            "cluster_embeddings_kmeans",
+            cluster_embeddings_kmeans,
+            KMEANS_SQL,
+            "fixed-point k-means over embeddings (unrolled Lloyd rounds)",
+        ),
+        Query(
+            "semdedup_embeddings",
+            semdedup_embeddings,
+            SEMDEDUP_SQL,
+            "SemDeDup: cosine near-dup pairs within k-means clusters",
+        ),
+    ]
+}

@@ -1,0 +1,161 @@
+"""Exact substring-level dedup and document chunking.
+
+Whole-document dedup (ops/dedup.py) misses the dominant contamination
+mode in web-scale pretraining corpora: long verbatim token spans that
+recur inside otherwise-distinct documents (boilerplate, license
+blurbs, templated text). The published remedy is exact substring
+dedup over fixed-length token windows (Lee et al., "Deduplicating
+Training Data Makes Language Models Better" uses 50-token spans over a
+suffix array). A suffix array is a single-machine construction; the
+distributed re-expression is a hashed shingle inverted index — exactly
+the shape below: tokenize → slide a K-token window → one groupBy on
+the span. The reference engine has no span operator (its text surface
+is wc/grep — SURVEY.md §2.2); this module is part of the
+training-data-pipeline extension surface.
+
+Scale notes (100 TB):
+- Span generation is a per-row JVM expression (split + transform +
+  slice): no Python, no state, scan-bound. The row explosion is
+  ~n_tokens rows per doc at stride 1 — the documented cost of EXACT
+  substring dedup; SPAN_STRIDE is the lever (stride s cuts emitted
+  spans by s× and still catches any duplicated run of length
+  >= SPAN_TOKENS + s - 1).
+- The single shuffle keys on the span text. Hot boilerplate spans are
+  exactly the skew risk; at cluster scale the groupBy is
+  partial-aggregated map-side (COUNT/COUNT DISTINCT via partial
+  aggregation), so a hot span ships one partial row per task, not one
+  row per occurrence.
+- Chunking is pure per-row expression work — zero shuffle, the ideal
+  Spark operator.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.relational.tables import load_table
+
+SPAN_TOKENS = 8   # window length in tokens (Lee et al. use 50; corpus docs here are ~60 tokens)
+SPAN_STRIDE = 1   # stride 1 = exact; raise to trade recall for volume
+SPAN_MIN_DOCS = 2  # a span is boilerplate once it appears in >= 2 distinct docs
+
+CHUNK_CHARS = 160   # chunk length in characters
+CHUNK_STRIDE = 120  # overlap = CHUNK_CHARS - CHUNK_STRIDE = 40 chars
+
+
+def _tok_array(text_col):
+    """Lowercased whitespace tokens with empties dropped (matches the
+    tokenization used across ops/text.py and ops/dedup.py)."""
+    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    return F.filter(toks, lambda t: F.length(t) > 0)
+
+
+_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+
+
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate span index: every K-token span that appears in >= 2
+    distinct documents, with document and occurrence counts.
+
+    Plan: scan → per-row span explosion (JVM expressions only) → ONE
+    groupBy(span) with partial aggregation. The output is the
+    inverted-index head a cleaning pass would broadcast to strip
+    boilerplate (cf. curation_repetition_filter for the
+    within-document analogue)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tok_array(F.col("text"))
+    n = F.size(toks)
+    # guard: sequence(1, 0) would generate a DESCENDING range in Spark,
+    # so emit no starts when the doc is shorter than the window
+    starts = F.when(
+        n >= SPAN_TOKENS,
+        F.sequence(F.lit(1), n - SPAN_TOKENS + 1, F.lit(SPAN_STRIDE)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    spans = F.transform(
+        starts, lambda i: F.array_join(F.slice(toks, i, SPAN_TOKENS), " ")
+    )
+    exploded = d.select("doc_id", F.explode(spans).alias("span"))
+    return (
+        exploded.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .select("span", "n_docs", "n_occ", md5_60bit(F.col("span")).alias("span_hash"))
+    )
+
+
+DEDUP_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), spans AS (
+  -- t[i : i+K-1] is 1-based inclusive slicing (K elements);
+  -- range() is exclusive-stop so short docs yield an empty range
+  SELECT doc_id, array_to_string(t[i : i + {SPAN_TOKENS - 1}], ' ') AS span
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(t) - {SPAN_TOKENS} + 2, {SPAN_STRIDE})) AS i
+  ) s
+)
+SELECT span,
+       COUNT(DISTINCT doc_id) AS n_docs,
+       COUNT(*) AS n_occ,
+       {sql_md5_60bit('span')} AS span_hash
+FROM spans
+GROUP BY span
+HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+"""
+
+
+def text_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping fixed-size character chunks per document — the
+    standard pre-embedding / pre-tokenization segmentation step
+    (context-window packing feeds on these).
+
+    Pure per-row expression work: sequence → explode → substr. Zero
+    shuffle, scan-bound, embarrassingly parallel at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    offs = F.sequence(F.lit(1), F.length("text"), F.lit(CHUNK_STRIDE))
+    e = d.select("doc_id", "text", F.explode(offs).alias("chunk_off"))
+    chunk = F.col("text").substr(F.col("chunk_off"), F.lit(CHUNK_CHARS))
+    return e.select(
+        "doc_id",
+        F.floor((F.col("chunk_off") - 1) / CHUNK_STRIDE).cast("int").alias("chunk_idx"),
+        F.col("chunk_off").cast("int").alias("chunk_off"),
+        chunk.alias("chunk"),
+        F.length(chunk).cast("int").alias("chunk_len"),
+        md5_60bit(chunk).alias("chunk_hash"),
+    )
+
+
+CHUNK_SQL = f"""
+SELECT doc_id,
+       CAST((i - 1) // {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       CAST(i AS INT) AS chunk_off,
+       substr(text, CAST(i AS INT), {CHUNK_CHARS}) AS chunk,
+       CAST(length(substr(text, CAST(i AS INT), {CHUNK_CHARS})) AS INT) AS chunk_len,
+       {sql_md5_60bit(f'substr(text, CAST(i AS INT), {CHUNK_CHARS})')} AS chunk_hash
+FROM documents, LATERAL (
+  SELECT unnest(range(1, length(text) + 1, {CHUNK_STRIDE})) AS i
+) s
+"""
+
+
+SPAN_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query(
+            "dedup_substring_spans",
+            dedup_substring_spans,
+            DEDUP_SPANS_SQL,
+            "exact K-token substring dedup (hashed shingle inverted index)",
+        ),
+        Query(
+            "text_chunk_documents",
+            text_chunk_documents,
+            CHUNK_SQL,
+            "overlapping fixed-size character chunking",
+        ),
+    ]
+}

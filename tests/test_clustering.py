@@ -1,0 +1,92 @@
+"""Behavior tests for ops/clustering.py (fixed-point k-means + SemDeDup).
+
+Value parity vs DuckDB is covered by test_oracle_parity; these pin the
+clustering semantics (assignment optimality, Lloyd improvement,
+cluster-scoped dedup recall) independently of the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.ops.clustering import (
+    K_CLUSTERS,
+    SEMDEDUP_COS,
+    _assign,
+    _quantize,
+    _update,
+    kmeans_assignments,
+    semdedup_embeddings,
+)
+from map_reduce_lite_spark.ops.dedup import dedup_embedding_cosine
+from map_reduce_lite_spark.relational.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def _quantized(spark):
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    return emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+
+
+def test_every_vector_assigned_once(spark):
+    out = kmeans_assignments(spark, SF_SMALL)
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    assert out.count() == n_vecs
+    assert out.select("vec_id").distinct().count() == n_vecs
+    assert out.filter((F.col("cluster") < 0) | (F.col("cluster") >= K_CLUSTERS)).count() == 0
+
+
+def test_assignment_is_argmin(spark):
+    """The chosen cluster's distance must be <= every other centroid's
+    distance (re-derived via the raw cross product)."""
+    q = _quantized(spark)
+    cents = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a = _assign(q, cents).select("vec_id", "dist_q")
+    from map_reduce_lite_spark.ops.clustering import _sqdist
+
+    all_d = (
+        q.crossJoin(F.broadcast(cents))
+        .select("vec_id", _sqdist(F.col("qv"), F.col("cv")).alias("d"))
+        .groupBy("vec_id")
+        .agg(F.min("d").alias("min_d"))
+    )
+    bad = a.join(all_d, "vec_id").filter(F.col("dist_q") != F.col("min_d"))
+    assert bad.count() == 0
+
+
+def test_lloyd_update_does_not_increase_cost(spark):
+    """One Lloyd round must not increase total within-cluster cost —
+    the textbook monotonicity invariant, on exact integer distances."""
+    q = _quantized(spark)
+    cents0 = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a0 = _assign(q, cents0)
+    cost0 = a0.agg(F.sum("dist_q")).first()[0]
+    cents1 = _update(a0)
+    a1 = _assign(q, cents1)
+    cost1 = a1.agg(F.sum("dist_q")).first()[0]
+    # floor-quantized centroids deviate from the true mean by <1 unit
+    # (1e-6 of the value range) per dim — negligible next to the real
+    # Lloyd decrease, so strict monotonicity holds at any realistic data
+    assert cost1 <= cost0
+
+
+def test_semdedup_pairs_are_within_cluster_near_dups(spark):
+    out = semdedup_embeddings(spark, SF_SMALL)
+    assert out.filter(F.col("keep_id") >= F.col("dup_id")).count() == 0
+    assert out.filter(F.col("sim_e9") < int(SEMDEDUP_COS * 1e9)).count() == 0
+    assert out.count() > 0
+
+
+def test_semdedup_recall_vs_exact(spark):
+    """Cluster blocking must retain most of the exact near-dup pairs —
+    near-dups have cosine >= 0.4 and should rarely straddle a k-means
+    boundary. Pin recall >= 0.5 (observed ~0.6 at sf0.001)."""
+    exact = dedup_embedding_cosine(spark, SF_SMALL).select("keep_id", "dup_id")
+    scoped = semdedup_embeddings(spark, SF_SMALL).select("keep_id", "dup_id")
+    n_exact = exact.count()
+    n_hit = exact.join(scoped, ["keep_id", "dup_id"]).count()
+    assert n_exact > 0
+    assert n_hit / n_exact >= 0.5, f"recall {n_hit}/{n_exact}"

@@ -224,6 +224,9 @@ def test_no_cartesian_product_anywhere(spark):
         "q22_idle_rich_customers",  # 1-row global-average scalar compare
         "similarity_ann_ivf",   # broadcast centroid table (k rows)
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
+        # k-means assignment: corpus × K-row broadcast centroid table
+        "cluster_embeddings_kmeans",
+        "semdedup_embeddings",
     }
     failures = []
     for name, builder in e.queries().items():

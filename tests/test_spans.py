@@ -1,0 +1,74 @@
+"""Behavior tests for ops/spans.py (exact substring dedup + chunking).
+
+Value parity vs DuckDB is covered by test_oracle_parity; these pin the
+operator semantics independently of the oracle."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.ops.spans import (
+    CHUNK_CHARS,
+    CHUNK_STRIDE,
+    SPAN_MIN_DOCS,
+    SPAN_TOKENS,
+    dedup_substring_spans,
+    text_chunk_documents,
+)
+from map_reduce_lite_spark.relational.tables import load_table
+from tests.conftest import SF_SMALL
+
+
+def test_spans_are_k_tokens_and_multi_doc(spark):
+    out = dedup_substring_spans(spark, SF_SMALL)
+    bad = out.filter(
+        (F.size(F.split("span", " ")) != SPAN_TOKENS)
+        | (F.col("n_docs") < SPAN_MIN_DOCS)
+        | (F.col("n_occ") < F.col("n_docs"))
+    )
+    assert bad.count() == 0
+    assert out.count() > 0
+
+
+def test_reported_span_really_occurs_in_docs(spark):
+    """Cross-check one reported span against the raw corpus by substring
+    search — the inverted index must not hallucinate spans."""
+    out = dedup_substring_spans(spark, SF_SMALL)
+    span_row = out.orderBy(F.desc("n_docs"), F.asc("span")).first()
+    span = span_row["span"]
+    d = load_table(spark, SF_SMALL, "documents")
+    norm = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    n_docs_raw = d.filter(norm.contains(span)).count()
+    # substring containment can only over-count (span boundaries), never under
+    assert n_docs_raw >= span_row["n_docs"]
+
+
+def test_chunks_cover_document_exactly(spark):
+    """Chunk starts tile the doc at the stride; the last chunk reaches the
+    final character; every chunk except possibly the last is full-length."""
+    out = text_chunk_documents(spark, SF_SMALL)
+    d = load_table(spark, SF_SMALL, "documents").select(
+        "doc_id", F.length("text").alias("n")
+    )
+    j = out.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.max(F.col("chunk_off") + F.col("chunk_len") - 1).alias("covered"),
+        F.min("chunk_len").alias("min_len"),
+    ).join(d, "doc_id")
+    bad = j.filter(
+        (F.col("covered") != F.col("n"))
+        | (F.col("n_chunks") != F.ceil(F.col("n") / CHUNK_STRIDE))
+    )
+    assert bad.count() == 0
+    # overlap sanity: consecutive chunks share CHUNK_CHARS - CHUNK_STRIDE chars
+    assert CHUNK_CHARS > CHUNK_STRIDE
+
+
+def test_chunk_text_matches_substring(spark):
+    out = text_chunk_documents(spark, SF_SMALL)
+    d = load_table(spark, SF_SMALL, "documents")
+    j = out.join(d, "doc_id")
+    mismatch = j.filter(
+        F.col("chunk") != F.col("text").substr(F.col("chunk_off"), F.lit(CHUNK_CHARS))
+    )
+    assert mismatch.count() == 0
