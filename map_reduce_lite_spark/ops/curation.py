@@ -589,7 +589,78 @@ GROUP BY r.split
 LEAKAGE_SPLIT_SQL = _leakage_split_sql()
 
 
+# --------------------------------------------------------------------------
+# Per-source quality-quantile filter
+# --------------------------------------------------------------------------
+
+QUALITY_QUANTILE = 0.25   # drop the bottom quartile per source
+_QQ_EXACT_ACCURACY = 1_000_000  # GK exact mode (same contract as ops/text.py)
+
+
+def quality_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep documents scoring at or above their source's 25th-percentile
+    quality — per-domain quality gating (web sources get judged against
+    their own distribution, not a global bar that would wipe out
+    low-resource domains).
+
+    Scale shape: the per-source threshold is a Greenwald–Khanna
+    percentile (percentile_approx in exact mode at this accuracy —
+    the two-tier contract pinned by sketch_quantiles_price) computed
+    as ONE mergeable map-side-combined aggregation, then broadcast
+    back. A percent_rank window would instead globally sort every
+    source partition — the GK-threshold + tiny-join shape is what
+    survives 100 TB. Score is an integer (floor of the stopword-ratio
+    ×1e6) so threshold comparison is exact in both engines."""
+    from map_reduce_lite_spark.ops.text import STOPWORDS, _stopword_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_stop = _stopword_hits(F.col("text"), STOPWORDS["en"])
+    score = F.floor((n_stop / n_tokens) * 1e6).cast("long")
+    scored = d.select("doc_id", "source", score.alias("score_e6"))
+    thr = scored.groupBy("source").agg(
+        F.percentile_approx("score_e6", QUALITY_QUANTILE, _QQ_EXACT_ACCURACY)
+        .cast("long")
+        .alias("thr_e6")
+    )
+    return scored.join(F.broadcast(thr), "source").select(
+        "doc_id",
+        "source",
+        "score_e6",
+        "thr_e6",
+        (F.col("score_e6") >= F.col("thr_e6")).alias("kept"),
+    )
+
+
+def _quality_quantile_sql() -> str:
+    from map_reduce_lite_spark.ops.text import STOPWORDS, _sql_stopword_hits
+
+    hits = _sql_stopword_hits("text", STOPWORDS["en"])
+    ntok = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(floor(({hits} / {ntok}) * 1e6) AS BIGINT) AS score_e6
+  FROM documents
+), thr AS (
+  SELECT source, CAST(quantile_disc(score_e6, {QUALITY_QUANTILE}) AS BIGINT) AS thr_e6
+  FROM scored GROUP BY source
+)
+SELECT doc_id, source, score_e6, thr_e6, score_e6 >= thr_e6 AS kept
+FROM scored JOIN thr USING (source)
+"""
+
+
+QUALITY_QUANTILE_SQL = _quality_quantile_sql()
+
+
 CURATION_QUERIES: dict[str, Query] = {
+    "curation_quality_quantile": Query(
+        "curation_quality_quantile",
+        quality_quantile_filter,
+        QUALITY_QUANTILE_SQL,
+        "per-source GK-quantile quality gate (broadcast thresholds)",
+    ),
     "curation_pii_redact": Query(
         "curation_pii_redact",
         pii_redact,

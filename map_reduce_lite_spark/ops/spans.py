@@ -142,6 +142,50 @@ FROM documents, LATERAL (
 """
 
 
+BPE_TOP_K = 32  # merge candidates surfaced per round
+
+
+def vocab_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top adjacent-token-pair counts — the inner statistic of one BPE
+    merge round (count all adjacent symbol pairs, merge the most
+    frequent). Here the symbols are whitespace tokens: the corpus-wide
+    ranking a distributed tokenizer trainer recomputes each round.
+
+    Plan: per-row pair explosion (the K=2 span window) → ONE
+    map-side-combined groupBy → TakeOrderedAndProject for the global
+    top-k (no full sort, no single-partition window). The (count desc,
+    pair asc) order is total, so the top-k set is deterministic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = _tok_array(F.col("text"))
+    n = F.size(toks)
+    starts = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.expr("array()").cast("array<int>")
+    )
+    pairs = F.transform(starts, lambda i: F.array_join(F.slice(toks, i, 2), " "))
+    return (
+        d.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("n_occ"))
+        .orderBy(F.desc("n_occ"), F.asc("pair"))
+        .limit(BPE_TOP_K)
+    )
+
+
+BPE_MERGES_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT array_to_string(t[i : i + 1], ' ') AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+)
+SELECT pair, COUNT(*) AS n_occ
+FROM pairs
+GROUP BY pair
+ORDER BY n_occ DESC, pair ASC
+LIMIT {BPE_TOP_K}
+"""
+
+
 SPAN_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -156,6 +200,12 @@ SPAN_QUERIES: dict[str, Query] = {
             text_chunk_documents,
             CHUNK_SQL,
             "overlapping fixed-size character chunking",
+        ),
+        Query(
+            "vocab_bpe_merges",
+            vocab_bpe_merges,
+            BPE_MERGES_SQL,
+            "BPE merge-round statistic: global top-k adjacent token pairs",
         ),
     ]
 }

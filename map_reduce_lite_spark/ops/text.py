@@ -392,6 +392,118 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+# Count-Min sketch: the frequency member of the sketch family (next to
+# HLL cardinality and GK quantiles). d rows × w buckets of int64 counts
+# (32 KB here) replace per-token state; estimates never underestimate,
+# overestimate by <= e/w · N with prob 1-e^-d. Unlike the HLL, the CMS
+# is built from the portable md5 hash, so the ENTIRE sketch — every
+# cell and every min — is exactly replayable in DuckDB: the oracle is a
+# full value oracle, no tolerance flag needed.
+CMS_ROWS = 4
+CMS_WIDTH = 1024
+CMS_TOP_K = 20
+
+
+def _cms_bucket(token, r: int):
+    return F.pmod(md5_60bit(F.concat(F.lit(f"cms{r}|"), token)), F.lit(CMS_WIDTH))
+
+
+def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency estimates for the corpus top-k tokens, next
+    to their exact counts.
+
+    Scale: the token stream maps each token to CMS_ROWS (row, bucket)
+    cells; map-side partial aggregation collapses every task's stream
+    to <= d·w cells before the one tiny shuffle, so the sketch costs
+    O(d·w) state regardless of corpus size — THE bounded-memory
+    frequency pattern at 100 TB. The top-k side is
+    TakeOrderedAndProject (no global sort); estimates join the d
+    broadcast cell tables and take the min."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    cells = (
+        toks.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _cms_bucket(F.col("token"), r).alias("b"),
+                        )
+                        for r in range(CMS_ROWS)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOP_K)
+    )
+    est = topk
+    for r in range(CMS_ROWS):
+        cms_r = cells.filter(F.col("r") == r).select(
+            F.col("b").alias(f"b{r}"), F.col("c").alias(f"c{r}")
+        )
+        est = est.withColumn(f"b{r}", _cms_bucket(F.col("token"), r)).join(
+            F.broadcast(cms_r), f"b{r}"
+        )
+    cms_est = F.least(*[F.col(f"c{r}") for r in range(CMS_ROWS)])
+    return est.select(
+        "token",
+        "exact_count",
+        cms_est.alias("cms_est"),
+        (cms_est >= F.col("exact_count")).alias("no_underestimate"),
+    )
+
+
+def _cms_sql() -> str:
+    def bucket(expr: str, r: int) -> str:
+        salted = f"'cms{r}|' || {expr}"
+        return f"({sql_md5_60bit(salted)} % {CMS_WIDTH})"
+
+    joins = "\n  ".join(
+        f"JOIN cells c{r} ON c{r}.r = {r} AND c{r}.b = {bucket('t.token', r)}"
+        for r in range(CMS_ROWS)
+    )
+    least = "least(" + ", ".join(f"c{r}.c" for r in range(CMS_ROWS)) + ")"
+    bucket_case = " ".join(
+        f"WHEN {r} THEN {bucket('token', r)}" for r in range(CMS_ROWS)
+    )
+    rows_list = "[" + ", ".join(str(r) for r in range(CMS_ROWS)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT token FROM (
+    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+), cells AS (
+  SELECT r, CASE r {bucket_case} END AS b, COUNT(*) AS c
+  FROM toks, LATERAL (SELECT unnest({rows_list}) AS r) rr
+  GROUP BY 1, 2
+), topk AS (
+  SELECT token, COUNT(*) AS exact_count
+  FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token ASC
+  LIMIT {CMS_TOP_K}
+)
+SELECT t.token, t.exact_count,
+       {least} AS cms_est,
+       {least} >= t.exact_count AS no_underestimate
+FROM topk t
+  {joins}
+"""
+
+
+CMS_SQL = _cms_sql()
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -412,6 +524,12 @@ TEXT_QUERIES: dict[str, Query] = {
             sketch_quantiles_price,
             SKETCH_QUANTILES_SQL,
             "GK quantile sketch (exact-mode) per return flag",
+        ),
+        Query(
+            "sketch_cms_token_freq",
+            sketch_cms_token_freq,
+            CMS_SQL,
+            "Count-Min sketch frequency estimates for top-k tokens (fully value-oracled)",
         ),
     ]
 }

@@ -81,3 +81,30 @@ def test_gk_exact_mode_assumption_holds():
             f"{GK_EXACT_ACCURACY}: percentile_approx is no longer exact; raise "
             "the accuracy or switch the oracle to a tolerance check"
         )
+
+
+def test_cms_never_underestimates_and_is_tight(spark):
+    """Count-Min invariants on live data: estimates are lower-bounded by
+    the exact count (structural guarantee), and overestimation stays
+    within 3·(e/w)·N — the Markov bound with generous slack."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.text import CMS_WIDTH, sketch_cms_token_freq
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    out = sketch_cms_token_freq(spark, SF_SMALL).collect()
+    assert out, "no top-k rows"
+    assert all(r.no_underestimate for r in out)
+
+    d = load_table(spark, SF_SMALL, "documents")
+    n_tokens = (
+        d.select(F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("t"))
+        .filter(F.length("t") > 0)
+        .count()
+    )
+    bound = 3 * math.e / CMS_WIDTH * n_tokens
+    worst = max(r.cms_est - r.exact_count for r in out)
+    assert worst <= bound, f"overestimate {worst} > bound {bound:.1f}"
