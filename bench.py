@@ -61,6 +61,10 @@ BENCH_QUERIES = [
     "heavy_hitters_tokens",
     "sample_stratified_sources",
     "streaming_serving_upsert",
+    "dedup_substring_spans",
+    "cluster_embeddings_kmeans",
+    "semdedup_embeddings",
+    "sketch_cms_token_freq",
 ]
 
 

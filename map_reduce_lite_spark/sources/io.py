@@ -97,6 +97,42 @@ def write_bucketed(
     writer.saveAsTable(table)
 
 
+def compact_files(
+    spark: SparkSession,
+    src_path: str,
+    dst_path: str,
+    fmt: str = "parquet",
+    target_file_bytes: int = 128 * 1024 * 1024,
+    **options,
+) -> int:
+    """Rewrite a directory of small files into ~``target_file_bytes``
+    files; returns the output file count.
+
+    The small-files problem is endemic at 100 TB: streaming sinks,
+    per-partition writers, and fine-grained hive partitions each leave
+    thousands of KB-sized files, and every downstream scan then pays a
+    task per file plus a driver-side listing that grows with file
+    count, not data size. Compaction is the standing maintenance op
+    (Delta/Iceberg expose it as OPTIMIZE / rewrite_data_files; on plain
+    directories it is this rewrite).
+
+    Sizing reads the source's actual on-disk bytes from the FileIndex
+    (no data scan, no collect) and repartitions to
+    ceil(bytes / target). ``repartition`` (round-robin, a shuffle) is
+    deliberate: ``coalesce`` would merge co-located splits without
+    rebalancing, propagating input skew into the output files — the
+    shuffle IS the point of a compaction pass."""
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; known: {FORMATS}")
+    df = read_source(spark, src_path, fmt=fmt, **options)
+    # on-disk size from relation statistics (FileIndex listing — no data
+    # scan, no collect); covers compressed bytes for parquet/orc
+    stat_bytes = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    n_files = max(1, -(-stat_bytes // target_file_bytes))
+    write_sink(df.repartition(n_files), dst_path, fmt=fmt, mode="overwrite")
+    return len(read_source(spark, dst_path, fmt=fmt).inputFiles())
+
+
 def write_sink(
     df: DataFrame,
     path: str,

@@ -558,6 +558,74 @@ WHERE e.event_type = 'purchase'
 """
 
 
+HLL_RSD = 0.05
+HLL_TOL = 3 * HLL_RSD
+# HLL register quantization makes the error ±O(1) ABSOLUTE at tiny
+# cardinalities (measured: 5→4, 17→14 per-hour users at sf0.01), where
+# any relative bound is vacuous — the standard acceptance is
+# max(relative, small absolute slack)
+HLL_ABS_TOL = 4
+
+
+def streaming_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly distinct-user cardinality maintained by the STREAMING
+    engine via HyperLogLog++ state (approx_count_distinct).
+
+    Exact COUNT(DISTINCT) is not executable as streaming state — the
+    state would be the full per-window key set — which is precisely why
+    the mergeable-KB HLL sketch is THE streaming cardinality operator.
+    The drained estimates are then audited against the exact per-window
+    counts from a batch pass over the same staged source, and the
+    output carries the exactly-replayable columns (exact_users,
+    n_events) plus within_tolerance — the oracle asserts TRUE, so a
+    sketch regression past max(3·rsd relative, ±HLL_ABS_TOL absolute —
+    register quantization dominates tiny windows) hash-fails the
+    driver compare (same contract as sketch_distinct_tokens)."""
+    global _STREAM_RUN
+    staged = _stage_events(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(staged)
+    )
+    windowed = (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.approx_count_distinct("user_id", rsd=HLL_RSD).alias("approx_users"))
+        .select(F.col("win.start").alias("hour_start"), "approx_users")
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_hll_{_STREAM_RUN}"
+    run_stream_to_memory(windowed, name)
+    streamed = spark.table(name)
+    exact = (
+        spark.read.parquet(staged)
+        .groupBy(F.date_trunc("hour", "ts").alias("hour_start"))
+        .agg(
+            F.countDistinct("user_id").alias("exact_users"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    err = F.abs(F.col("approx_users") - F.col("exact_users"))
+    within = (err / F.col("exact_users") <= F.lit(HLL_TOL)) | (
+        err <= F.lit(HLL_ABS_TOL)
+    )
+    return streamed.join(exact, "hour_start").select(
+        "hour_start", "exact_users", "n_events", within.alias("within_tolerance")
+    )
+
+
+STREAMING_DISTINCT_USERS_SQL = """
+SELECT make_timestamp(CAST(floor(epoch(ts) / 3600) AS BIGINT) * 3600 * 1000000)
+         AS hour_start,
+       COUNT(DISTINCT user_id) AS exact_users,
+       COUNT(*) AS n_events,
+       TRUE AS within_tolerance
+FROM events
+GROUP BY 1
+"""
+
+
 def _multires_oracle() -> str:
     from map_reduce_lite_spark.relational.queries3 import EVENTS_MULTIRES_SQL
 
@@ -622,6 +690,12 @@ def _streaming_queries():
             streaming_enrich_purchases,
             STREAMING_ENRICH_SQL,
             "stream-static broadcast enrichment == batch join oracle",
+        ),
+        "streaming_distinct_users": Query(
+            "streaming_distinct_users",
+            streaming_distinct_users,
+            STREAMING_DISTINCT_USERS_SQL,
+            "streaming HLL++ cardinality state, exact-audited (tolerance-flagged)",
         ),
     }
 

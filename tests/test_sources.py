@@ -89,3 +89,24 @@ def test_orc_predicate_pushdown(spark, tmp_path):
     plan = back._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "k" in plan, plan
     assert back.count() == 99
+
+
+def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
+    """Compaction must merge a many-small-files directory into the
+    target-size file count without changing the data multiset."""
+    from map_reduce_lite_spark.sources.io import compact_files
+
+    src = str(tmp_path / "small")
+    df = spark.range(10_000).selectExpr("id AS k", "CAST(id AS STRING) AS s")
+    # 64 tiny files — the streaming-sink pathology
+    write_sink(df.repartition(64), src, fmt="parquet")
+    n_src = len(read_source(spark, src, fmt="parquet").inputFiles())
+    assert n_src == 64
+
+    dst = str(tmp_path / "compacted")
+    n_out = compact_files(spark, src, dst, fmt="parquet",
+                          target_file_bytes=16 * 1024 * 1024)
+    assert n_out < n_src
+    back = read_source(spark, dst, fmt="parquet")
+    assert back.count() == 10_000
+    assert back.agg(F.sum("k")).first()[0] == sum(range(10_000))
