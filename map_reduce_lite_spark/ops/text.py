@@ -392,6 +392,73 @@ FROM lineitem GROUP BY l_returnflag
 """
 
 
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-probability under the corpus's own
+    unigram model — the perplexity-proxy quality signal (CCNet ranks web
+    documents by LM perplexity; the unigram model is its join-only
+    distributed floor). Low score ⇒ made of common tokens; high score ⇒
+    rare/garbage-heavy.
+
+    Plan: tokenize → corpus unigram counts (one groupBy) → join tokens
+    to counts (shuffle keyed on token — the vocabulary is corpus-sized,
+    so it is JOINED, not broadcast) → per-doc aggregation. Two shuffles,
+    same shape as tf-idf. Determinism: -ln(count/N) is one double
+    division + one ln of identical operands per token (bit-identical in
+    both engines); the per-doc sum goes through DECIMAL(18,12) so
+    accumulation order cannot matter; the mean is one double division;
+    the output is floor-scaled to e6."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = toks.agg(F.count(F.lit(1)).alias("nn"))
+    nll = -F.log(F.col("c").cast("double") / F.col("nn").cast("double"))
+    return (
+        toks.join(cnt, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.floor(
+                (
+                    F.sum(nll.cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+
+
+UNIGRAM_LOGPROB_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), cnt AS (
+  SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS nn FROM toks
+)
+SELECT doc_id, COUNT(*) AS n_toks,
+       CAST(floor((CAST(SUM(CAST(-ln(CAST(c AS DOUBLE) / CAST(nn AS DOUBLE))
+                                 AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*)) * 1e6) AS BIGINT) AS nll_e6
+FROM toks JOIN cnt USING (term) CROSS JOIN n
+GROUP BY doc_id
+"""
+
+
 # Count-Min sketch: the frequency member of the sketch family (next to
 # HLL cardinality and GK quantiles). d rows × w buckets of int64 counts
 # (32 KB here) replace per-token state; estimates never underestimate,
@@ -530,6 +597,12 @@ TEXT_QUERIES: dict[str, Query] = {
             sketch_cms_token_freq,
             CMS_SQL,
             "Count-Min sketch frequency estimates for top-k tokens (fully value-oracled)",
+        ),
+        Query(
+            "text_unigram_logprob",
+            unigram_logprob,
+            UNIGRAM_LOGPROB_SQL,
+            "perplexity-proxy quality: mean -ln p(token) under the corpus unigram model",
         ),
     ]
 }

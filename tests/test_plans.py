@@ -224,6 +224,7 @@ def test_no_cartesian_product_anywhere(spark):
         "q22_idle_rich_customers",  # 1-row global-average scalar compare
         "similarity_ann_ivf",   # broadcast centroid table (k rows)
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
+        "text_unigram_logprob",  # broadcast 1-row corpus-size N
         # k-means assignment: corpus × K-row broadcast centroid table
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",
@@ -238,3 +239,15 @@ def test_no_cartesian_product_anywhere(spark):
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:
             failures.append((name, "BroadcastNestedLoopJoin"))
     assert not failures, failures
+
+
+def test_span_queries_tokenize_once(spark):
+    """The token array must appear as ONE split() in the optimized plan.
+    If the tokenizer expression gets inlined into the span-construction
+    lambdas (no CSE inside higher-order functions), every span position
+    re-splits the document — O(n_tokens²)/doc, measured 7–28× slower at
+    sf0.1. Guards the _tokens_col materialization in ops/spans.py."""
+    for name in ("dedup_substring_spans", "vocab_bpe_merges"):
+        df = _q(spark, name)
+        plan = df._jdf.queryExecution().optimizedPlan().toString()
+        assert plan.count("split(") == 1, (name, plan.count("split("))
