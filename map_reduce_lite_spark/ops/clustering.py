@@ -201,6 +201,10 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     space rather than random hyperplanes."""
     emb = load_table(spark, sf_dir, "embeddings")
     assign = kmeans_assignments(spark, sf_dir).select("vec_id", "cluster")
+    return _semdedup_pairs(emb, assign)
+
+
+def _semdedup_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
     side = emb.join(assign, "vec_id").select(
         "vec_id", "cluster", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
@@ -255,6 +259,85 @@ FROM scored WHERE sim >= {SEMDEDUP_COS}
 SEMDEDUP_SQL = _semdedup_sql()
 
 
+def pipeline_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end semantic-dedup funnel: k-means → within-cluster
+    near-dup pairs → keep-first prune (a vector is DROPPED if it
+    appears as the higher-id member of any near-dup pair — the
+    deterministic greedy SemDeDup policy) → per-cluster survival
+    report.
+
+    The assignment table feeds BOTH the pair stage and the survival
+    report, so it is localCheckpoint'd and the Lloyd iterations run
+    once (the leakage_safe_split lesson); the prune itself is an
+    id-only distinct + flag join (8-byte keys), and the report is one
+    small groupBy — nothing new shuffles at corpus width."""
+    assign = (
+        kmeans_assignments(spark, sf_dir)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=True)
+    )
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = _semdedup_pairs(emb, assign)
+    dropped = pairs.select(F.col("dup_id").alias("vec_id")).distinct()
+    flagged = assign.join(
+        dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left"
+    )
+    per_cluster_pairs = pairs.groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n_dup_pairs")
+    )
+    return (
+        flagged.groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).alias("n_vectors"),
+            F.sum(F.when(F.col("is_dropped"), 1).otherwise(0)).alias("n_dropped"),
+        )
+        .join(per_cluster_pairs, "cluster", "left")
+        .select(
+            F.col("cluster").cast("int").alias("cluster"),
+            "n_vectors",
+            F.coalesce(F.col("n_dup_pairs"), F.lit(0)).alias("n_dup_pairs"),
+            "n_dropped",
+            (F.col("n_vectors") - F.col("n_dropped")).alias("n_kept"),
+        )
+    )
+
+
+def _semdedup_prune_sql() -> str:
+    return (
+        _kmeans_ctes()
+        + f""",
+final AS {_sql_assign('q', f'c{KMEANS_ITERS}', out_qv=False)},
+scored AS (
+  SELECT fa.cluster, fa.vec_id AS keep_id, fb.vec_id AS dup_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM final fa
+  JOIN final fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  JOIN embeddings ea ON ea.vec_id = fa.vec_id
+  JOIN embeddings eb ON eb.vec_id = fb.vec_id
+), dup_pairs AS (
+  SELECT cluster, keep_id, dup_id FROM scored WHERE sim >= {SEMDEDUP_COS}
+), dropped AS (
+  SELECT DISTINCT dup_id AS vec_id FROM dup_pairs
+), per_cluster AS (
+  SELECT f.cluster,
+         COUNT(*) AS n_vectors,
+         COUNT(d.vec_id) AS n_dropped
+  FROM final f LEFT JOIN dropped d ON d.vec_id = f.vec_id
+  GROUP BY f.cluster
+), pair_counts AS (
+  SELECT cluster, COUNT(*) AS n_dup_pairs FROM dup_pairs GROUP BY cluster
+)
+SELECT CAST(p.cluster AS INT) AS cluster, p.n_vectors,
+       COALESCE(pc.n_dup_pairs, 0) AS n_dup_pairs,
+       p.n_dropped, p.n_vectors - p.n_dropped AS n_kept
+FROM per_cluster p LEFT JOIN pair_counts pc ON pc.cluster = p.cluster
+"""
+    )
+
+
+SEMDEDUP_PRUNE_SQL = _semdedup_prune_sql()
+
+
 CLUSTERING_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -269,6 +352,12 @@ CLUSTERING_QUERIES: dict[str, Query] = {
             semdedup_embeddings,
             SEMDEDUP_SQL,
             "SemDeDup: cosine near-dup pairs within k-means clusters",
+        ),
+        Query(
+            "pipeline_semdedup_prune",
+            pipeline_semdedup_prune,
+            SEMDEDUP_PRUNE_SQL,
+            "semantic-dedup funnel: cluster → near-dup → keep-first prune survival",
         ),
     ]
 }

@@ -228,6 +228,7 @@ def test_no_cartesian_product_anywhere(spark):
         # k-means assignment: corpus × K-row broadcast centroid table
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",
+        "pipeline_semdedup_prune",
     }
     failures = []
     for name, builder in e.queries().items():
