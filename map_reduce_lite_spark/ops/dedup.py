@@ -354,18 +354,29 @@ DEDUP_MINHASH_SQL = _minhash_sql()
 # SimHash
 # --------------------------------------------------------------------------
 
-SIMHASH_BITS = 32
-SIMHASH_BANDS = 4  # 8 bits per band
-HAMMING_MAX = 3
+# 60-bit simhash, 4 bands × 15 bits, Hamming ≤ 3 — the Manku et al.
+# (WWW 2007) production setting is 64-bit / k=3; 60 bits is the width
+# of the portable md5_60bit hash, so every fingerprint bit carries a
+# live vote in BOTH engines. The width matters at scale twice over:
+# a 32-bit fingerprint saturates by the birthday bound on any real
+# corpus, and its 8-bit band buckets (256 per band) made candidate
+# generation effectively quadratic on self-similar data — the
+# regenerated sf0.1 corpus put 17% of ALL doc pairs through the
+# Hamming verify. 15-bit bands give 32768 buckets per band.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
+SIMHASH_BAND_BITS = SIMHASH_BITS // SIMHASH_BANDS  # 15
+SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
+HAMMING_MAX = 3  # ≤3 differing bits + 4 bands ⇒ ≥1 band agrees exactly
 
 
 def simhash_fingerprints(toks: DataFrame) -> DataFrame:
-    """(doc, simhash) — 32-bit simhash over distinct whitespace tokens.
+    """(doc, simhash) — 60-bit simhash over distinct whitespace tokens.
 
-    The 32 bit-votes are 32 parallel SUM aggregates over the token-hash
+    The 60 bit-votes are 60 parallel SUM aggregates over the token-hash
     rows (map-side combined), then one projection packs sign bits into
-    the fingerprint. No ×32 row explosion and a single shuffle of
-    32 ints per doc — the previous form exploded every token into 32
+    the fingerprint. No ×60 row explosion and a single shuffle of
+    60 ints per doc — the previous form exploded every token into
     (token, bit) rows and shuffled twice."""
     tok = toks.select("doc", "token").distinct().select(
         "doc", md5_60bit(F.col("token")).alias("h")
@@ -386,14 +397,20 @@ def simhash_fingerprints(toks: DataFrame) -> DataFrame:
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with simhash Hamming distance ≤ 3, found via 4×8-bit
-    band join (a pair within distance 3 must agree exactly on ≥ 1 band)."""
+    """Near-dup pairs with simhash Hamming distance ≤ 3, found via a
+    4×15-bit band join (a pair within distance 3 must agree exactly on
+    ≥ 1 band)."""
     d = load_table(spark, sf_dir, "documents")
     fps = simhash_fingerprints(_tokens(d, "doc_id", "text"))
     bands = fps.select(
         "doc", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
-    ).withColumn("chunk", F.expr("shiftright(simhash, band * 8) & 255"))
+    ).withColumn(
+        "chunk",
+        F.expr(
+            f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
+        ),
+    )
     # NOT checkpointed (unlike the minhash band join): here the 8-bit
     # chunk join fans out to ~100x candidate rows, so the join dominates
     # and reading both sides from a materialized RDD scan measures
@@ -437,7 +454,8 @@ WITH toks AS (
   SELECT doc, CAST(SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit) ELSE 0 END) AS BIGINT) AS simhash
   FROM votes GROUP BY doc
 ), bands AS (
-  SELECT doc, simhash, band.k AS band, (simhash >> (band.k * 8)) & 255 AS chunk
+  SELECT doc, simhash, band.k AS band,
+         (simhash >> (band.k * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS chunk
   FROM fps, LATERAL unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band(k)
 )
 SELECT doc1, doc2, hamming FROM (
