@@ -90,3 +90,28 @@ def test_semdedup_recall_vs_exact(spark):
     n_hit = exact.join(scoped, ["keep_id", "dup_id"]).count()
     assert n_exact > 0
     assert n_hit / n_exact >= 0.5, f"recall {n_hit}/{n_exact}"
+
+
+def test_kmeans_stable_under_repartition(spark):
+    """Bit-reproducibility claim: the fixed-point pipeline's output may
+    not depend on physical partitioning (integer sums and floor-means
+    are order-free; a float implementation would fail this)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.clustering import (
+        K_CLUSTERS,
+        _assign,
+        _update,
+    )
+
+    q = _quantized(spark)
+    out = []
+    for parts in (1, 13):
+        qq = q.repartition(parts)
+        cents = qq.filter(F.col("vec_id") < K_CLUSTERS).select(
+            F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
+        )
+        cents = _update(_assign(qq, cents))
+        final = _assign(qq, cents).select("vec_id", "cluster", "dist_q")
+        out.append({(r.vec_id, r.cluster, r.dist_q) for r in final.collect()})
+    assert out[0] == out[1]
