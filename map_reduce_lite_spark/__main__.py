@@ -53,6 +53,17 @@ def main(argv: list[str] | None = None) -> int:
 
     sub.add_parser("workloads", help="list registered workload names")
 
+    pc = sub.add_parser(
+        "compact", help="rewrite a small-files directory to target-size files"
+    )
+    pc.add_argument("-i", "--input", required=True, help="source directory")
+    pc.add_argument("-o", "--output", required=True, help="destination directory")
+    pc.add_argument("--format", default="parquet", help="file format (default parquet)")
+    pc.add_argument(
+        "--target-mb", type=int, default=128, help="target file size in MiB"
+    )
+    pc.add_argument("--master", default=None)
+
     pst = sub.add_parser("status", help="print session status")
     pst.add_argument("--master", default=None)
 
@@ -71,6 +82,19 @@ def main(argv: list[str] | None = None) -> int:
         eng = Engine(get_spark(master=args.master))
         for k, v in eng.status().items():
             print(f"{k}: {v}")
+        return 0
+
+    if args.command == "compact":
+        from map_reduce_lite_spark.sources.io import compact_files
+
+        n = compact_files(
+            get_spark(master=args.master),
+            args.input,
+            args.output,
+            fmt=args.format,
+            target_file_bytes=args.target_mb * 1024 * 1024,
+        )
+        print(f"compacted {args.input} -> {args.output}: {n} files")
         return 0
 
     aux = _parse_aux(args.aux)
