@@ -68,6 +68,7 @@ ALL_QUERIES = {
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
+    **GRAPH_QUERIES,          # graph_triangle_parts is NEW this round
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite

@@ -204,6 +204,80 @@ SELECT node, pr FROM pr3
 """
 
 
+TRIANGLE_TOP_K = 20
+
+
+def triangle_parts(spark, sf_dir: str) -> DataFrame:
+    """Top parts by triangle participation in the co-purchase graph
+    (parts are adjacent when they appear in the same order) — the
+    classic community-density statistic, and a deliberately join-heavy
+    graph benchmark shape.
+
+    Plan: edge list from a self-join on l_orderkey (per-order fanout is
+    the order's line count, ~4 — NOT quadratic in the table), distinct,
+    localCheckpoint'd once because the triangle enumeration reads it
+    THREE times. Triangles close via two equi-joins on node ids with
+    edges oriented u < v (each triangle enumerated exactly once).
+    Degree-ordered orientation — relabel nodes by (degree, id) before
+    orienting — is the published refinement that bounds the join fanout
+    by arboricity at skewed scale; id-order suffices for this corpus
+    and keeps the oracle identical."""
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        .join(
+            e3,
+            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+        )
+        .select(
+            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+        )
+    )
+    verts = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
+    return (
+        verts.groupBy("part")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .orderBy(F.desc("n_triangles"), F.asc("part"))
+        .limit(TRIANGLE_TOP_K)
+    )
+
+
+TRIANGLE_SQL = f"""
+WITH e AS (
+  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+), tri AS (
+  SELECT e1.u AS x, e1.v AS y, e2.v AS z
+  FROM e e1
+  JOIN e e2 ON e1.v = e2.u
+  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+), verts AS (
+  SELECT x AS part FROM tri
+  UNION ALL SELECT y FROM tri
+  UNION ALL SELECT z FROM tri
+)
+SELECT part, COUNT(*) AS n_triangles
+FROM verts GROUP BY part
+ORDER BY n_triangles DESC, part ASC
+LIMIT {TRIANGLE_TOP_K}
+"""
+
+
 def _graph_queries():
     from map_reduce_lite_spark.registry import Query
 
@@ -213,7 +287,13 @@ def _graph_queries():
             pagerank_supplier_part,
             _pagerank_sql(),
             "fixed-iteration PageRank, decimal-exact oracle",
-        )
+        ),
+        "graph_triangle_parts": Query(
+            "graph_triangle_parts",
+            triangle_parts,
+            TRIANGLE_SQL,
+            "triangle counting over the co-purchase part graph (top-k by participation)",
+        ),
     }
 
 
