@@ -69,6 +69,9 @@ ALL_QUERIES = {
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
     **GRAPH_QUERIES,          # graph_triangle_parts is NEW this round
+    # CHANGED this round (32→60-bit fingerprint) — must sit in the
+    # driver's re-verification window, ahead of its family
+    **{"dedup_simhash": DEDUP_QUERIES["dedup_simhash"]},
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite

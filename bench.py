@@ -80,6 +80,18 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
+        # Settle cleaner debt from the PREVIOUS query before timing this
+        # one: ContextCleaner frees broadcasts/shuffle state only on JVM
+        # GC, and on the pre-sized heap GC won't run on its own — the
+        # accumulated garbage otherwise lands in whichever later query
+        # allocates hardest (measured 11.0s vs 2.8s on dedup_simhash
+        # after 12 prior queries). GC time is deliberately OUTSIDE the
+        # timed region: each number is the query's steady-state cost,
+        # not its neighbors' cleanup.
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
         best = float("inf")
         for _ in range(3):  # min of 3 runs: steady-state, GC-noise-resistant
             t0 = time.perf_counter()

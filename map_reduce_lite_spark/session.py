@@ -64,6 +64,14 @@ def get_spark(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('SPARK_GRAFT_DRIVER_MEM', '24g')}",
         )
+        # ContextCleaner releases broadcasts/shuffle state only when the
+        # JVM garbage-collects; on a big pre-sized heap GC may not run
+        # for a long time, so a long session accumulates cleaner debt
+        # and a later memory-hungry query pays it all at once (measured:
+        # 11.0s → 2.8s on dedup_simhash after 12 prior queries). This is
+        # the documented knob for exactly that: periodic System.gc() on
+        # the driver (default 30min — far too lazy for a 24g -Xms heap).
+        .config("spark.cleaner.periodicGC.interval", "1min")
     )
     if extra_conf:
         for k, v in extra_conf.items():

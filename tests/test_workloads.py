@@ -253,3 +253,33 @@ def test_frame_sample_counts(spark):
         n = lens[mid]
         assert len(rows) == (n + 1023) // 1024
         assert sorted(r["frame_idx"] for r in rows) == list(range(len(rows)))
+
+
+def test_cli_compact(tmp_path, spark):
+    """CLI compact subcommand end-to-end via a subprocess (the
+    maintenance op a scheduler would invoke)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    src = str(tmp_path / "small")
+    spark.range(2000).selectExpr("id AS k").repartition(16).write.mode(
+        "overwrite"
+    ).parquet(src)
+
+    repo = str(Path(__file__).resolve().parents[1])
+    dst = str(tmp_path / "compacted")
+    run = subprocess.run(
+        [
+            sys.executable, "-m", "map_reduce_lite_spark", "compact",
+            "-i", src, "-o", dst, "--target-mb", "64",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4", "SPARK_GRAFT_DRIVER_MEM": "2g"},
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "compacted" in run.stdout
+    back = spark.read.parquet(dst)
+    assert back.count() == 2000
+    assert len(back.inputFiles()) < 16
