@@ -14,6 +14,7 @@ execution, not bootstrap.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -88,8 +89,6 @@ def main() -> None:
         # after 12 prior queries). GC time is deliberately OUTSIDE the
         # timed region: each number is the query's steady-state cost,
         # not its neighbors' cleanup.
-        import gc
-
         gc.collect()
         spark.sparkContext._jvm.System.gc()
         best = float("inf")

@@ -252,3 +252,20 @@ def test_span_queries_tokenize_once(spark):
         df = _q(spark, name)
         plan = df._jdf.queryExecution().optimizedPlan().toString()
         assert plan.count("split(") == 1, (name, plan.count("split("))
+
+
+def test_cms_partial_agg_and_topk(spark):
+    """The CMS cell build must partial-aggregate map-side (that is the
+    whole bounded-state argument) and the top-k side must be
+    TakeOrderedAndProject, not a global sort."""
+    plan = _plan(_q(spark, "sketch_cms_token_freq"))
+    assert "partial_" in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
+def test_unigram_logprob_jvm_only_partial_agg(spark):
+    plan = _plan(_q(spark, "text_unigram_logprob"))
+    assert "partial_" in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
