@@ -205,23 +205,30 @@ SELECT node, pr FROM pr3
 
 
 TRIANGLE_TOP_K = 20
+# Minimum co-purchase support for an edge: a part pair must share >= 2
+# orders. The standard market-basket noise gate — a single co-occurrence
+# carries no community signal — and ALSO the volume lever that keeps the
+# wedge join bounded: on this corpus it prunes the sf0.1 edge list from
+# 1.2M (whose ~100M-wedge closure OOM'd a 1g 8-thread session) to ~4k.
+TRIANGLE_MIN_SUPPORT = 2
 
 
 def triangle_parts(spark, sf_dir: str) -> DataFrame:
-    """Top parts by triangle participation in the co-purchase graph
-    (parts are adjacent when they appear in the same order) — the
-    classic community-density statistic, and a deliberately join-heavy
-    graph benchmark shape.
+    """Top parts by triangle participation in the supported co-purchase
+    graph (parts are adjacent when they share >= TRIANGLE_MIN_SUPPORT
+    orders) — the classic community-density statistic, and a
+    deliberately join-heavy graph benchmark shape.
 
     Plan: edge list from a self-join on l_orderkey (per-order fanout is
-    the order's line count, ~4 — NOT quadratic in the table), distinct,
-    localCheckpoint'd once because the triangle enumeration reads it
-    THREE times. Triangles close via two equi-joins on node ids with
-    edges oriented u < v (each triangle enumerated exactly once).
-    Degree-ordered orientation — relabel nodes by (degree, id) before
-    orienting — is the published refinement that bounds the join fanout
-    by arboricity at skewed scale; id-order suffices for this corpus
-    and keeps the oracle identical."""
+    the order's line count, ~4 — NOT quadratic in the table) + one
+    support-counting groupBy, localCheckpoint'd once because the
+    triangle enumeration reads it THREE times. Triangles close via two
+    equi-joins on node ids with edges oriented u < v (each triangle
+    enumerated exactly once). Degree-ordered orientation — relabel
+    nodes by (degree, id) before orienting — is the published
+    refinement that bounds the join fanout by arboricity at skewed
+    scale; id-order suffices for this corpus and keeps the oracle
+    identical."""
     from map_reduce_lite_spark.relational.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -232,11 +239,22 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
             & (F.col("a.l_partkey") < F.col("b.l_partkey")),
         )
-        .select(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .distinct()
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
         .localCheckpoint(eager=True)
     )
-    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    # merge-join hint: the edge list is a borderline-broadcastable few
+    # tens of MB at test scale, and AQE happily broadcasts it — building
+    # a per-task hash map of the WHOLE graph, which OOMs a modest driver
+    # (observed: 1g vanilla heap at sf0.1) and is categorically wrong at
+    # 100 TB where the edge list is the big table. Sort-merge spills.
+    e1 = edges.alias("e1")
+    e2 = edges.hint("merge").alias("e2")
+    e3 = edges.hint("merge").alias("e3")
     tri = (
         e1.join(e2, F.col("e1.v") == F.col("e2.u"))
         .join(
@@ -258,9 +276,11 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
 
 TRIANGLE_SQL = f"""
 WITH e AS (
-  SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+  SELECT a.l_partkey AS u, b.l_partkey AS v
   FROM lineitem a JOIN lineitem b
     ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
 ), tri AS (
   SELECT e1.u AS x, e1.v AS y, e2.v AS z
   FROM e e1
