@@ -26,12 +26,16 @@ from map_reduce_lite_spark.ops import (
     CLUSTERING_QUERIES,
     CURATION_QUERIES,
     DEDUP_QUERIES,
+    INDEX_QUERIES,
+    LINKAGE_QUERIES,
     MULTIMODAL_QUERIES,
     PIPELINE_QUERIES,
+    PROFILE_QUERIES,
     SAMPLING_QUERIES,
     SIMILARITY_QUERIES,
     SPAN_QUERIES,
     TEXT_QUERIES,
+    TIMESERIES_QUERIES,
 )
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
@@ -65,6 +69,11 @@ _FRONTED_STREAMING = [
 ]
 
 ALL_QUERIES = {
+    # NEW families this session — no driver evidence yet, go first
+    **TIMESERIES_QUERIES,     # gap-filled rollup + exact z-score anomalies
+    **INDEX_QUERIES,          # bounded-memory inverted index
+    **PROFILE_QUERIES,        # single-scan column profiler
+    **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup

@@ -1,0 +1,195 @@
+"""Time-series operators: gap-filled continuous aggregates and
+statistical anomaly flagging over the events table.
+
+These are the hypertable-style operations (TimescaleDB's
+``time_bucket_gapfill`` + ``locf``, and streaming-monitoring z-score
+alerts) that a metrics/observability workload layers on top of the
+tumbling-window aggregates in ``relational/queries.py`` /
+``streaming/windows.py``.
+
+Scale notes (100 TB):
+- ``events_gapfill_hourly``: the only pass over raw events is ONE
+  map-side-combined aggregation to (event_type, hour) — everything
+  after (span computation, calendar generation via ``sequence``,
+  the fill join, the LOCF window) runs on the *bucketed* table, whose
+  size is #types x #hours, independent of raw event volume. The
+  calendar explode is per-type (a handful of rows exploding to the
+  hour count), never a driver-side loop.
+- ``events_anomaly_zscore``: two passes over events — the moments
+  aggregation (n, sum, sum-of-squares per type; tiny result,
+  broadcast back) and the flagging scan. The 3-sigma test is done in
+  EXACT integer arithmetic (see below), so the result is
+  bit-reproducible across engines, partitionings, and retries —
+  no float threshold knife-edges.
+
+Exact z-score test: with m = value scaled to an integer (1e4), per-type
+S = sum(m), S2 = sum(m^2), n = count:
+    |m - S/n| > 3 * sqrt((S2/n) - (S/n)^2)
+ <=>  n*(n*m - S)^2 > 9 * n * (n*S2 - S^2) / n    (multiply by n^3)
+ <=>  (n*m - S)^2 > 9 * (n*S2 - S^2)              (divide by n, n > 0)
+Both sides are products of exact integers — DECIMAL(38,0) keeps them
+exact far past 100 TB row counts (|value| <= ~1e6 -> m <= 1e10;
+n <= 1e12 rows/type -> terms <= ~1e38 only at absurd joint extremes;
+at any realistic scale the 38-digit headroom holds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.registry import Query, dsum, sql_dsum
+from map_reduce_lite_spark.relational.tables import load_table
+
+
+def events_gapfill_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly rollup per event_type: every hour in the
+    type's [min, max] span gets a row; empty hours carry n_events = 0,
+    a filled flag, and the last-observation-carried-forward sum
+    (TimescaleDB ``time_bucket_gapfill`` + ``locf`` semantics).
+
+    Plan: one agg over raw events -> per-type span agg -> ``sequence``
+    calendar explode -> left join -> LOCF window. All post-agg stages
+    are on the bucket table (types x hours), not raw events.
+    """
+    e = load_table(spark, sf_dir, "events")
+    agg = (
+        e.groupBy(F.date_trunc("hour", "ts").alias("bucket"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dsum(F.col("value"), 4).alias("sum_value"),
+        )
+    )
+    # Per-type calendar: explode one row per hour in the observed span.
+    calendar = (
+        agg.groupBy("event_type")
+        .agg(F.min("bucket").alias("mn"), F.max("bucket").alias("mx"))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence("mn", "mx", F.expr("INTERVAL 1 HOUR"))
+            ).alias("bucket"),
+        )
+    )
+    filled = calendar.join(agg, ["event_type", "bucket"], "left")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return filled.select(
+        "event_type",
+        "bucket",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.col("n_events").isNull().alias("filled"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("locf_sum_value"),
+    )
+
+
+GAPFILL_SQL = f"""
+WITH agg AS (
+  SELECT date_trunc('hour', ts) AS bucket, event_type,
+         COUNT(*) AS n_events,
+         {sql_dsum('value', 4)} AS sum_value
+  FROM events
+  GROUP BY 1, 2
+),
+span AS (
+  SELECT event_type, min(bucket) AS mn, max(bucket) AS mx
+  FROM agg GROUP BY event_type
+),
+calendar AS (
+  SELECT event_type,
+         unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS bucket
+  FROM span
+),
+filled AS (
+  SELECT c.event_type, c.bucket, a.n_events, a.sum_value
+  FROM calendar c
+  LEFT JOIN agg a ON a.event_type = c.event_type AND a.bucket = c.bucket
+)
+SELECT event_type, bucket,
+       COALESCE(n_events, 0) AS n_events,
+       (n_events IS NULL) AS filled,
+       last_value(sum_value IGNORE NULLS) OVER (
+         PARTITION BY event_type ORDER BY bucket
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+       ) AS locf_sum_value
+FROM filled
+"""
+
+
+# value -> exact integer at 4 decimal places; see module doc for why the
+# whole 3-sigma test then stays in integer arithmetic.
+_M_SCALE = 4
+
+
+def events_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from their type's mean by more than
+    3 standard deviations — the monitoring/alerting primitive. The test
+    runs in exact integer arithmetic (module doc), so the flag set is
+    deterministic across engines and partitionings.
+
+    Plan: moments agg per type (tiny -> broadcast join back), then one
+    flagging scan. Two passes over events, no sort, no window.
+    """
+    e = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        F.round(F.col("value").cast(f"decimal(18,{_M_SCALE})") * (10 ** _M_SCALE))
+        .cast("decimal(38,0)")
+        .alias("m"),
+    )
+    moments = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("m").cast("decimal(38,0)").alias("s"),
+        F.sum(F.col("m") * F.col("m")).cast("decimal(38,0)").alias("s2"),
+    )
+    j = e.join(F.broadcast(moments), "event_type")
+    dev = F.col("n") * F.col("m") - F.col("s")
+    lhs = (dev * dev).cast("decimal(38,0)")
+    rhs = (F.lit(9).cast("decimal(38,0)") * (F.col("n") * F.col("s2") - F.col("s") * F.col("s"))).cast(
+        "decimal(38,0)"
+    )
+    return (
+        j.filter(lhs > rhs)
+        .select("event_id", "event_type", "value")
+    )
+
+
+ANOMALY_SQL = f"""
+WITH scaled AS (
+  SELECT event_id, event_type, value,
+         CAST(round(CAST(value AS DECIMAL(18,{_M_SCALE})) * {10 ** _M_SCALE}) AS DECIMAL(38,0)) AS m
+  FROM events
+),
+moments AS (
+  SELECT event_type,
+         CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+         CAST(SUM(m) AS DECIMAL(38,0)) AS s,
+         CAST(SUM(m * m) AS DECIMAL(38,0)) AS s2
+  FROM scaled GROUP BY event_type
+)
+SELECT e.event_id, e.event_type, e.value
+FROM scaled e JOIN moments mo ON e.event_type = mo.event_type
+WHERE (mo.n * e.m - mo.s) * (mo.n * e.m - mo.s) > 9 * (mo.n * mo.s2 - mo.s * mo.s)
+"""
+
+
+TIMESERIES_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query(
+            "events_gapfill_hourly",
+            events_gapfill_hourly,
+            GAPFILL_SQL,
+            "gap-filled hourly rollup with LOCF (time_bucket_gapfill analog)",
+        ),
+        Query(
+            "events_anomaly_zscore",
+            events_anomaly_zscore,
+            ANOMALY_SQL,
+            "exact-arithmetic 3-sigma anomaly flagging per event type",
+        ),
+    ]
+}

@@ -1,0 +1,116 @@
+"""Behavior invariants for the r4 additions: gap-filled rollup, exact
+z-score anomalies, inverted index, column profiler, blocked fuzzy join.
+(Value parity vs DuckDB is covered by test_oracle_parity.py; these pin
+the semantic properties the hashes alone don't name.)
+"""
+
+from __future__ import annotations
+
+from datetime import timedelta
+
+from tests.conftest import SF_SMALL
+
+
+def test_gapfill_contiguous_hours_and_locf(spark):
+    from map_reduce_lite_spark.ops.timeseries import events_gapfill_hourly
+
+    rows = events_gapfill_hourly(spark, SF_SMALL).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert by_type, "no rows"
+    filled_total = 0
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket)
+        # contiguous hourly calendar between min and max
+        for a, b in zip(rs, rs[1:]):
+            assert b.bucket - a.bucket == timedelta(hours=1), (t, a.bucket, b.bucket)
+        # endpoints are observed, not filled
+        assert not rs[0].filled and not rs[-1].filled
+        for r in rs:
+            if r.filled:
+                filled_total += 1
+                assert r.n_events == 0
+            else:
+                assert r.n_events > 0
+            # LOCF defined everywhere (first bucket is observed)
+            assert r.locf_sum_value is not None
+    assert filled_total > 0, "gap-fill vacuous: no empty hours at this SF"
+
+
+def test_anomaly_zscore_matches_float_check(spark):
+    from map_reduce_lite_spark.ops.timeseries import events_anomaly_zscore
+    from map_reduce_lite_spark.relational.tables import load_table
+    import math
+
+    flagged = {
+        r.event_id for r in events_anomaly_zscore(spark, SF_SMALL).collect()
+    }
+    assert flagged, "anomaly set vacuous at this SF"
+    # float replay: flagged iff |v - mean| > 3*sigma (population), up to
+    # the 1e-4 quantization — allow knife-edge tolerance band
+    ev = load_table(spark, SF_SMALL, "events").select(
+        "event_id", "event_type", "value"
+    ).collect()
+    stats: dict[str, list[float]] = {}
+    for r in ev:
+        stats.setdefault(r.event_type, []).append(r.value)
+    mom = {
+        t: (sum(vs) / len(vs), math.sqrt(max(sum(v * v for v in vs) / len(vs) - (sum(vs) / len(vs)) ** 2, 0.0)))
+        for t, vs in stats.items()
+    }
+    for r in ev:
+        mean, sd = mom[r.event_type]
+        z = abs(r.value - mean) - 3 * sd
+        if z > 1e-6:
+            assert r.event_id in flagged, (r.event_id, z)
+        elif z < -1e-6:
+            assert r.event_id not in flagged, (r.event_id, z)
+
+
+def test_inverted_index_bounded_postings(spark):
+    from map_reduce_lite_spark.ops.index import (
+        MIN_DF,
+        POSTINGS_CAP,
+        text_inverted_index,
+    )
+
+    rows = text_inverted_index(spark, SF_SMALL).collect()
+    assert rows
+    for r in rows:
+        ids = [int(x) for x in r.postings.split(",")]
+        assert r.df >= MIN_DF
+        assert len(ids) == min(r.df, POSTINGS_CAP)  # head block exactly
+        assert ids == sorted(ids)
+
+
+def test_profile_documents_key_column(spark):
+    from map_reduce_lite_spark.ops.profile import profile_documents
+
+    rows = {r.column_name: r for r in profile_documents(spark, SF_SMALL).collect()}
+    doc = rows["doc_id"]
+    assert doc.n_null == 0
+    assert doc.n_distinct == doc.n_rows  # primary key property
+    assert set(rows) == {"doc_id", "text", "lang", "source", "n_chars"}
+
+
+def test_fuzzy_link_blocked_and_verified(spark):
+    from map_reduce_lite_spark.ops.linkage import (
+        MAX_DIST,
+        fuzzy_link_customer_supplier,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    rows = fuzzy_link_customer_supplier(spark, SF_SMALL).collect()
+    assert rows, "fuzzy link vacuous at this SF"
+    c_nk = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, SF_SMALL, "customer").collect()
+    }
+    s_nk = {
+        r.s_suppkey: r.s_nationkey
+        for r in load_table(spark, SF_SMALL, "supplier").collect()
+    }
+    for r in rows:
+        assert r.dist <= MAX_DIST
+        assert c_nk[r.c_custkey] == s_nk[r.s_suppkey]  # blocking respected
