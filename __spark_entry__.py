@@ -62,6 +62,7 @@ _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 # family so they sit inside the driver's prefix window; the rest of the
 # streaming family keeps its r3-green standing evidence.
 _FRONTED_STREAMING = [
+    "streaming_purchase_view_left",  # NEW — left-outer stream-stream join
     "streaming_distinct_users",   # NEW — HLL cardinality state, exact-audited
     "streaming_serving_upsert",   # NEW — foreachBatch upsert serving
     "streaming_sessionize_native",  # NEW — JVM session_window tier

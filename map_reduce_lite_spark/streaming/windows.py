@@ -325,6 +325,77 @@ WHERE p.event_type = 'purchase' AND v.event_type = 'view'
 """
 
 
+def streaming_purchase_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER stream-stream join — the watermark-driven semantics
+    an inner join can't show: a purchase with NO view in the preceding
+    hour emits a null-padded row only once the watermark proves no
+    matching view can still arrive (state eviction), in a no-data
+    micro-batch after the last file.
+
+    Closed-world bound: outer rows whose join window is still open at
+    end-of-stream are (correctly) withheld by the engine, so to compare
+    against a batch oracle the purchase side is restricted to rows whose
+    window provably closes: p_ts <= max(ts) - (watermark + lag + 1s).
+    The cutoff is one tiny batch agg over the staged input — a harness
+    bound for the static-input comparison; a production stream has no
+    end and needs no cutoff. Watermarks are applied BEFORE the type
+    filter so both sides' watermarks track the full event stream and
+    advance identically."""
+    global _STREAM_RUN
+    from datetime import timedelta
+
+    staged = _stage_events(spark, sf_dir)
+    maxts = spark.read.parquet(staged).agg(F.max("ts")).collect()[0][0]
+    cutoff = maxts - timedelta(hours=3, seconds=1)  # watermark 2h + lag 1h + 1s
+    p = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(staged)
+        .withWatermark("ts", "2 hours")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") <= F.lit(cutoff)))
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("p_ts"),
+        )
+    )
+    v = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .parquet(staged)
+        .withWatermark("ts", "2 hours")
+        .filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("v_ts"),
+        )
+    )
+    cond = (
+        (F.col("p_user") == F.col("v_user"))
+        & (F.col("v_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("v_ts") <= F.col("p_ts"))
+    )
+    joined = p.join(v, cond, "leftOuter").select(
+        F.col("p_user").alias("user_id"), "purchase_id", "p_ts", "view_id", "v_ts"
+    )
+    _STREAM_RUN += 1
+    name = f"mrl_stream_ssjl_{_STREAM_RUN}"
+    run_stream_to_memory(joined, name, output_mode="append")
+    return spark.table(name)
+
+
+PURCHASE_VIEW_LEFT_SQL = """
+SELECT p.user_id, p.event_id AS purchase_id, p.ts AS p_ts,
+       v.event_id AS view_id, v.ts AS v_ts
+FROM (SELECT * FROM events
+      WHERE event_type = 'purchase'
+        AND ts <= (SELECT max(ts) FROM events)
+                  - INTERVAL 3 HOUR - INTERVAL 1 SECOND) p
+LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+  ON p.user_id = v.user_id
+ AND v.ts >= p.ts - INTERVAL 1 HOUR AND v.ts <= p.ts
+"""
+
+
 def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom STATEFUL streaming operator under the value oracle:
     ``applyInPandasWithState`` sessionization (streaming/sessions.py)
@@ -666,6 +737,12 @@ def _streaming_queries():
             streaming_purchase_view_join,
             PURCHASE_VIEW_JOIN_SQL,
             "stream-stream time-range join == batch SQL oracle",
+        ),
+        "streaming_purchase_view_left": Query(
+            "streaming_purchase_view_left",
+            streaming_purchase_view_left,
+            PURCHASE_VIEW_LEFT_SQL,
+            "LEFT OUTER stream-stream join: watermark-evicted null emission == batch oracle",
         ),
         "streaming_sessionize": Query(
             "streaming_sessionize",

@@ -315,3 +315,28 @@ def test_stage_events_lost_race_uses_winner(spark, monkeypatch):
     assert staged == staged_expected
     assert os.path.exists(os.path.join(staged, "_SUCCESS"))
     assert not glob.glob(f"{staged}.tmp.*"), "tmp dirs must be cleaned up"
+
+
+def test_left_outer_stream_join_emits_null_rows(spark):
+    """The LEFT OUTER stream-stream join must emit BOTH matched pairs and
+    watermark-evicted null-padded rows (the semantics the inner join
+    can't show), and agree with the closed-world batch left join."""
+    from map_reduce_lite_spark.streaming.windows import (
+        streaming_purchase_view_left,
+    )
+
+    out = streaming_purchase_view_left(spark, SF_SMALL).collect()
+    nulls = [r for r in out if r.view_id is None]
+    matched = [r for r in out if r.view_id is not None]
+    assert nulls, "no null-padded rows: outer emission never happened"
+    assert matched, "no matched rows: join condition vacuous"
+    for r in matched:  # time bound respected
+        assert r.p_ts - r.v_ts <= __import__("datetime").timedelta(hours=1)
+        assert r.v_ts <= r.p_ts
+    # every retained purchase appears exactly once per match (>=1 row)
+    from collections import Counter
+
+    per_purchase = Counter(r.purchase_id for r in out)
+    null_purchases = {r.purchase_id for r in nulls}
+    for pid in null_purchases:  # null row only when NO match exists
+        assert per_purchase[pid] == 1
