@@ -66,6 +66,11 @@ BENCH_QUERIES = [
     "cluster_embeddings_kmeans",
     "semdedup_embeddings",
     "sketch_cms_token_freq",
+    # r4 continuation
+    "events_gapfill_hourly",
+    "text_inverted_index",
+    "fuzzy_link_customer_supplier",
+    "streaming_purchase_view_left",
 ]
 
 

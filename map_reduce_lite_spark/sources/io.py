@@ -159,3 +159,74 @@ def write_sink(
         options.setdefault("header", "true")
         writer = writer.option("header", options["header"])
     writer.format(fmt).save(path)
+
+
+ZORDER_BITS = 16  # per-dimension resolution of the interleaved key
+
+
+def _morton_key(cols: list[str], mins: dict[str, float], maxs: dict[str, float]):
+    """Interleaved-bit (Morton / Z-order) key over numeric columns.
+
+    Each column is range-quantized to ZORDER_BITS bits using its global
+    min/max, then the bits are interleaved so that sorting by the key
+    clusters rows that are close in EVERY dimension — parquet row-group
+    min/max stats on each column become tight, and a filter on any of
+    the z-ordered columns skips most files (the Delta OPTIMIZE ZORDER /
+    Iceberg sort-order effect, on plain parquet directories).
+    Pure JVM expression; no UDF."""
+    quant = []
+    for c in cols:
+        lo, hi = mins[c], maxs[c]
+        span = (hi - lo) or 1.0
+        q = F.least(
+            F.lit((1 << ZORDER_BITS) - 1),
+            F.floor(
+                (F.col(c).cast("double") - F.lit(lo)) / F.lit(span) * ((1 << ZORDER_BITS) - 1)
+            ),
+        ).cast("long")
+        quant.append(q)
+    key = F.lit(0).cast("long")
+    n = len(quant)
+    for bit in range(ZORDER_BITS):
+        for d, q in enumerate(quant):
+            src_bit = F.shiftright(q, bit).bitwiseAND(F.lit(1))
+            key = key.bitwiseOR(F.shiftleft(src_bit, bit * n + d))
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    zorder_by: list[str],
+    num_files: int = 8,
+    fmt: str = "parquet",
+    mode: str = "overwrite",
+) -> None:
+    """Write ``df`` clustered on a Z-order curve over ``zorder_by``.
+
+    One tiny min/max agg fixes the quantization ranges (at scale: one
+    scan-stats read, or carry known domain bounds), then
+    ``repartitionByRange`` + in-partition sort on the Morton key lays
+    rows out so every output file covers a small hyper-rectangle of the
+    key space. Files then carry tight per-column min/max footers and
+    selective filters on ANY z-ordered column prune most files — the
+    multi-dimensional analog of partitioning, without the small-files
+    blowup of hive-partitioning on high-cardinality keys."""
+    aggs = []
+    for c in zorder_by:
+        aggs += [
+            F.min(F.col(c).cast("double")).alias(f"mn_{c}"),
+            F.max(F.col(c).cast("double")).alias(f"mx_{c}"),
+        ]
+    row = df.agg(*aggs).collect()[0]
+    mins = {c: row[f"mn_{c}"] for c in zorder_by}
+    maxs = {c: row[f"mx_{c}"] for c in zorder_by}
+    keyed = df.withColumn("__mrl_zkey", _morton_key(zorder_by, mins, maxs))
+    (
+        keyed.repartitionByRange(num_files, "__mrl_zkey")
+        .sortWithinPartitions("__mrl_zkey")
+        .drop("__mrl_zkey")
+        .write.mode(mode)
+        .format(fmt)
+        .save(path)
+    )

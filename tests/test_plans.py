@@ -269,3 +269,43 @@ def test_unigram_logprob_jvm_only_partial_agg(spark):
     assert "partial_" in plan, plan
     assert "BatchEvalPython" not in plan, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_anomaly_moments_broadcast_no_window(spark):
+    """events_anomaly_zscore: the per-type moments are a broadcast join
+    back, the flagging pass is a scan — no window, no sort, no Python."""
+    plan = _plan(_q(spark, "events_anomaly_zscore"))
+    assert "BroadcastHashJoin" in plan
+    assert "Window" not in plan
+    assert "PythonUDF" not in plan
+
+
+def test_gapfill_post_agg_only(spark):
+    """events_gapfill_hourly: raw events feed exactly ONE aggregation;
+    the calendar/fill/LOCF stages run on the bucketed table (the two
+    further aggregates are over the agg output, not the scan)."""
+    plan = _plan(_q(spark, "events_gapfill_hourly"), "extended")
+    # physical plan scans the events parquet exactly twice: once for the
+    # bucket agg, once reused for the span agg (both post-shuffle tiny)
+    phys = plan.split("== Physical Plan ==")[-1]
+    assert phys.count("Scan parquet") <= 2, phys
+    assert "CartesianProduct" not in phys
+
+
+def test_inverted_index_bounded_no_global_sort(spark):
+    """text_inverted_index: the posting cap is applied pre-aggregation
+    (rank filter), and there is no global Sort outside the per-token
+    window sort."""
+    plan = _plan(_q(spark, "text_inverted_index"))
+    assert "RunningWindowFunction" in plan or "Window" in plan
+    assert "PythonUDF" not in plan
+
+
+def test_fuzzy_link_equi_blocked(spark):
+    """fuzzy_link_customer_supplier: candidates come from an EQUI join
+    on the blocking key (hash or broadcast) — never a cartesian with a
+    distance post-filter."""
+    plan = _plan(_q(spark, "fuzzy_link_customer_supplier"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Join" in plan

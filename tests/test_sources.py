@@ -110,3 +110,62 @@ def test_compact_files_reduces_count_preserves_rows(spark, tmp_path):
     back = read_source(spark, dst, fmt="parquet")
     assert back.count() == 10_000
     assert back.agg(F.sum("k")).first()[0] == sum(range(10_000))
+
+
+def test_zorder_write_skips_files(spark, tmp_path):
+    """Z-order clustering must make per-file min/max footers selective
+    on BOTH clustered columns: a narrow filter on either column should
+    intersect far fewer files than under a round-robin layout."""
+    from map_reduce_lite_spark.relational.tables import load_table
+    from map_reduce_lite_spark.sources import write_zordered, write_sink
+    from tests.conftest import SF_SMALL
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_quantity"
+    )
+    n_files = 8
+    zpath = str(tmp_path / "zorder")
+    rpath = str(tmp_path / "rr")
+    write_zordered(li, zpath, ["l_orderkey", "l_partkey"], num_files=n_files)
+    write_sink(li.repartition(n_files), rpath, fmt="parquet")
+
+    import pyarrow.parquet as pq
+    import glob
+
+    def file_ranges(path, col):
+        out = []
+        for f in sorted(glob.glob(f"{path}/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            lo, hi = None, None
+            idx = md.schema.names.index(col)
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx).statistics
+                lo = st.min if lo is None else min(lo, st.min)
+                hi = st.max if hi is None else max(hi, st.max)
+            out.append((lo, hi))
+        return out
+
+    def files_hit(ranges, lo, hi):
+        return sum(1 for a, b in ranges if not (b < lo or a > hi))
+
+    for col in ["l_orderkey", "l_partkey"]:
+        zr = file_ranges(zpath, col)
+        rr = file_ranges(rpath, col)
+        assert len(zr) == n_files and len(rr) == n_files
+        gmin = min(a for a, _ in rr)
+        gmax = max(b for _, b in rr)
+        width = (gmax - gmin) // 10 or 1  # 10%-wide predicate
+        lo = gmin + 4 * width
+        hi = lo + width
+        assert files_hit(zr, lo, hi) < files_hit(rr, lo, hi), (
+            col,
+            zr,
+            rr,
+        )
+        # round-robin spreads every value range over every file
+        assert files_hit(rr, lo, hi) == n_files
+
+    # same rows, just reordered
+    from map_reduce_lite_spark.sources import read_source
+
+    assert read_source(spark, zpath, fmt="parquet").count() == li.count()
