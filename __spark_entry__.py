@@ -31,6 +31,7 @@ from map_reduce_lite_spark.ops import (
     MULTIMODAL_QUERIES,
     PIPELINE_QUERIES,
     PROFILE_QUERIES,
+    PROJECTION_QUERIES,
     SAMPLING_QUERIES,
     SIMILARITY_QUERIES,
     SPAN_QUERIES,
@@ -75,6 +76,7 @@ ALL_QUERIES = {
     **INDEX_QUERIES,          # bounded-memory inverted index
     **PROFILE_QUERIES,        # single-scan column profiler
     **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
+    **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup

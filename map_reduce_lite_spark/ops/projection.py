@@ -1,0 +1,286 @@
+"""Embedding compression: random projection, int8 quantization, and the
+coarse-then-rerank ANN funnel they enable.
+
+At 100 TB the embedding table dominates ANN cost twice — shuffle bytes
+and FLOPs. The two standard compressions, both here as deterministic,
+fully value-oracled operators:
+
+- **Random projection** (Johnson–Lindenstrauss): a fixed ±1 Rademacher
+  matrix maps 64-dim → RP_DIM-dim. Sign matrix is a driver-side seeded
+  constant folded into the plan as literals (same pattern as the LSH
+  hyperplanes in ops/similarity.py) — no RNG in the plan, so the
+  projection is reproducible across engines and the DuckDB twin replays
+  it term by term. The JL scaling constant 1/sqrt(k) is omitted: it is
+  a global monotone factor that cannot change any neighbor ordering.
+- **Int8 quantization**: per-vector max-abs scaling to [-127, 127]
+  codes + a stored scale. 4 bytes/dim → 1 byte/dim of shuffle and
+  cache. floor() (not round()) keeps both engines' codes identical —
+  round() ties break differently across engines, floor never does.
+- **Rerank funnel** (`similarity_ann_rerank`): score ALL candidates
+  cheaply in the RP_DIM-dim projected space, keep RERANK_FACTOR × k
+  per query, then re-score ONLY those in the full space. The expensive
+  exact pass runs on a candidate set whose size is independent of the
+  corpus. Composes with IVF/LSH blocking (ops/similarity.py) — at
+  scale the coarse stage runs per-bucket; here it is corpus-wide so
+  the oracle can replay every candidate deterministically.
+
+Float determinism: all dot products fold left-to-right in both engines
+(registry/similarity convention); ranking keys are the bit-identical
+doubles with vec_id tiebreaks; every emitted score is floor-scaled to
+int64.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
+
+from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.relational.tables import load_table
+from map_reduce_lite_spark.ops.similarity import (
+    EMB_DIM,
+    N_QUERY_VECS,
+    TOP_K,
+    _dot,
+    _spread,
+    _sql_cos,
+    _sql_dot,
+)
+
+RP_DIM = 32
+RP_SEED = 7
+RERANK_FACTOR = 16  # coarse candidates kept per final result slot
+# Measured at sf0.001 vs similarity_bruteforce (recall@5, pinned in
+# tests/test_similarity.py): factor 10 -> 0.75, 16 -> 0.85, 24 -> 0.925.
+# The demo corpus (500 tightly-clustered vectors) is the HARD case for
+# JL on fine-grained top-k; at scale the candidate count stays
+# RERANK_FACTOR*k per query regardless of corpus size — that
+# corpus-independence is the point of the funnel.
+
+
+def _signs() -> list[list[float]]:
+    """Deterministic RP_DIM x EMB_DIM Rademacher (+1/-1) sign matrix."""
+    import numpy as np
+
+    rng = np.random.default_rng(RP_SEED)
+    return rng.choice([-1.0, 1.0], size=(RP_DIM, EMB_DIM)).tolist()
+
+
+def _project(vec: Column) -> Column:
+    """All RP_DIM projected coordinates in ONE higher-order expression:
+    the sign matrix enters the plan as a single array<array<double>>
+    literal (not 2048 expression nodes — the term-by-term form blows
+    Janino's 64 KB method limit at RP_DIM=32 and drops the stage out of
+    codegen). Each coordinate folds left-to-right, the exact double
+    order the SQL twin replays."""
+    m = F.lit(_signs())
+    dvec = F.transform(vec, lambda x: x.cast("double"))
+    return F.transform(
+        m,
+        lambda row: F.aggregate(
+            F.zip_with(row, dvec, lambda s, x: s * x),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ),
+    )
+
+
+def _sql_proj_dim(vec_expr: str, signs_row: list[float]) -> str:
+    terms = " + ".join(
+        f"CAST({vec_expr}[{j + 1}] AS DOUBLE) * {float(s)!r}"
+        for j, s in enumerate(signs_row)
+    )
+    return f"(0.0 + {terms})"
+
+
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64-dim -> RP_DIM-dim signed projection; coordinates emitted as
+    floor(x * 1e6) int64. Zero-shuffle per-row expressions."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    p = _project(F.col("embedding"))
+    cols = [
+        F.floor(F.element_at(p, i + 1) * 1e6).cast("long").alias(f"p{i}_e6")
+        for i in range(RP_DIM)
+    ]
+    return emb.select("vec_id", "label", *cols)
+
+
+def _random_projection_sql() -> str:
+    signs = _signs()
+    cols = ",\n       ".join(
+        f"CAST(floor({_sql_proj_dim('embedding', signs[i])} * 1e6) AS BIGINT) AS p{i}_e6"
+        for i in range(RP_DIM)
+    )
+    return f"SELECT vec_id, label,\n       {cols}\nFROM embeddings"
+
+
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector max-abs int8 codes + scale. floor() quantization for
+    cross-engine determinism; zero-vector guarded to all-zero codes."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.col("embedding")
+    maxabs = F.array_max(F.transform(vec, lambda x: F.abs(x.cast("double"))))
+    code = lambda x: F.when(maxabs == 0.0, F.lit(0)).otherwise(  # noqa: E731
+        F.floor(x.cast("double") / maxabs * 127.0).cast("long")
+    )
+    codes = F.concat_ws(
+        ",", F.transform(vec, lambda x: code(x).cast("string"))
+    )
+    return emb.select(
+        "vec_id",
+        F.floor(maxabs * 1e9).cast("long").alias("scale_e9"),
+        codes.alias("codes"),
+    )
+
+
+QUANTIZE_SQL = """
+SELECT vec_id,
+       CAST(floor(list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) * 1e9) AS BIGINT) AS scale_e9,
+       array_to_string(
+         list_transform(embedding, x ->
+           CAST(CASE WHEN list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE)))) = 0.0
+                     THEN 0
+                     ELSE CAST(floor(CAST(x AS DOUBLE)
+                               / list_max(list_transform(embedding, y -> abs(CAST(y AS DOUBLE))))
+                               * 127.0) AS BIGINT)
+                END AS VARCHAR)),
+         ',') AS codes
+FROM embeddings
+"""
+
+
+def similarity_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Coarse-score in projected space, exact-rerank the survivors.
+
+    Stage 1 scores every (query, corpus) pair on RP_DIM dims (4x fewer
+    FLOPs/bytes than full) and keeps RERANK_FACTOR*TOP_K per query;
+    stage 2 joins ONLY those back to full vectors for exact cosine.
+    Broadcast query side both stages; candidate set size is
+    k-proportional, corpus-independent."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    proj = emb.select("vec_id", _project(F.col("embedding")).alias("p"))
+    q = proj.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("p").alias("qp")
+    )
+    c = proj.select(F.col("vec_id").alias("neighbor_id"), F.col("p").alias("cp"))
+    approx = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qp"), F.col("cp"))
+                / (
+                    F.sqrt(_dot(F.col("qp"), F.col("qp")))
+                    * F.sqrt(_dot(F.col("cp"), F.col("cp")))
+                )
+            ).alias("asim"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.desc("asim"), F.asc("neighbor_id")
+    )
+    cand = approx.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= RERANK_FACTOR * TOP_K
+    )
+    qfull = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qv")
+    )
+    cfull = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+    )
+    exact = (
+        _spread(cand.select("query_id", "neighbor_id"), "query_id")
+        .join(F.broadcast(qfull), "query_id")
+        .join(cfull, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            (
+                _dot(F.col("qv"), F.col("cv"))
+                / (
+                    F.sqrt(_dot(F.col("qv"), F.col("qv")))
+                    * F.sqrt(_dot(F.col("cv"), F.col("cv")))
+                )
+            ).alias("sim"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def _ann_rerank_sql() -> str:
+    signs = _signs()
+    proj_cols = ",\n         ".join(
+        f"{_sql_proj_dim('embedding', signs[i])} AS p{i}" for i in range(RP_DIM)
+    )
+    plist = "[" + ", ".join(f"p{i}" for i in range(RP_DIM)) + "]"
+    return f"""
+WITH proj AS (
+  SELECT vec_id,
+         {proj_cols}
+  FROM embeddings
+),
+parr AS (
+  SELECT vec_id, {plist}::DOUBLE[] AS p FROM proj
+),
+approx AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         {_sql_cos('q.p', 'c.p')} AS asim
+  FROM parr q JOIN parr c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+),
+cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY asim DESC, neighbor_id ASC) AS arank
+  FROM approx
+),
+exact AS (
+  SELECT k.query_id, k.neighbor_id,
+         {_sql_cos('q.embedding', 'c.embedding')} AS sim
+  FROM cand k
+  JOIN embeddings q ON q.vec_id = k.query_id
+  JOIN embeddings c ON c.vec_id = k.neighbor_id
+  WHERE k.arank <= {RERANK_FACTOR * TOP_K}
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM exact
+QUALIFY rank <= {TOP_K}
+"""
+
+
+PROJECTION_QUERIES: dict[str, Query] = {
+    q.name: q
+    for q in [
+        Query(
+            "embedding_random_projection",
+            embedding_random_projection,
+            _random_projection_sql(),
+            "Rademacher JL projection 64d -> 16d, literal sign matrix",
+        ),
+        Query(
+            "embedding_quantize_int8",
+            embedding_quantize_int8,
+            QUANTIZE_SQL,
+            "per-vector max-abs int8 quantization",
+        ),
+        Query(
+            "similarity_ann_rerank",
+            similarity_ann_rerank,
+            _ann_rerank_sql(),
+            "projected-coarse -> exact-rerank ANN funnel",
+        ),
+    ]
+}

@@ -110,3 +110,50 @@ def test_ann_ivf_every_query_answered(spark, emb):
     assert set(per_query) == set(range(8))
     for ranks in per_query.values():
         assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_rerank_funnel_recall_and_exactness(spark):
+    """The projected-coarse -> exact-rerank funnel: recall@5 vs the
+    exact baseline >= 0.8 at the pinned (RP_DIM=32, factor=16) config,
+    and every emitted sim is the EXACT full-space cosine (the rerank
+    stage must not leak approximate scores)."""
+    from tests.conftest import SF_SMALL
+    from map_reduce_lite_spark.ops.projection import similarity_ann_rerank
+    from map_reduce_lite_spark.ops.similarity import similarity_bruteforce
+
+    rr = similarity_ann_rerank(spark, SF_SMALL).collect()
+    bf = similarity_bruteforce(spark, SF_SMALL).collect()
+    rr_set = {(r.query_id, r.neighbor_id) for r in rr}
+    bf_set = {(r.query_id, r.neighbor_id) for r in bf}
+    assert len(rr_set & bf_set) / len(bf_set) >= 0.8
+    # where funnel and baseline agree on a neighbor, the exact score
+    # must be identical (floor-scaled int comparison)
+    bf_sim = {(r.query_id, r.neighbor_id): r.sim_e9 for r in bf}
+    for r in rr:
+        key = (r.query_id, r.neighbor_id)
+        if key in bf_sim:
+            assert r.sim_e9 == bf_sim[key], key
+
+
+def test_projection_plan_compact_codegen(spark):
+    """The sign matrix must enter the plan as ONE literal: no codegen
+    64KB blowout (which silently drops the stage to interpreted mode).
+    Smoke: the projection runs under a spark.sql.codegen.fallback=false
+    session conf would throw; here assert the plan has a single
+    project over the scan and no Python."""
+    from tests.conftest import SF_SMALL
+    from map_reduce_lite_spark.ops.projection import (
+        embedding_random_projection,
+    )
+
+    df = embedding_random_projection(spark, SF_SMALL)
+    import io as _io
+    from contextlib import redirect_stdout
+
+    buf = _io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PythonUDF" not in plan
+    tree = plan.split("\n\n")[0]  # formatted mode: tree, then node details
+    assert tree.count("Scan parquet") == 1, tree
