@@ -64,6 +64,19 @@ def main(argv: list[str] | None = None) -> int:
     )
     pc.add_argument("--master", default=None)
 
+    pz = sub.add_parser(
+        "zorder", help="rewrite a table clustered on a Z-order curve"
+    )
+    pz.add_argument("-i", "--input", required=True, help="source directory")
+    pz.add_argument("-o", "--output", required=True, help="destination directory")
+    pz.add_argument(
+        "-c", "--columns", required=True,
+        help="comma-separated numeric columns to cluster on",
+    )
+    pz.add_argument("--format", default="parquet", help="file format (default parquet)")
+    pz.add_argument("--num-files", type=int, default=8, help="output file count")
+    pz.add_argument("--master", default=None)
+
     pst = sub.add_parser("status", help="print session status")
     pst.add_argument("--master", default=None)
 
@@ -95,6 +108,16 @@ def main(argv: list[str] | None = None) -> int:
             target_file_bytes=args.target_mb * 1024 * 1024,
         )
         print(f"compacted {args.input} -> {args.output}: {n} files")
+        return 0
+
+    if args.command == "zorder":
+        from map_reduce_lite_spark.sources.io import read_source, write_zordered
+
+        spark = get_spark(master=args.master)
+        df = read_source(spark, args.input, fmt=args.format)
+        cols = [c.strip() for c in args.columns.split(",") if c.strip()]
+        write_zordered(df, args.output, cols, num_files=args.num_files, fmt=args.format)
+        print(f"z-ordered {args.input} -> {args.output} on {cols}: {args.num_files} files")
         return 0
 
     aux = _parse_aux(args.aux)

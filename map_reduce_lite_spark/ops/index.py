@@ -83,6 +83,71 @@ HAVING COUNT(*) >= {MIN_DF}
 """
 
 
+VOCAB_K = 100  # closed-vocabulary size for the OOV health metric
+
+
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the corpus's own top-K
+    vocabulary — the tokenizer-health metric a pipeline tracks per
+    ingestion source (a source whose OOV spikes is drifting away from
+    the tokenizer's training distribution).
+
+    Plan: tokenize once; the vocabulary is a K-row aggregate (bounded
+    by construction — broadcast back); the rate is one LEFT join + one
+    conditional aggregation. Integer basis points, exact in both
+    engines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    vocab = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(VOCAB_K)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    return (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.col("in_vocab").isNull().cast("long")).alias("n_oov"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "n_oov",
+            F.floor(F.col("n_oov") * 10000 / F.col("n_tokens"))
+            .cast("long")
+            .alias("oov_bps"),
+        )
+    )
+
+
+OOV_RATE_SQL = f"""
+WITH toks AS (
+  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  FROM documents
+),
+t2 AS (SELECT * FROM toks WHERE length(token) > 0),
+vocab AS (
+  SELECT token FROM t2
+  GROUP BY token
+  ORDER BY COUNT(*) DESC, token ASC
+  LIMIT {VOCAB_K}
+)
+SELECT t2.source,
+       COUNT(*) AS n_tokens,
+       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(floor(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 10000.0
+                  / COUNT(*)) AS BIGINT) AS oov_bps
+FROM t2 LEFT JOIN vocab v ON t2.token = v.token
+GROUP BY t2.source
+"""
+
+
 INDEX_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -91,6 +156,12 @@ INDEX_QUERIES: dict[str, Query] = {
             text_inverted_index,
             INVERTED_INDEX_SQL,
             "bounded-memory inverted index: exact df + head-K postings",
+        ),
+        Query(
+            "text_oov_rate",
+            text_oov_rate,
+            OOV_RATE_SQL,
+            "per-source OOV rate vs corpus top-K vocabulary",
         ),
     ]
 }

@@ -706,8 +706,32 @@ def _multires_oracle() -> str:
 def _streaming_queries():
     from map_reduce_lite_spark.registry import Query
     from map_reduce_lite_spark.relational.queries import EVENTS_HOURLY_SQL
+    queries = {}
+    # transformWithStateInPandas (Spark 4 arbitrary-stateful API) needs
+    # google.protobuf for its state-server protocol; this sandbox ships
+    # no protobuf and has no pip/network. The operator is implemented
+    # and registered whenever the dependency exists; tests/test_tws.py
+    # pins the exact blocker otherwise (same posture as S3A in
+    # tests/test_s3a.py).
+    try:
+        import google.protobuf  # noqa: F401
+
+        from map_reduce_lite_spark.streaming.tws import (
+            RUNNING_TOTAL_SQL,
+            streaming_running_total,
+        )
+
+        queries["streaming_running_total_tws"] = Query(
+            "streaming_running_total_tws",
+            streaming_running_total,
+            RUNNING_TOTAL_SQL,
+            "transformWithStateInPandas: ListState + event-time timers == window cumsum oracle",
+        )
+    except ImportError:
+        pass
 
     return {
+        **queries,
         "streaming_events_hourly": Query(
             "streaming_events_hourly",
             streaming_events_hourly,

@@ -223,6 +223,10 @@ def test_no_cartesian_product_anywhere(spark):
         "q15_top_supplier",     # max-equality scalar compare
         "q22_idle_rich_customers",  # 1-row global-average scalar compare
         "similarity_ann_ivf",   # broadcast centroid table (k rows)
+        # coarse stage of the rerank funnel: broadcast QUERY side scores
+        # all candidates on projected dims by design (composes with
+        # IVF/LSH blocking at scale); the exact stage is equi-joined
+        "similarity_ann_rerank",
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
         # k-means assignment: corpus × K-row broadcast centroid table
@@ -309,3 +313,43 @@ def test_fuzzy_link_equi_blocked(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "Join" in plan
+
+
+def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
+    """At cluster scale (application side over the 10 GB default scan
+    threshold) Catalyst injects a runtime bloom filter from the
+    selective build side into the probe side's scan — rows that cannot
+    join die before the exchange. Pin that the engine session supports
+    the injection by lowering the size thresholds to test scale."""
+    from pyspark.sql import functions as F
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    restore = {
+        k: spark.conf.get(k)
+        for k in (
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.enabled",
+        )
+    }
+    try:
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            "1KB",
+        )
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        li = load_table(spark, SF_SMALL, "lineitem")
+        o = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, li.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        opt = j._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in opt, opt[:2000]
+    finally:
+        for k, v in restore.items():
+            spark.conf.set(k, v)

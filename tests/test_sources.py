@@ -169,3 +169,23 @@ def test_zorder_write_skips_files(spark, tmp_path):
     from map_reduce_lite_spark.sources import read_source
 
     assert read_source(spark, zpath, fmt="parquet").count() == li.count()
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Schema drift across parquet drops: mergeSchema reads the union
+    schema with nulls for the missing column — the ingestion posture
+    for a source that added a field mid-stream."""
+    from map_reduce_lite_spark.sources import read_source, write_sink
+
+    old = spark.range(3).select(F.col("id").alias("k"))
+    new = spark.range(3, 6).select(
+        F.col("id").alias("k"), (F.col("id") * 10).alias("extra")
+    )
+    write_sink(old, str(tmp_path / "drop=1"), fmt="parquet")
+    write_sink(new, str(tmp_path / "drop=2"), fmt="parquet")
+    merged = read_source(
+        spark, str(tmp_path) + "/drop=*", fmt="parquet", mergeSchema="true"
+    )
+    assert set(merged.columns) == {"k", "extra"}
+    rows = {r.k: r.extra for r in merged.collect()}
+    assert rows[0] is None and rows[4] == 40

@@ -283,3 +283,33 @@ def test_cli_compact(tmp_path, spark):
     back = spark.read.parquet(dst)
     assert back.count() == 2000
     assert len(back.inputFiles()) < 16
+
+
+def test_cli_zorder(tmp_path, spark):
+    """CLI zorder subcommand end-to-end via a subprocess (the OPTIMIZE
+    ZORDER maintenance analog on plain directories)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    src = str(tmp_path / "src")
+    spark.range(5000).selectExpr(
+        "id AS a", "(id * 37) % 5000 AS b"
+    ).repartition(4).write.mode("overwrite").parquet(src)
+
+    repo = str(Path(__file__).resolve().parents[1])
+    dst = str(tmp_path / "zordered")
+    run = subprocess.run(
+        [
+            sys.executable, "-m", "map_reduce_lite_spark", "zorder",
+            "-i", src, "-o", dst, "-c", "a,b", "--num-files", "4",
+        ],
+        capture_output=True, text=True, cwd=repo, timeout=300,
+        env={**os.environ, "SPARK_GRAFT_CPUS": "4", "SPARK_GRAFT_DRIVER_MEM": "2g"},
+    )
+    assert run.returncode == 0, run.stderr[-2000:]
+    assert "z-ordered" in run.stdout
+    back = spark.read.parquet(dst)
+    assert back.count() == 5000
+    assert set(back.columns) == {"a", "b"}
