@@ -17,6 +17,32 @@ from pyspark.sql import DataFrame, SparkSession
 
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
+
+def _tune_allocator() -> None:
+    """Raise glibc's mmap threshold in the harness process.
+
+    The heavy DuckDB oracles (k-means CTEs, pair-join cosines) allocate
+    and free millions of medium blocks across 32 threads; with the
+    default dynamic mmap threshold glibc leaves tens of thousands of
+    disjoint mappings behind, and once the process hits
+    vm.max_map_count (65530 default) EVERY later allocation fails —
+    observed as `bad_alloc` on KB-sized blocks and `can't start new
+    thread` with >100 GB of free RAM. Serving medium blocks from
+    arenas instead keeps the map count at roughly half (measured peak
+    41k -> 33k over the heaviest oracle block). Linux/glibc only;
+    silently a no-op elsewhere.
+    """
+    try:
+        import ctypes
+
+        libc = ctypes.CDLL("libc.so.6")
+        libc.mallopt(-3, 64 * 1024 * 1024)  # M_MMAP_THRESHOLD = 64 MiB
+    except Exception:
+        pass
+
+
+_tune_allocator()
+
 from map_reduce_lite_spark.parity import PARITY_QUERIES
 from map_reduce_lite_spark.relational.queries import RELATIONAL_QUERIES
 from map_reduce_lite_spark.relational.queries2 import RELATIONAL_QUERIES_2
@@ -87,6 +113,22 @@ ALL_QUERIES = {
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
+    # r4-changed/new members pulled ahead of their families so they sit
+    # inside the driver's 50-query re-verification window (their
+    # r3-green unchanged siblings yield the slots):
+    **{
+        name: TEXT_QUERIES[name]
+        for name in (
+            "sketch_distinct_tokens",   # newly oracle-backed (HLL + flag)
+            "sketch_quantiles_price",   # two-tier GK rework
+            "sketch_cms_token_freq",    # NEW family member (CMS)
+            "text_unigram_logprob",     # NEW (perplexity-proxy quality)
+        )
+    },
+    **{
+        # localCheckpoint'd pair set — changed this round
+        "curation_leakage_safe_split": CURATION_QUERIES["curation_leakage_safe_split"]
+    },
     **TEXT_QUERIES,           # both sketches now oracle-backed (HLL + 2-tier GK)
     **CURATION_QUERIES,       # leakage_safe_split localCheckpoint
     **PIPELINE_QUERIES,

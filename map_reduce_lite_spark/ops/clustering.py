@@ -123,31 +123,38 @@ def cluster_embeddings_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_assignments(spark, sf_dir)
 
 
-def _sql_quant(expr: str) -> str:
-    return (
-        f"list_transform({expr}, "
-        f"x -> CAST(floor(CAST(x AS DOUBLE) * {QUANT}) AS BIGINT))"
-    )
+# Oracle CTEs are COLUMN-wise (q1..q64 plain BIGINT columns), never
+# BIGINT-list values: the earlier list form (`qv[i]` indexed 256x per
+# cross-join row, repeated per Lloyd iteration) churned DuckDB 1.0's
+# allocator into tens of thousands of glibc memory mappings and tripped
+# vm.max_map_count mid-sweep (see ops/similarity.py::_sql_dot for the
+# matching fix on the cosine side). Same math, same exact integers —
+# just flat columns.
+
+
+def _qcols(prefix: str) -> list[str]:
+    return [f"{prefix}{i}" for i in range(1, EMB_DIM + 1)]
 
 
 def _sql_sqdist(a: str, b: str) -> str:
     # generated 64-term integer sum — exact, order-free
     terms = [
-        f"({a}[{i}] - {b}[{i}]) * ({a}[{i}] - {b}[{i}])"
+        f"({a}.q{i} - {b}.c{i}) * ({a}.q{i} - {b}.c{i})"
         for i in range(1, EMB_DIM + 1)
     ]
     return "(" + " + ".join(terms) + ")"
 
 
 def _sql_assign(src_q: str, src_c: str, out_qv: bool) -> str:
-    cols = "vec_id, qv, cluster, dist_q" if out_qv else "vec_id, cluster, dist_q"
+    outer = ", " + ", ".join(_qcols("q")) if out_qv else ""
+    inner = ", " + ", ".join(f"q.{c}" for c in _qcols("q")) if out_qv else ""
     return f"""(
-  SELECT {cols} FROM (
-    SELECT q.vec_id, q.qv, c.cluster,
-           {_sql_sqdist('q.qv', 'c.cv')} AS dist_q,
+  SELECT vec_id, cluster, dist_q{outer} FROM (
+    SELECT q.vec_id, c.cluster,
+           {_sql_sqdist('q', 'c')} AS dist_q,
            row_number() OVER (
              PARTITION BY q.vec_id
-             ORDER BY {_sql_sqdist('q.qv', 'c.cv')} ASC, c.cluster ASC) AS rn
+             ORDER BY {_sql_sqdist('q', 'c')} ASC, c.cluster ASC) AS rn{inner}
     FROM {src_q} q CROSS JOIN {src_c} c
   ) WHERE rn = 1
 )"""
@@ -155,22 +162,24 @@ def _sql_assign(src_q: str, src_c: str, out_qv: bool) -> str:
 
 def _sql_update(src_a: str) -> str:
     means = ", ".join(
-        f"CAST(floor(CAST(SUM(qv[{i}]) AS DOUBLE) / COUNT(*)) AS BIGINT) AS m{i}"
+        f"CAST(floor(CAST(SUM(q{i}) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c{i}"
         for i in range(1, EMB_DIM + 1)
     )
-    lst = "[" + ", ".join(f"m{i}" for i in range(1, EMB_DIM + 1)) + "]"
     return f"""(
-  SELECT cluster, {lst} AS cv FROM (
-    SELECT cluster, {means} FROM {src_a} GROUP BY cluster
-  )
+  SELECT cluster, {means} FROM {src_a} GROUP BY cluster
 )"""
 
 
 def _kmeans_ctes() -> str:
     """Shared CTE chain: q, c0, a0, c1, a1, c2 (… per KMEANS_ITERS)."""
+    quant_cols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {QUANT}) AS BIGINT) AS q{i}"
+        for i in range(1, EMB_DIM + 1)
+    )
+    c0_cols = ", ".join(f"q{i} AS c{i}" for i in range(1, EMB_DIM + 1))
     parts = [
-        f"q AS (SELECT vec_id, {_sql_quant('embedding')} AS qv FROM embeddings)",
-        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, qv AS cv FROM q WHERE vec_id < {K_CLUSTERS})",
+        f"q AS (SELECT vec_id, {quant_cols} FROM embeddings)",
+        f"c0 AS (SELECT CAST(vec_id AS INT) AS cluster, {c0_cols} FROM q WHERE vec_id < {K_CLUSTERS})",
     ]
     for t in range(KMEANS_ITERS):
         parts.append(f"a{t} AS {_sql_assign('q', f'c{t}', out_qv=True)}")

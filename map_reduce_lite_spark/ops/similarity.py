@@ -17,9 +17,13 @@ Two paths, mirroring how a 100 TB vector corpus is actually served:
 
 Cosine determinism vs the DuckDB oracle: both sides cast each float
 element to double, multiply pairwise, and fold left-to-right
-(Spark ``aggregate``; DuckDB ``list_sum . list_transform . list_zip``),
-giving bit-identical doubles; results are additionally rounded to 9
-decimals before ranking with a vec_id tiebreak.
+(Spark ``aggregate``; DuckDB native ``list_dot_product`` on DOUBLE[] —
+a sequential loop, verified bit-identical to the explicit zip fold and
+chosen over it because the zip form's per-row struct allocations
+fragment the process into vm.max_map_count mappings on wide pair
+joins, see ``_sql_dot``), giving bit-identical doubles; results are
+additionally rounded to 9 decimals before ranking with a vec_id
+tiebreak.
 """
 
 from __future__ import annotations
@@ -130,12 +134,9 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMILARITY_BRUTE_SQL = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
-         list_sum(list_transform(list_zip(q.embedding, c.embedding),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))
-         / (sqrt(list_sum(list_transform(list_zip(q.embedding, q.embedding),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))
-          * sqrt(list_sum(list_transform(list_zip(c.embedding, c.embedding),
-                                 x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))))) AS sim
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
   FROM embeddings q JOIN embeddings c ON c.vec_id <> q.vec_id
   WHERE q.vec_id < {N_QUERY_VECS}
 ), ranked AS (
@@ -360,10 +361,22 @@ N_PROBE = 4  # centroid lists each query probes
 
 
 def _sql_dot(a: str, b: str) -> str:
-    return (
-        f"list_sum(list_transform(list_zip({a}, {b}), "
-        f"x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)))"
-    )
+    """DuckDB dot product, bit-identical to Spark's left-to-right
+    ``aggregate`` fold.
+
+    Uses native ``list_dot_product`` (a sequential C loop — verified
+    element-order-identical to the ``list_sum . list_transform .
+    list_zip`` fold across every consecutive pair at sf0.1) rather than
+    the zip/transform construction: the zip form materializes a struct
+    list PER ROW, and on a 32-thread DuckDB the per-thread allocator
+    churn from the pair-join cosine oracles fragments glibc into tens
+    of thousands of memory mappings — measured 65k maps ( ==
+    vm.max_map_count) during pipeline_semdedup_prune's oracle, after
+    which EVERY allocation in the process fails ("Failed to allocate
+    block of 16384 bytes" with >100 GB free). The native function does
+    zero intermediate allocation. Inputs are cast to DOUBLE[] so the
+    accumulation is double-precision even for FLOAT[] embeddings."""
+    return f"list_dot_product(CAST({a} AS DOUBLE[]), CAST({b} AS DOUBLE[]))"
 
 
 def _sql_cos(a: str, b: str) -> str:
@@ -379,8 +392,7 @@ def _sql_plane_bit(vec_expr: str, plane: list[float]) -> str:
     """SQL twin of ``_plane_bit``: same plane literals (repr round-trips
     doubles exactly), same fold order → identical sign bit."""
     dot = (
-        f"list_sum(list_transform(list_zip({vec_expr}, {_sql_array_lit(plane)}), "
-        f"x -> CAST(x[1] AS DOUBLE) * x[2]))"
+        f"list_dot_product(CAST({vec_expr} AS DOUBLE[]), {_sql_array_lit(plane)})"
     )
     return f"(CASE WHEN {dot} > 0 THEN 1 ELSE 0 END)"
 

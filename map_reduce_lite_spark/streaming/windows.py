@@ -73,6 +73,7 @@ def run_stream_to_memory(
     Raises TimeoutError if the drain does not finish inside
     ``timeout_sec`` — returning the partial memory table would silently
     compare a truncated result against the oracle."""
+    _bound_checkpoint_threads(df.sparkSession)
     q = (
         df.writeStream.format("memory")
         .queryName(name)
@@ -80,13 +81,66 @@ def run_stream_to_memory(
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(timeout_sec)
-    q.stop()
+    try:
+        finished = q.awaitTermination(timeout_sec)
+        q.stop()
+    finally:
+        _unload_state_stores(df.sparkSession)
     if not finished:
         raise TimeoutError(
             f"stream drain {name!r} did not finish within {timeout_sec}s; "
             "partial results discarded"
         )
+
+
+def _bound_checkpoint_threads(spark) -> None:
+    """Disable per-file checkpoint checksums for the ephemeral drains.
+
+    Spark 4's ChecksumCheckpointFileManager creates a dedicated thread
+    pool PER state-store provider (one provider per state partition —
+    200 in a vanilla session), so a single multi-operator drain peaks
+    at THOUSANDS of live `ChecksumCheckpoint` threads (measured 2675 in
+    one in-flight drain) before any cleanup can run, exhausting kernel
+    thread/map budgets for the whole process tree. The checksums detect
+    long-lived checkpoint corruption — worthless for the throwaway
+    temp-dir checkpoints of an availableNow drain, so turn them off for
+    the drain session. A production always-on stream with a durable
+    checkpoint should leave them enabled and size
+    `spark.sql.shuffle.partitions` to the real cluster instead.
+    """
+    try:
+        spark.conf.set(
+            "spark.sql.streaming.checkpoint.fileChecksum.enabled", "false"
+        )
+    except Exception:
+        pass  # conf unknown on older Spark — nothing to bound
+
+
+def _unload_state_stores(spark) -> None:
+    """Unload all loaded state-store providers after a finished drain.
+
+    Each stateful drain leaves its HDFSBackedStateStoreProviders loaded
+    in the executor JVM — ~4 maintenance/commit threads per state
+    partition, which at the vanilla 200 shuffle partitions is ~850
+    threads PER QUERY. A session that drains the whole streaming family
+    accumulates thousands of threads and exhausts kernel/cgroup
+    resources: measured in-session as DuckDB `bad_alloc` on KB-sized
+    blocks and Python `can't start new thread` with >100 GB free RAM
+    (~7000 JVM threads). `StateStore.stop()` unloads providers and
+    stops their threads (measured 2611 -> 205); the registry re-creates
+    everything lazily on the next stateful query, so this is safe
+    between sequential drains — the availableNow checkpoint semantics
+    are unaffected (state is re-read from the checkpoint, not from the
+    unloaded cache). Local-JVM only: on a real cluster each executor
+    bounds its own providers (partitions spread across the fleet) and
+    long-RUNNING queries must NOT unload — this belongs strictly after
+    a finished availableNow drain.
+    """
+    try:
+        jvm = spark._jvm
+        jvm.org.apache.spark.sql.execution.streaming.state.StateStore.stop()
+    except Exception:
+        pass  # cleanup must never fail the query result
 
 
 # --------------------------------------------------------------------------
@@ -481,6 +535,7 @@ def streaming_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         bdf.withColumn("_v", F.lit(batch_id)).write.mode("append").parquet(serving_dir)
 
     _STREAM_RUN += 1
+    _bound_checkpoint_threads(spark)
     q = (
         multires_rollup_stream(stream)
         .writeStream.outputMode("update")
@@ -488,8 +543,11 @@ def streaming_serving_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    finished = q.awaitTermination(180)
-    q.stop()
+    try:
+        finished = q.awaitTermination(180)
+        q.stop()
+    finally:
+        _unload_state_stores(spark)
     if not finished:
         raise TimeoutError("serving upsert drain did not finish within 180s")
     w = Window.partitionBy("resolution", "bucket_start", "event_type").orderBy(
