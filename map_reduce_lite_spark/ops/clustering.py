@@ -21,10 +21,17 @@ Initial centroids are the first K vectors by vec_id — deterministic
 and oracle-replayable (k-means++ would need a seeded RNG contract).
 
 Scale notes:
-- Assignment: corpus × K broadcast-nested-loop against a K-row
-  centroid table (never a shuffle, never a CartesianProduct), then a
-  per-vector argmin via one window. The FLOP cost is O(n·K·dim) —
-  the same shape MLlib uses.
+- Assignment: the K centroids are first collapsed to ONE row holding an
+  array of (cluster, centroid) structs, broadcast, and the per-vector
+  argmin is a single ``array_min(transform(...))`` expression — a pure
+  map stage over the corpus. The corpus is NEVER shuffled during
+  assignment (the earlier crossJoin-fanout + window-argmin shape
+  re-shuffled the K×-fanned corpus every Lloyd iteration — at 100 TB
+  that is the whole job's cost; the map form eliminates it, same FLOPs
+  O(n·K·dim), and stays fully declarative — no driver-side centroid
+  collection). Tie-break: struct ordering on (dist, cluster) is
+  lexicographic, i.e. ties go to the lowest cluster id, matching the
+  oracle's ``ORDER BY dist_q, cluster``.
 - Update: 64 integer SUM aggregates + COUNT per cluster in ONE
   groupBy — no posexplode (that would inflate rows dim×), map-side
   partial aggregation does the heavy lifting. int64 sums are exact up
@@ -42,7 +49,7 @@ Scale notes:
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from map_reduce_lite_spark.ops.similarity import (
     EMB_DIM,
@@ -76,18 +83,32 @@ def _sqdist(a, b):
 
 
 def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest centroid per vector (ties → lowest cluster id)."""
-    scored = q.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "qv",
-        "cluster",
-        _sqdist(F.col("qv"), F.col("cv")).alias("dist_q"),
+    """Nearest centroid per vector (ties → lowest cluster id).
+
+    Map-only over the corpus: centroids collapse to a 1-row
+    (cluster, cv) struct array, broadcast, and the argmin is
+    ``array_min`` over per-centroid (dist_q, cluster) structs —
+    lexicographic struct comparison gives dist-then-lowest-cluster,
+    so no window, no shuffle, no row fanout."""
+    carr = cents.agg(F.collect_list(F.struct("cluster", "cv")).alias("carr"))
+    best = F.array_min(
+        F.transform(
+            F.col("carr"),
+            lambda c: F.struct(
+                _sqdist(F.col("qv"), c["cv"]).alias("dist_q"),
+                c["cluster"].alias("cluster"),
+            ),
+        )
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("dist_q"), F.asc("cluster"))
     return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn")
+        q.crossJoin(F.broadcast(carr))
+        .select("vec_id", "qv", best.alias("_best"))
+        .select(
+            "vec_id",
+            "qv",
+            F.col("_best.cluster").alias("cluster"),
+            F.col("_best.dist_q").alias("dist_q"),
+        )
     )
 
 
