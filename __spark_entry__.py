@@ -110,6 +110,8 @@ ALL_QUERIES = {
     # CHANGED this round (32→60-bit fingerprint) — must sit in the
     # driver's re-verification window, ahead of its family
     **{"dedup_simhash": DEDUP_QUERIES["dedup_simhash"]},
+    # NEW — production 16×8 minhash banding, now fully value-oracled
+    **{"dedup_minhash_lsh_prod": DEDUP_QUERIES["dedup_minhash_lsh_prod"]},
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
     **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite

@@ -314,19 +314,32 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(d)
 
 
-def _minhash_sql() -> str:
+def dedup_minhash_lsh_prod(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs at the PRODUCTION banding (16 bands × 8 rows,
+    k=128): recall 1-(1-J^8)^16 ≈ 0.95 at J=0.8 — the setting a real
+    corpus runs. Same operator as dedup_minhash_lsh; only (bands, rows)
+    differ, and the oracle replays the identical 128-hash computation
+    (the 128 MIN aggregates are one grouped scan in both engines, so
+    even the production banding is fully value-oracled — it is not just
+    property-tested)."""
+    d = load_table(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(d, bands=PROD_MINHASH_BANDS, rows=PROD_MINHASH_ROWS)
+
+
+def _minhash_sql(bands: int = MINHASH_BANDS, rows: int = MINHASH_ROWS) -> str:
     h60 = sql_md5_60bit("shingle")
+    ca, cb = _coeffs(bands * rows)
     min_cols = ",\n         ".join(
-        f"MIN((h * {_A[i]} + {_B[i]}) % {MINHASH_P}) AS m{i}"
-        for i in range(NUM_MINHASHES)
+        f"MIN((h * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(bands * rows)
     )
     band_selects = "\n  UNION ALL\n".join(
         f"  SELECT doc, {b} AS band, "
         + " || ',' || ".join(
-            f"CAST(m{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+            f"CAST(m{b * rows + r} AS VARCHAR)" for r in range(rows)
         )
         + " AS sig FROM sigs"
-        for b in range(MINHASH_BANDS)
+        for b in range(bands)
     )
     return (
         _SHINGLES_CTE
@@ -348,6 +361,7 @@ FROM bands a JOIN bands b
 
 
 DEDUP_MINHASH_SQL = _minhash_sql()
+DEDUP_MINHASH_PROD_SQL = _minhash_sql(PROD_MINHASH_BANDS, PROD_MINHASH_ROWS)
 
 
 # --------------------------------------------------------------------------
@@ -693,6 +707,12 @@ DEDUP_QUERIES: dict[str, Query] = {
         Query("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by content hash"),
         Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "3-shingle jaccard pairs"),
         Query("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash-LSH candidates"),
+        Query(
+            "dedup_minhash_lsh_prod",
+            dedup_minhash_lsh_prod,
+            DEDUP_MINHASH_PROD_SQL,
+            "minhash-LSH candidates at production banding (16x8, k=128)",
+        ),
         Query("dedup_simhash", dedup_simhash, DEDUP_SIMHASH_SQL, "simhash hamming pairs"),
         Query(
             "dedup_embedding_cosine",
