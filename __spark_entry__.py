@@ -59,6 +59,7 @@ from map_reduce_lite_spark.ops import (
     PROFILE_QUERIES,
     PROJECTION_QUERIES,
     SAMPLING_QUERIES,
+    SNAPSHOT_QUERIES,
     SIMILARITY_QUERIES,
     SPAN_QUERIES,
     TEXT_QUERIES,
@@ -103,6 +104,7 @@ ALL_QUERIES = {
     **PROFILE_QUERIES,        # single-scan column profiler
     **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
     **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
+    **SNAPSHOT_QUERIES,       # NEW — CDC-style snapshot diff, no driver evidence yet
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
