@@ -71,6 +71,7 @@ BENCH_QUERIES = [
     "text_inverted_index",
     "fuzzy_link_customer_supplier",
     "streaming_purchase_view_left",
+    "snapshot_diff_documents",
 ]
 
 
