@@ -105,6 +105,10 @@ ALL_QUERIES = {
     **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
     **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
     **SNAPSHOT_QUERIES,       # NEW — CDC-style snapshot diff, no driver evidence yet
+    # NEW — hard-negative mining, fronted ahead of its (r3-green) family
+    **{
+        "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"]
+    },
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup

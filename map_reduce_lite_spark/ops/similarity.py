@@ -131,6 +131,83 @@ def similarity_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(emb, queries)
 
 
+def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the negatives that actually move a contrastive loss
+    (Robinson et al. 2021), versus random negatives that are trivially
+    far. Same scale shape as brute_force_topk (broadcast query side,
+    one corpus scan, per-query top-k window on a corpus×n_queries
+    intermediate); the label inequality is one extra predicate in the
+    scan stage, evaluated before any FLOPs. Production mines from an
+    ANN candidate pool (similarity_ann_ivf shape) instead of the full
+    corpus; the exact pass is the recall oracle for that funnel."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("label").alias("q_label"),
+        F.col("embedding").alias("q_vec"),
+        _norm(F.col("embedding")).alias("q_norm"),
+    )
+    c = _spread(
+        emb.select(
+            F.col("vec_id").alias("neg_id"),
+            F.col("label").alias("neg_label"),
+            F.col("embedding").alias("c_vec"),
+            _norm(F.col("embedding")).alias("c_norm"),
+        ),
+        "neg_id",
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neg_label") != F.col("q_label"))
+        .select(
+            "query_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            (
+                _dot(F.col("q_vec"), F.col("c_vec"))
+                / (F.col("q_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neg_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "q_label",
+            "neg_id",
+            "neg_label",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+SIMILARITY_HARD_NEG_SQL = f"""
+WITH scored AS (
+  SELECT q.vec_id AS query_id, q.label AS q_label,
+         c.vec_id AS neg_id, c.label AS neg_label,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings q JOIN embeddings c ON c.label <> q.label
+  WHERE q.vec_id < {N_QUERY_VECS}
+), ranked AS (
+  SELECT query_id, q_label, neg_id, neg_label, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neg_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, q_label, neg_id, neg_label, rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_BRUTE_SQL = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
@@ -577,6 +654,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_ann_ivf,
             SIMILARITY_IVF_SQL,
             "IVF coarse-quantized ANN top-k",
+        ),
+        Query(
+            "similarity_hard_negatives",
+            similarity_hard_negatives,
+            SIMILARITY_HARD_NEG_SQL,
+            "hard-negative mining: top-k nearest vectors with a different label",
         ),
     ]
 }
