@@ -109,6 +109,12 @@ ALL_QUERIES = {
     **{
         "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"]
     },
+    # NEW — incremental refresh composition (snapshot delta → gates)
+    **{
+        "pipeline_incremental_refresh": PIPELINE_QUERIES[
+            "pipeline_incremental_refresh"
+        ]
+    },
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup

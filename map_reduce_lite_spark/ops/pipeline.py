@@ -41,21 +41,13 @@ MAX_MEAN_TOKEN_LEN = 8.0
 PIPELINE_JACCARD = 0.5
 
 
-def pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source survival funnel of the 3-stage curation pipeline:
-    (source, n_total, n_quality, n_lang, n_kept, kept_tokens).
-
-    - n_quality: docs passing the token-count / mean-token-length gate.
-    - n_lang:    of those, docs whose stopword-argmax language is 'en'
-                 (ties break in STOPWORDS order, no hits → 'und').
-    - n_kept:    of those, docs surviving near-dup removal — a doc is
-                 dropped iff it is the HIGHER id of a surviving pair
-                 with word-3-shingle Jaccard ≥ 0.5 (keep-lowest rule;
-                 pair finding uses the DF-capped inverted index, so no
-                 posting-list blowup at scale).
-    - kept_tokens: whitespace tokens the surviving docs contribute.
-    """
-    d = load_table(spark, sf_dir, "documents")
+def quality_lang_flags(d: DataFrame) -> DataFrame:
+    """Stage 1+2 of the curation pipeline as one codegen'd projection:
+    (doc_id, source, text, n_tokens, q_ok, l_ok) — q_ok is the
+    token-count / mean-token-length gate, l_ok additionally requires the
+    stopword-argmax language to be 'en' (ties break in STOPWORDS order,
+    no hits → 'und'). No shuffle; reused by pretrain_curation and
+    pipeline_incremental_refresh."""
     n_chars = F.length("text").cast("long")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     mean_tok_len = (n_chars - n_tokens + 1) / n_tokens
@@ -72,7 +64,27 @@ def pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     pred = F.when(best == 0, F.lit("und"))
     for l in STOPWORDS:
         pred = pred.when(F.col(f"hits_{l}") == best, F.lit(l))
-    flagged = flagged.withColumn("l_ok", F.col("q_ok") & (pred == "en"))
+    return flagged.withColumn("l_ok", F.col("q_ok") & (pred == "en")).drop(
+        *[f"hits_{l}" for l in STOPWORDS]
+    )
+
+
+def pretrain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source survival funnel of the 3-stage curation pipeline:
+    (source, n_total, n_quality, n_lang, n_kept, kept_tokens).
+
+    - n_quality: docs passing the token-count / mean-token-length gate.
+    - n_lang:    of those, docs whose stopword-argmax language is 'en'
+                 (ties break in STOPWORDS order, no hits → 'und').
+    - n_kept:    of those, docs surviving near-dup removal — a doc is
+                 dropped iff it is the HIGHER id of a surviving pair
+                 with word-3-shingle Jaccard ≥ 0.5 (keep-lowest rule;
+                 pair finding uses the DF-capped inverted index, so no
+                 posting-list blowup at scale).
+    - kept_tokens: whitespace tokens the surviving docs contribute.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    flagged = quality_lang_flags(d)
 
     survivors = flagged.filter("l_ok").select("doc_id", "source", "text", "n_tokens")
     pairs = ngram_jaccard_pairs(
@@ -183,11 +195,126 @@ FROM funnel f LEFT JOIN kept_stats k ON k.source = f.source
 PRETRAIN_CURATION_SQL = _curation_sql()
 
 
+def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental corpus refresh: ONLY the snapshot delta re-enters the
+    curation gates.
+
+    At 100 TB a refresh never reprocesses the standing corpus — the
+    snapshot diff (ops/snapshot.py) classifies keys, and just the
+    added+changed documents flow through the quality/language gates,
+    reported per (source, status): (n_delta, n_quality, n_lang,
+    delta_tokens). Cost scales with the DELTA, not the corpus: the
+    diff shuffles 16-byte hash rows, the gates are one codegen'd
+    projection over delta text fetched by an id equi-join. The full
+    production refresh additionally dedups the delta AGAINST the
+    standing index (the minhash band signatures are mergeable, so the
+    standing side is a precomputed signature table, not a re-scan) —
+    the gate composition here is the oracle-checkable core of that
+    loop."""
+    from map_reduce_lite_spark.ops.snapshot import snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    prev = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cur = d.filter(F.col("doc_id") % 19 != 7).select("doc_id", "source", "text")
+    delta_keys = snapshot_diff(prev, cur).filter(
+        F.col("status").isin("added", "changed")
+    )
+    delta = delta_keys.join(cur, "doc_id")  # text always from the CURRENT snapshot
+    flagged = quality_lang_flags(delta)
+    return (
+        flagged.join(delta_keys.select("doc_id", "status"), "doc_id")
+        .groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(F.col("q_ok").cast("long")).alias("n_quality"),
+            F.sum(F.col("l_ok").cast("long")).alias("n_lang"),
+            F.sum("n_tokens").alias("delta_tokens"),
+        )
+        .select(
+            "source", "status", "n_delta", "n_quality", "n_lang", "delta_tokens"
+        )
+    )
+
+
+def _incremental_refresh_sql() -> str:
+    from map_reduce_lite_spark.registry import sql_md5_60bit
+
+    langs = list(STOPWORDS)
+    hit_cols = ",\n         ".join(
+        f"{_sql_stopword_hits('text', ws)} AS hits_{l}" for l, ws in STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return rf"""
+WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+), cur AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 7
+), p AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_prev FROM prev
+), c AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_cur FROM cur
+), delta_keys AS (
+  SELECT COALESCE(p.k, c.k) AS doc_id,
+         CASE WHEN p.k IS NULL THEN 'added'
+              WHEN c.k IS NULL THEN 'removed'
+              WHEN p.h_prev <> c.h_cur THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM p FULL OUTER JOIN c ON p.k = c.k
+), delta AS (
+  SELECT cur.doc_id, cur.source, cur.text, dk.status
+  FROM delta_keys dk JOIN cur ON cur.doc_id = dk.doc_id
+  WHERE dk.status IN ('added', 'changed')
+), feats AS (
+  SELECT doc_id, source, status,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {hit_cols}
+  FROM delta
+), flagged AS (
+  SELECT source, status, n_tokens,
+         (n_tokens >= {MIN_TOKENS}
+          AND (n_chars - n_tokens + 1) / n_tokens <= {MAX_MEAN_TOKEN_LEN}) AS q_ok,
+         {pred} AS pred
+  FROM feats
+)
+SELECT source, status, COUNT(*) AS n_delta,
+       CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       CAST(SUM(CASE WHEN q_ok AND pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_lang,
+       SUM(n_tokens) AS delta_tokens
+FROM flagged GROUP BY source, status
+"""
+
+
+INCREMENTAL_REFRESH_SQL = _incremental_refresh_sql()
+
+
 PIPELINE_QUERIES: dict[str, Query] = {
     "pipeline_pretrain_curation": Query(
         "pipeline_pretrain_curation",
         pretrain_curation,
         PRETRAIN_CURATION_SQL,
         "quality → language → near-dup curation funnel per source",
+    ),
+    "pipeline_incremental_refresh": Query(
+        "pipeline_incremental_refresh",
+        pipeline_incremental_refresh,
+        INCREMENTAL_REFRESH_SQL,
+        "snapshot delta → curation gates: refresh cost scales with the delta",
     ),
 }
