@@ -86,15 +86,23 @@ _FRONTED_RELATIONAL = [
 
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
-# streaming queries new or changed this round, pulled ahead of their
-# family so they sit inside the driver's prefix window; the rest of the
-# streaming family keeps its r3-green standing evidence.
+# The ENTIRE streaming family is fronted this round: every drain now
+# runs through the bounded-state-partition context manager
+# (streaming/windows.py::_drain_shuffle_bound), so all 11 queries'
+# execution path changed and all need fresh driver evidence (each was
+# re-verified green locally at sf0.01 AND sf0.1 after the change).
 _FRONTED_STREAMING = [
-    "streaming_purchase_view_left",  # NEW — left-outer stream-stream join
+    "streaming_purchase_view_left",  # NEW in r4 — left-outer stream-stream join
     "streaming_distinct_users",   # NEW — HLL cardinality state, exact-audited
     "streaming_serving_upsert",   # NEW — foreachBatch upsert serving
     "streaming_sessionize_native",  # NEW — JVM session_window tier
     "streaming_events_sliding",   # oracle made timezone-free
+    "streaming_events_hourly",
+    "streaming_rollup_multires",
+    "streaming_purchase_view_join",
+    "streaming_sessionize",
+    "streaming_dedup_events",
+    "streaming_enrich_purchases",
 ]
 
 ALL_QUERIES = {
@@ -109,12 +117,11 @@ ALL_QUERIES = {
     **{
         "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"]
     },
-    # NEW — incremental refresh composition (snapshot delta → gates)
-    **{
-        "pipeline_incremental_refresh": PIPELINE_QUERIES[
-            "pipeline_incremental_refresh"
-        ]
-    },
+    # NEW — incremental refresh composition (snapshot delta → gates);
+    # pretrain_curation fronted too: its stage-1+2 were factored into
+    # the shared quality_lang_flags projection (behavior-identical,
+    # re-verified, but the code path changed)
+    **PIPELINE_QUERIES,
     **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
     **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
     **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
@@ -126,10 +133,12 @@ ALL_QUERIES = {
     **{"dedup_minhash_lsh_prod": DEDUP_QUERIES["dedup_minhash_lsh_prod"]},
     **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
     **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
-    **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
     # r4-changed/new members pulled ahead of their families so they sit
     # inside the driver's 50-query re-verification window (their
-    # r3-green unchanged siblings yield the slots):
+    # r3-green unchanged siblings yield the slots). The sketches go
+    # BEFORE the relational tranche: sketch_distinct_tokens has never
+    # had a green driver row (r1–r3 no_oracle), so it outranks the
+    # broadcast-hint plan changes, whose values are unchanged.
     **{
         name: TEXT_QUERIES[name]
         for name in (
@@ -139,6 +148,7 @@ ALL_QUERIES = {
             "text_unigram_logprob",     # NEW (perplexity-proxy quality)
         )
     },
+    **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
     **{
         # localCheckpoint'd pair set — changed this round
         "curation_leakage_safe_split": CURATION_QUERIES["curation_leakage_safe_split"]
