@@ -72,6 +72,8 @@ BENCH_QUERIES = [
     "fuzzy_link_customer_supplier",
     "streaming_purchase_view_left",
     "snapshot_diff_documents",
+    "similarity_hard_negatives",
+    "pipeline_incremental_refresh",
 ]
 
 
