@@ -112,7 +112,7 @@ ALL_QUERIES = {
     **PROFILE_QUERIES,        # single-scan column profiler
     **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
     **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
-    **SNAPSHOT_QUERIES,       # NEW — CDC-style snapshot diff, no driver evidence yet
+    **SNAPSHOT_QUERIES,       # NEW — snapshot diff + incremental index dedup
     # NEW — hard-negative mining, fronted ahead of its (r3-green) family
     **{
         "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"]

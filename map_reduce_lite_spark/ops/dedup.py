@@ -259,6 +259,36 @@ def minhash_signatures(sh: DataFrame, num_hashes: int = NUM_MINHASHES) -> DataFr
     return hashed.groupBy("doc").agg(*mins)
 
 
+def minhash_band_sigs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = MINHASH_BANDS,
+    rows: int = MINHASH_ROWS,
+) -> DataFrame:
+    """(doc, band, sig) — the banded MinHash signature table.
+
+    This is the MERGEABLE index artifact: at scale it is computed once
+    per ingested batch and stored; an incremental refresh band-joins
+    the delta's signatures against it instead of re-scanning the
+    corpus (see ops/snapshot.py::dedup_incremental_minhash)."""
+    sigs = minhash_signatures(shingles(docs, id_col, text_col), bands * rows)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
+                ).alias("sig"),
+            )
+            for b in range(bands)
+        ]
+    )
+    return sigs.select("doc", F.explode(band_structs).alias("bs")).select(
+        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
+    )
+
+
 def minhash_lsh_pairs(
     docs: DataFrame,
     id_col: str = "doc_id",
@@ -275,21 +305,7 @@ def minhash_lsh_pairs(
     (16×8) is the production setting with recall ≥ 0.9 at J ≥ 0.8
     (property-tested). Only band-signature equi-joins — candidate work is
     quadratic only within a colliding bucket, never corpus-wide."""
-    sigs = minhash_signatures(shingles(docs, id_col, text_col), bands * rows)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.concat_ws(
-                    ",", *[F.col(f"m{b * rows + r}") for r in range(rows)]
-                ).alias("sig"),
-            )
-            for b in range(bands)
-        ]
-    )
-    banded = sigs.select("doc", F.explode(band_structs).alias("bs")).select(
-        "doc", F.col("bs.band").alias("band"), F.col("bs.sig").alias("sig")
-    )
+    banded = minhash_band_sigs(docs, id_col, text_col, bands, rows)
     # materialize ONCE before the self-join: the shingle + k-minhash
     # aggregation above is the dominant cost, and Spark plans each join
     # side independently (no ReusedExchange here) — without this the

@@ -211,19 +211,10 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     standing side is a precomputed signature table, not a re-scan) —
     the gate composition here is the oracle-checkable core of that
     loop."""
-    from map_reduce_lite_spark.ops.snapshot import snapshot_diff
+    from map_reduce_lite_spark.ops.snapshot import _derived_snapshots, snapshot_diff
 
     d = load_table(spark, sf_dir, "documents")
-    prev = d.filter(F.col("doc_id") % 17 != 3).select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    cur = d.filter(F.col("doc_id") % 19 != 7).select("doc_id", "source", "text")
+    prev, cur = _derived_snapshots(d)
     delta_keys = snapshot_diff(prev, cur).filter(
         F.col("status").isin("added", "changed")
     )

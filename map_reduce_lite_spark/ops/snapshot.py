@@ -79,16 +79,7 @@ def snapshot_diff_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-(source, status) delta summary between the derived previous
     and current document snapshots (see module doc for the derivation)."""
     d = load_table(spark, sf_dir, "documents")
-    prev = d.filter(F.col("doc_id") % 17 != 3).select(
-        "doc_id",
-        "source",
-        F.when(
-            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
-        )
-        .otherwise(F.col("text"))
-        .alias("text"),
-    )
-    cur = d.filter(F.col("doc_id") % 19 != 7).select("doc_id", "source", "text")
+    prev, cur = _derived_snapshots(d)
     delta = snapshot_diff(prev, cur, carry_cols=("source",))
     return (
         delta.groupBy("source", "status")
@@ -124,11 +115,156 @@ FROM delta GROUP BY source, status
 """
 
 
+def _derived_snapshots(d: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The module's deterministic (previous, current) snapshot pair."""
+    prev = d.filter(F.col("doc_id") % 17 != 3).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % 13 == 0, F.concat(F.col("text"), F.lit(" [stale]"))
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    cur = d.filter(F.col("doc_id") % 19 != 7).select("doc_id", "source", "text")
+    return prev, cur
+
+
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup: the snapshot DELTA banded against the
+    STANDING corpus's MinHash signature index.
+
+    This is the refresh loop's dedup stage at 100 TB: the standing
+    corpus's (doc, band, sig) table is a stored, mergeable artifact —
+    computed once per ingested batch, never re-scanned — and each
+    refresh computes signatures only for the added+changed documents,
+    then band-joins delta-vs-standing. Candidate work is bounded by
+    bucket collisions exactly as in whole-corpus LSH, but the left
+    side is delta-sized. Self-pairs (a changed doc colliding with its
+    own standing version) are excluded by id — that collision is
+    expected, not a dedup signal. Here both signature tables are
+    derived in-query so DuckDB replays the identical math end-to-end;
+    production reads the standing side from storage."""
+    from map_reduce_lite_spark.ops.dedup import minhash_band_sigs
+
+    d = load_table(spark, sf_dir, "documents")
+    prev, cur = _derived_snapshots(d)
+    delta_keys = snapshot_diff(prev, cur).filter(
+        F.col("status").isin("added", "changed")
+    )
+    delta_docs = delta_keys.join(cur, "doc_id").select("doc_id", "text")
+    standing = minhash_band_sigs(prev)  # production: a stored index table
+    delta = minhash_band_sigs(delta_docs)
+    dside, sside = delta.alias("d"), standing.alias("s")
+    return (
+        dside.join(
+            sside,
+            (F.col("d.band") == F.col("s.band"))
+            & (F.col("d.sig") == F.col("s.sig"))
+            & (F.col("d.doc") != F.col("s.doc")),
+        )
+        .select(
+            F.col("d.doc").alias("delta_doc"), F.col("s.doc").alias("standing_doc")
+        )
+        .distinct()
+    )
+
+
+def _band_sig_cte(src: str, p: str) -> str:
+    """CTE chain computing (doc, band, sig) MinHash band signatures for
+    relation ``src`` (which must expose doc_id, text), all CTE names
+    prefixed with ``p`` — the SQL twin of dedup.minhash_band_sigs at
+    the demo banding."""
+    from map_reduce_lite_spark.ops.dedup import (
+        MINHASH_BANDS,
+        MINHASH_P,
+        MINHASH_ROWS,
+        _coeffs,
+    )
+
+    ca, cb = _coeffs(MINHASH_BANDS * MINHASH_ROWS)
+    min_cols = ",\n         ".join(
+        f"MIN((h * {ca[i]} + {cb[i]}) % {MINHASH_P}) AS m{i}"
+        for i in range(MINHASH_BANDS * MINHASH_ROWS)
+    )
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc, {b} AS band, "
+        + " || ',' || ".join(
+            f"CAST(m{b * MINHASH_ROWS + r} AS VARCHAR)" for r in range(MINHASH_ROWS)
+        )
+        + f" AS sig FROM {p}sigs"
+        for b in range(MINHASH_BANDS)
+    )
+    return rf"""{p}tok_lists AS (
+  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks FROM {src}
+), {p}toks AS (
+  SELECT doc, token, pos FROM (
+    SELECT doc, unnest(toks) AS token,
+           unnest(generate_series(1, len(toks))) AS pos
+    FROM {p}tok_lists
+  ) WHERE token <> ''
+), {p}sh AS (
+  SELECT DISTINCT doc,
+         token || ' ' || lead(token, 1) OVER w || ' ' || lead(token, 2) OVER w AS shingle
+  FROM {p}toks
+  WINDOW w AS (PARTITION BY doc ORDER BY pos)
+  QUALIFY lead(token, 2) OVER w IS NOT NULL
+), {p}hashed AS (
+  SELECT doc, {sql_md5_60bit('shingle')} % {MINHASH_P} AS h FROM {p}sh
+), {p}sigs AS (
+  SELECT doc,
+         {min_cols}
+  FROM {p}hashed GROUP BY doc
+), {p}bands AS (
+{band_selects}
+)"""
+
+
+def _incremental_minhash_sql() -> str:
+    return rf"""
+WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+), cur AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 7
+), p AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_prev FROM prev
+), c AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_cur FROM cur
+), delta_keys AS (
+  SELECT COALESCE(p.k, c.k) AS doc_id,
+         CASE WHEN p.k IS NULL THEN 'added'
+              WHEN c.k IS NULL THEN 'removed'
+              WHEN p.h_prev <> c.h_cur THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM p FULL OUTER JOIN c ON p.k = c.k
+), delta_docs AS (
+  SELECT cur.doc_id, cur.text
+  FROM delta_keys dk JOIN cur ON cur.doc_id = dk.doc_id
+  WHERE dk.status IN ('added', 'changed')
+), {_band_sig_cte('prev', 'st_')},
+{_band_sig_cte('delta_docs', 'dl_')}
+SELECT DISTINCT d.doc AS delta_doc, s.doc AS standing_doc
+FROM dl_bands d JOIN st_bands s
+  ON d.band = s.band AND d.sig = s.sig AND d.doc <> s.doc
+"""
+
+
+DEDUP_INCREMENTAL_SQL = _incremental_minhash_sql()
+
+
 SNAPSHOT_QUERIES: dict[str, Query] = {
     "snapshot_diff_documents": Query(
         "snapshot_diff_documents",
         snapshot_diff_documents,
         SNAPSHOT_DIFF_SQL,
         "CDC-style snapshot diff: added/removed/changed/unchanged per source",
+    ),
+    "dedup_incremental_minhash": Query(
+        "dedup_incremental_minhash",
+        dedup_incremental_minhash,
+        DEDUP_INCREMENTAL_SQL,
+        "snapshot delta band-joined against the standing MinHash signature index",
     ),
 }

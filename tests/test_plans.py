@@ -216,6 +216,9 @@ def test_no_cartesian_product_anywhere(spark):
         # exact O(n²) recall oracles — broadcast small side by design
         "dedup_embedding_cosine",
         "similarity_bruteforce",
+        # hard-negative mining: same broadcast-query-side scan shape as
+        # the brute-force pass (production mines from an ANN pool)
+        "similarity_hard_negatives",
         # range join is non-equi by semantics; small side broadcast
         "range_join_qty_bands",
         "subquery_small_qty_revenue",
