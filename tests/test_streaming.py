@@ -363,3 +363,26 @@ def test_drain_unloads_state_store_threads(spark):
     # without the unload this is ~+850 even at 8 shuffle partitions it
     # is ~+40; with it, a small constant residue (pool bookkeeping)
     assert after - before < 30, (before, after)
+
+
+def test_rocksdb_state_store_provider_equivalence(spark):
+    """Pin the 100 TB state-store claim (streaming/windows.py module
+    doc): the same drain under RocksDBStateStoreProvider produces the
+    identical result as the default HDFS-backed provider. RocksDB is
+    what a production deployment runs — state spills to native disk
+    instead of growing the executor heap — so the claim must be
+    executable, not aspirational."""
+    from map_reduce_lite_spark.streaming.windows import streaming_events_hourly
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    default = Counter(map(tuple, streaming_events_hourly(spark, SF_SMALL).collect()))
+    prev = spark.conf.get(key)
+    spark.conf.set(
+        key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        rocks = Counter(map(tuple, streaming_events_hourly(spark, SF_SMALL).collect()))
+    finally:
+        spark.conf.set(key, prev)
+    assert rocks == default
