@@ -113,9 +113,11 @@ ALL_QUERIES = {
     **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
     **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
     **SNAPSHOT_QUERIES,       # NEW — snapshot diff + incremental index dedup
-    # NEW — hard-negative mining, fronted ahead of its (r3-green) family
+    # NEW — hard-negative mining + filtered hybrid search, fronted
+    # ahead of their (r3-green) family
     **{
-        "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"]
+        "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"],
+        "similarity_filtered_topk": SIMILARITY_QUERIES["similarity_filtered_topk"],
     },
     # NEW — incremental refresh composition (snapshot delta → gates);
     # pretrain_curation fronted too: its stage-1+2 were factored into

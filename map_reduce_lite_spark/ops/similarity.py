@@ -187,6 +187,61 @@ def similarity_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Metadata-filtered vector search (hybrid retrieval): top-k cosine
+    neighbors among only the documents passing a quality predicate —
+    the filter every production RAG/retrieval stack applies WITH the
+    vector search, not after it.
+
+    Shape: the predicate runs on the documents scan (pushdown-eligible),
+    the surviving ids equi-join the embedding corpus BEFORE any FLOPs,
+    and the scan-scored remainder is the brute-force pass. Post-filtering
+    top-k instead (rank first, filter after) both wastes FLOPs and
+    under-fills k when neighbors get filtered out — the classic hybrid-
+    search mistake this operator's shape avoids. At 100 TB the same
+    predicate composes with IVF: filter inside the probed buckets."""
+    from map_reduce_lite_spark.ops.pipeline import MIN_TOKENS
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    quality_ids = docs.select(
+        F.col("doc_id").alias("vec_id"), n_tokens.alias("n_tokens")
+    ).filter(F.col("n_tokens") >= MIN_TOKENS)
+    corpus = emb.join(quality_ids, "vec_id")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    return brute_force_topk(corpus, queries)
+
+
+def _filtered_topk_sql() -> str:
+    from map_reduce_lite_spark.ops.pipeline import MIN_TOKENS
+
+    return rf"""
+WITH quality AS (
+  SELECT doc_id AS vec_id
+  FROM documents
+  WHERE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) >= {MIN_TOKENS}
+), corpus AS (
+  SELECT e.vec_id, e.embedding FROM embeddings e JOIN quality USING (vec_id)
+), scored AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[]))
+         / (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[])))
+          * sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))) AS sim
+  FROM embeddings q JOIN corpus c ON c.vec_id <> q.vec_id
+  WHERE q.vec_id < {N_QUERY_VECS}
+), ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(row_number() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
 SIMILARITY_HARD_NEG_SQL = f"""
 WITH scored AS (
   SELECT q.vec_id AS query_id, q.label AS q_label,
@@ -660,6 +715,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_hard_negatives,
             SIMILARITY_HARD_NEG_SQL,
             "hard-negative mining: top-k nearest vectors with a different label",
+        ),
+        Query(
+            "similarity_filtered_topk",
+            similarity_filtered_topk,
+            _filtered_topk_sql(),
+            "metadata-filtered vector search: quality predicate before the FLOPs",
         ),
     ]
 }

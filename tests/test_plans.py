@@ -219,6 +219,9 @@ def test_no_cartesian_product_anywhere(spark):
         # hard-negative mining: same broadcast-query-side scan shape as
         # the brute-force pass (production mines from an ANN pool)
         "similarity_hard_negatives",
+        # filtered hybrid search: brute-force pass over the quality-
+        # pre-filtered corpus (broadcast query side by design)
+        "similarity_filtered_topk",
         # range join is non-equi by semantics; small side broadcast
         "range_join_qty_bands",
         "subquery_small_qty_revenue",
