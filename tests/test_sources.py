@@ -69,9 +69,15 @@ def test_partitioned_write_prunes(spark, tmp_path):
     assert (tmp_path / "parted" / "part=a").exists()
     back = read_source(spark, out, fmt="parquet").filter(F.col("part") == "a")
     assert back.count() == 5
-    # partition filter must prune at plan level, not post-scan
+    # partition filter must prune at plan level, not post-scan: the
+    # FileScan's PartitionFilters list must actually carry the predicate
+    # (the earlier `"PartitionFilters" in plan or count()==5` form was
+    # vacuous — the count arm always passed)
+    import re
+
     plan = back._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or back.count() == 5
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "part" in m.group(1) and "= a" in m.group(1), plan
 
 
 def test_unknown_format_raises(spark, tmp_path):
