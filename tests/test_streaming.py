@@ -386,3 +386,39 @@ def test_rocksdb_state_store_provider_equivalence(spark):
     finally:
         spark.conf.set(key, prev)
     assert rocks == default
+
+
+def test_availablenow_checkpoint_no_reprocess(spark, events_parquet, tmp_path):
+    """Exactly-once restart semantics: a second availableNow run over
+    the SAME durable checkpoint must process nothing (no new input
+    files) and append zero new rows to the sink. This is the property
+    a production ingestion job restarts on — the ephemeral drains
+    elsewhere use temp checkpoints by design, so pin it explicitly."""
+    from map_reduce_lite_spark.streaming.windows import (
+        EVENTS_SCHEMA,
+        hourly_counts_stream,
+    )
+
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+
+    def run_once():
+        stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_parquet)
+        q = (
+            hourly_counts_stream(stream)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        q.stop()
+
+    run_once()
+    first = spark.read.parquet(sink).count()
+    assert first > 0, "watermark never closed any window"
+    run_once()
+    second = spark.read.parquet(sink).count()
+    assert second == first, (first, second)
