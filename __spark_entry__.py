@@ -106,6 +106,13 @@ _FRONTED_STREAMING = [
 ]
 
 ALL_QUERIES = {
+    # NEWEST (late r4) — no driver evidence yet, go first: the
+    # histogram-decomposed token-budget carve and the two-stage exact-k
+    # per-stratum sampler
+    **{
+        "curation_token_budget": CURATION_QUERIES["curation_token_budget"],
+        "sample_topk_per_stratum": SAMPLING_QUERIES["sample_topk_per_stratum"],
+    },
     # NEW families this session — no driver evidence yet, go first
     **TIMESERIES_QUERIES,     # gap-filled rollup + exact z-score anomalies
     **INDEX_QUERIES,          # bounded-memory inverted index

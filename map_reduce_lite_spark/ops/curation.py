@@ -654,7 +654,109 @@ FROM scored JOIN thr USING (source)
 QUALITY_QUANTILE_SQL = _quality_quantile_sql()
 
 
+# --------------------------------------------------------------------------
+# Token-budget corpus selection
+# --------------------------------------------------------------------------
+
+BUDGET_NUM, BUDGET_DEN = 6, 10  # keep the best ~60% of corpus tokens
+
+
+def token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global token-budget selection: keep the highest-quality documents
+    (stopword-ratio score, doc_id tiebreak) whose cumulative token count
+    fits within BUDGET_NUM/BUDGET_DEN of the corpus's total tokens — the
+    "best N tokens" carve a pretraining run starts from when compute,
+    not data, sets the corpus size.
+
+    The obvious plan — SUM(n_tokens) OVER (ORDER BY score DESC) — is a
+    GLOBAL prefix sum: an unpartitioned window runs in ONE task, a
+    non-starter at 100 TB. This decomposes it exactly:
+      1. histogram: one map-side-combined groupBy on the integer score
+         (≤1e6+1 buckets, MBs total) → per-bucket token sums;
+      2. cumulative over the tiny histogram (a window over ≤1e6 rows)
+         gives each bucket the token mass in STRICTLY better buckets;
+      3. broadcast that back and run the within-bucket running sum as a
+         window PARTITIONED by score — many independent partitions
+         instead of one global sort; only the single boundary bucket's
+         ordering actually decides membership.
+    kept == (better-bucket mass + within-bucket running sum) <= budget
+    reproduces the global-window semantics exactly (doc_id is the
+    in-bucket order, so the flat SQL window below is the oracle)."""
+    from map_reduce_lite_spark.ops.text import STOPWORDS, _stopword_hits
+
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    n_stop = _stopword_hits(F.col("text"), STOPWORDS["en"])
+    score = F.floor((n_stop / n_tokens) * 1e6).cast("long")
+    scored = d.select(
+        "doc_id", "source", score.alias("score_e6"), n_tokens.alias("n_tokens")
+    )
+
+    hist = scored.groupBy("score_e6").agg(F.sum("n_tokens").alias("btoks"))
+    w_hist = Window.orderBy(F.desc("score_e6")).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    pre = hist.select(
+        "score_e6",
+        F.coalesce(F.sum("btoks").over(w_hist), F.lit(0)).alias("pre_tokens"),
+    )
+    budget = hist.agg(F.sum("btoks").alias("total_tokens")).select(
+        F.expr(f"total_tokens * {BUDGET_NUM} div {BUDGET_DEN}").alias("budget")
+    )
+
+    w_bucket = (
+        Window.partitionBy("score_e6")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        scored.join(F.broadcast(pre), "score_e6")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "doc_id",
+            "source",
+            "score_e6",
+            "n_tokens",
+            (
+                (F.col("pre_tokens") + F.sum("n_tokens").over(w_bucket))
+                <= F.col("budget")
+            ).alias("kept"),
+        )
+    )
+
+
+def _token_budget_sql() -> str:
+    from map_reduce_lite_spark.ops.text import STOPWORDS, _sql_stopword_hits
+
+    hits = _sql_stopword_hits("text", STOPWORDS["en"])
+    ntok = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, source,
+         CAST(floor(({hits} / {ntok}) * 1e6) AS BIGINT) AS score_e6,
+         {ntok} AS n_tokens
+  FROM documents
+), b AS (
+  SELECT (SUM(n_tokens) * {BUDGET_NUM}) // {BUDGET_DEN} AS budget FROM scored
+)
+SELECT doc_id, source, score_e6, n_tokens,
+       SUM(n_tokens) OVER (ORDER BY score_e6 DESC, doc_id ASC
+                           ROWS UNBOUNDED PRECEDING)
+         <= (SELECT budget FROM b) AS kept
+FROM scored
+"""
+
+
+TOKEN_BUDGET_SQL = _token_budget_sql()
+
+
 CURATION_QUERIES: dict[str, Query] = {
+    "curation_token_budget": Query(
+        "curation_token_budget",
+        token_budget_select,
+        TOKEN_BUDGET_SQL,
+        "global token-budget selection via histogram-decomposed prefix sum",
+    ),
     "curation_quality_quantile": Query(
         "curation_quality_quantile",
         quality_quantile_filter,

@@ -24,7 +24,7 @@ md5 scatters any hot key.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from map_reduce_lite_spark.registry import (
     Query,
@@ -168,6 +168,53 @@ LIMIT {TOPK_TOKENS}
 """
 
 
+TOPK_PER_STRATUM = 12
+_TOPK_FANOUT = 16  # stage-1 sub-partitions per stratum
+
+
+def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-k deterministic per-stratum sample: each source keeps the k
+    documents with the smallest portable hash — uniform-without-
+    replacement membership (the fixed-size holdout / eval-set carve)
+    that never churns across runs, engines, or corpus partitionings.
+
+    A single ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash)
+    funnels EACH ENTIRE STRATUM through one task — the classic window
+    scale trap. Two-stage exact top-k instead: stage 1 ranks within
+    (source, hash % FANOUT) sub-partitions — FANOUT× the parallelism at
+    1/FANOUT the sort size — and keeps each sub-partition's local
+    top-k; stage 2 re-ranks the ≤ FANOUT·k survivors per source (a few
+    KB however large the stratum). The union of per-sub top-k provably
+    contains the global top-k, so the two-stage result is identical to
+    the one-window plan — which is therefore the flat SQL oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    h = md5_60bit(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    w1 = Window.partitionBy("source", "sub").orderBy("h", "doc_id")
+    w2 = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("sub", F.pmod(F.col("h"), F.lit(_TOPK_FANOUT)))
+        .withColumn("rk1", F.row_number().over(w1))
+        .filter(F.col("rk1") <= TOPK_PER_STRATUM)
+        .withColumn("rk", F.row_number().over(w2))
+        .filter(F.col("rk") <= TOPK_PER_STRATUM)
+        .select("source", "doc_id", "h", F.col("rk").cast("long").alias("rk"))
+    )
+
+
+SAMPLE_TOPK_SQL = f"""
+WITH hashed AS (
+  SELECT source, doc_id,
+         {sql_md5_60bit(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+)
+SELECT source, doc_id, h,
+       ROW_NUMBER() OVER (PARTITION BY source ORDER BY h, doc_id) AS rk
+FROM hashed
+QUALIFY rk <= {TOPK_PER_STRATUM}
+"""
+
+
 SAMPLING_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -188,6 +235,12 @@ SAMPLING_QUERIES: dict[str, Query] = {
             heavy_hitters_tokens,
             HEAVY_HITTERS_SQL,
             "top-k token heavy hitters, deterministic tiebreak",
+        ),
+        Query(
+            "sample_topk_per_stratum",
+            sample_topk_per_stratum,
+            SAMPLE_TOPK_SQL,
+            "exact-k deterministic per-stratum sample, two-stage top-k",
         ),
     ]
 }

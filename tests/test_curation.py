@@ -221,3 +221,28 @@ def test_leakage_safe_split_zero_cross_doc_level_leaks(spark):
         .count()
     )
     assert crossed > 0, "doc-level split should leak on this corpus"
+
+
+def test_token_budget_greedy_prefix_semantics(spark):
+    """kept set == the greedy best-score prefix whose inclusive token
+    cumsum fits the budget; decomposed plan must equal the flat rule."""
+    from map_reduce_lite_spark.ops.curation import (
+        BUDGET_DEN,
+        BUDGET_NUM,
+        token_budget_select,
+    )
+
+    rows = token_budget_select(spark, SF_SMALL).collect()
+    total = sum(r["n_tokens"] for r in rows)
+    budget = total * BUDGET_NUM // BUDGET_DEN
+    ordered = sorted(rows, key=lambda r: (-r["score_e6"], r["doc_id"]))
+    cum, expect_kept = 0, set()
+    for r in ordered:
+        cum += r["n_tokens"]
+        if cum <= budget:
+            expect_kept.add(r["doc_id"])
+    got_kept = {r["doc_id"] for r in rows if r["kept"]}
+    assert got_kept == expect_kept
+    kept_tokens = sum(r["n_tokens"] for r in rows if r["kept"])
+    assert kept_tokens <= budget
+    assert 0 < len(got_kept) < len(rows), "budget must actually split the corpus"

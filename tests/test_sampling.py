@@ -88,3 +88,38 @@ def test_heavy_hitters_deterministic_and_sorted(spark):
     assert 0 < len(rows) <= TOPK_TOKENS
     keyed = [(-r["n"], r["token"]) for r in rows]
     assert keyed == sorted(keyed), "must be (count DESC, token ASC) ordered"
+
+
+def test_topk_per_stratum_exact_k_and_equals_single_window(spark):
+    """Two-stage top-k must equal the naive one-window plan exactly, and
+    deliver exactly k rows per stratum (corpus has >k docs per source)."""
+    from pyspark.sql import Window, functions as F
+
+    from map_reduce_lite_spark.ops.sampling import (
+        SAMPLE_SALT,
+        TOPK_PER_STRATUM,
+        sample_topk_per_stratum,
+    )
+    from map_reduce_lite_spark.registry import md5_60bit
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    got = sample_topk_per_stratum(spark, SF_SMALL).collect()
+    per_src = {}
+    for r in got:
+        per_src.setdefault(r["source"], []).append((r["rk"], r["doc_id"], r["h"]))
+    assert all(len(v) == TOPK_PER_STRATUM for v in per_src.values())
+    assert all(sorted(rk for rk, _, _ in v) == list(range(1, TOPK_PER_STRATUM + 1))
+               for v in per_src.values())
+
+    d = load_table(spark, SF_SMALL, "documents")
+    h = md5_60bit(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    naive = (
+        d.select("doc_id", "source", h.alias("h"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= TOPK_PER_STRATUM)
+        .collect()
+    )
+    assert {(r["source"], r["doc_id"], r["rk"]) for r in naive} == {
+        (r["source"], r["doc_id"], r["rk"]) for r in got
+    }
