@@ -74,6 +74,8 @@ BENCH_QUERIES = [
     "snapshot_diff_documents",
     "similarity_hard_negatives",
     "pipeline_incremental_refresh",
+    "curation_token_budget",
+    "sample_topk_per_stratum",
 ]
 
 
