@@ -178,15 +178,18 @@ def sample_topk_per_stratum(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement membership (the fixed-size holdout / eval-set carve)
     that never churns across runs, engines, or corpus partitionings.
 
-    A single ROW_NUMBER() OVER (PARTITION BY source ORDER BY hash)
-    funnels EACH ENTIRE STRATUM through one task — the classic window
-    scale trap. Two-stage exact top-k instead: stage 1 ranks within
-    (source, hash % FANOUT) sub-partitions — FANOUT× the parallelism at
-    1/FANOUT the sort size — and keeps each sub-partition's local
-    top-k; stage 2 re-ranks the ≤ FANOUT·k survivors per source (a few
-    KB however large the stratum). The union of per-sub top-k provably
-    contains the global top-k, so the two-stage result is identical to
-    the one-window plan — which is therefore the flat SQL oracle."""
+    Scale shape: Spark's WindowGroupLimit pushdown already bounds a
+    rank<=k window's shuffle to k rows per map partition, but the
+    reduce side still funnels k·(map partitions) rows — at 100 TB,
+    ~100k partitions → millions of rows — through ONE task per
+    stratum. The two-stage plan caps that: stage 1 ranks within
+    (source, hash % FANOUT) sub-partitions and keeps each local top-k;
+    stage 2 re-ranks the ≤ FANOUT·k survivors per source (a few KB
+    however large the stratum, vs k·P). The union of per-sub top-k
+    provably contains the global top-k, so the two-stage result is
+    identical to the one-window plan — which is therefore the flat SQL
+    oracle. Both stages get the WindowGroupLimit partial-limit for
+    free (visible in .explain as paired WindowGroupLimit nodes)."""
     d = load_table(spark, sf_dir, "documents")
     h = md5_60bit(F.concat(F.lit(SAMPLE_SALT), F.col("doc_id").cast("string")))
     w1 = Window.partitionBy("source", "sub").orderBy("h", "doc_id")

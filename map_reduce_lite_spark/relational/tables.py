@@ -25,6 +25,16 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # The engine's output contract is UTC regardless of host: hourly
+    # bucketing, date_trunc, and window() follow
+    # spark.sql.session.timeZone, and an externally built driver
+    # session inherits the HOST zone — where DST genuinely changes
+    # results (observed: the hourly rollup emits 3550 rows under
+    # America/New_York vs 3540 under UTC, same data). session.py pins
+    # UTC for in-repo sessions; this covers foreign sessions too.
+    # (unconditional set: conf.get validates its *default* argument, so
+    # probing an unset conf with a sentinel throws INVALID_CONF_VALUE)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     if name == "events":
         # events.parquet uses TIMESTAMP(NANOS), which Spark's vectorized
         # reader rejects; read nanos as long and convert with exact

@@ -120,3 +120,17 @@ def test_events_nanos_parquet_is_normalized(spark, tmp_path):
     from pyspark.sql import functions as F
 
     assert df.select(F.unix_micros("ts")).collect()[0][0] == 1700000000123456
+
+
+def test_load_table_pins_session_timezone_utc(spark):
+    """A foreign (driver-built) session inherits the host timezone, where
+    DST changes hourly-bucketing row counts; load_table must pin UTC."""
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    orig = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        load_table(spark, SF_SMALL, "documents")
+        assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", orig)
