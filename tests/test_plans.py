@@ -363,3 +363,26 @@ def test_runtime_bloom_filter_injects_on_selective_shuffle_join(spark):
     finally:
         for k, v in restore.items():
             spark.conf.set(k, v)
+
+
+def test_token_budget_no_global_window(spark):
+    """The corpus-side running sum must be a window PARTITIONED by
+    score (many tasks), with the histogram cumulative broadcast back —
+    never an unpartitioned global-sort window over the documents."""
+    plan = _plan(_q(spark, "curation_token_budget"))
+    # both windows present: the tiny histogram cumulative (score DESC,
+    # no partition spec — fine, it runs over <=1e6 aggregated rows) and
+    # the per-bucket running sum partitioned by score_e6
+    assert "windowspecdefinition(score_e6" in plan, plan
+    assert "BroadcastHashJoin" in plan  # pre_tokens joined back broadcast
+    # the 1-row budget rides a broadcast nested-loop cross, not a shuffle
+    assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_topk_per_stratum_group_limit_pushdown(spark):
+    """Both rank<=k windows must get Spark's WindowGroupLimit pushdown
+    (partial limit before the exchange), so only ~k rows per map
+    partition ever cross the wire."""
+    plan = _plan(_q(spark, "sample_topk_per_stratum"))
+    assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final × 2 stages
+    assert "Generate" not in plan and "CartesianProduct" not in plan
