@@ -112,6 +112,7 @@ ALL_QUERIES = {
     **{
         "curation_token_budget": CURATION_QUERIES["curation_token_budget"],
         "sample_topk_per_stratum": SAMPLING_QUERIES["sample_topk_per_stratum"],
+        "text_collocation_lift": TEXT_QUERIES["text_collocation_lift"],
     },
     # NEW families this session — no driver evidence yet, go first
     **TIMESERIES_QUERIES,     # gap-filled rollup + exact z-score anomalies

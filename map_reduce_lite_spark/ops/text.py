@@ -571,9 +571,121 @@ FROM topk t
 CMS_SQL = _cms_sql()
 
 
+# --------------------------------------------------------------------------
+# Collocation discovery (document-level co-occurrence lift)
+# --------------------------------------------------------------------------
+
+COLLOC_TOP_M = 20          # vocabulary slice carrying pair statistics
+COLLOC_SCALE = 1_000_000   # lift reported as floor(1e6 · N·n_ab/(n_a·n_b))
+
+
+def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation discovery: document-level co-occurrence lift (the
+    PMI ratio before the log) for every pair of the top-M
+    document-frequency tokens — the phrase/tokenizer-merge induction
+    statistic a text pipeline computes before growing a vocabulary.
+
+    Integer-exact end to end: lift is floor-scaled BIGINT arithmetic,
+    no libm log whose last bits differ across engines. Headroom bound:
+    SCALE·N·n_ab must fit int64, i.e. N·n_ab < 9.2e12 — fine up to
+    ~3e6 fully co-occurring docs; past that, swap the constant for a
+    DECIMAL(38,0) product (semantics unchanged).
+
+    Scale shape: the pair space is bounded by M, not the corpus. The
+    top-M vocabulary is one map-side-combined agg + TakeOrdered (M
+    rows, broadcast); per-doc presence collapses via a single groupBy
+    into a sorted ≤M-element array; pairs are generated JVM-side from
+    that array (`transform`×`slice`, ≤M²/2 structs per doc) — no
+    corpus self-join, one real shuffle (the doc groupBy), and the
+    final pair agg carries ≤M²/2 distinct keys. The SQL oracle states
+    the same thing as a within-doc self-join, equivalent because the
+    array is the doc's distinct present-token set."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        )
+        .filter(F.length("token") > 0)
+        .distinct()
+    )
+    topm = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.desc("df"), F.asc("token"))
+        .limit(COLLOC_TOP_M)
+    )
+    arrs = (
+        toks.join(F.broadcast(topm.select("token")), "token")
+        .groupBy("doc_id")
+        .agg(F.array_sort(F.collect_set("token")).alias("arr"))
+    )
+    pairs = arrs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(arr, (x, i) -> "
+                "transform(slice(arr, i + 2, size(arr)), "
+                "y -> struct(x AS tok_a, y AS tok_b))))"
+            )
+        ).alias("p")
+    ).select("p.tok_a", "p.tok_b")
+    co = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    a = topm.select(F.col("token").alias("tok_a"), F.col("df").alias("n_a"))
+    b = topm.select(F.col("token").alias("tok_b"), F.col("df").alias("n_b"))
+    return (
+        co.join(F.broadcast(a), "tok_a")
+        .join(F.broadcast(b), "tok_b")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "tok_a",
+            "tok_b",
+            "n_a",
+            "n_b",
+            "n_ab",
+            F.expr(
+                f"({COLLOC_SCALE} * n_docs * n_ab) div (n_a * n_b)"
+            ).alias("lift_e6"),
+        )
+    )
+
+
+COLLOCATION_SQL = rf"""
+WITH toks AS (
+  SELECT DISTINCT doc_id, t.term AS token
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), topm AS (
+  SELECT token, COUNT(*) AS df FROM toks GROUP BY 1
+  ORDER BY df DESC, token ASC LIMIT {COLLOC_TOP_M}
+), present AS (
+  SELECT toks.doc_id, toks.token FROM toks JOIN topm USING (token)
+), pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b
+  FROM present a JOIN present b
+    ON a.doc_id = b.doc_id AND a.token < b.token
+), co AS (
+  SELECT tok_a, tok_b, COUNT(*) AS n_ab FROM pairs GROUP BY 1, 2
+), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT tok_a, tok_b, ta.df AS n_a, tb.df AS n_b, n_ab,
+       ({COLLOC_SCALE} * n.n_docs * n_ab) // (ta.df * tb.df) AS lift_e6
+FROM co
+JOIN topm ta ON co.tok_a = ta.token
+JOIN topm tb ON co.tok_b = tb.token
+CROSS JOIN n
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "text_collocation_lift",
+            collocation_lift,
+            COLLOCATION_SQL,
+            "top-M token co-occurrence lift (integer-exact PMI ratio)",
+        ),
         Query("text_lang_id", lang_id, _lang_id_sql(), "stopword language ID"),
         Query("text_quality_score", quality_score, QUALITY_SQL, "quality features"),
         Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),

@@ -148,3 +148,32 @@ def test_connected_components_matches_union_find(spark, edges):
         (r["node"], r["component"]) for r in connected_components(df).collect()
     )
     assert got == _py_components(edges)
+
+
+def test_collocation_lift_bounds_and_symmetric_pairs(spark):
+    """Pair counts bounded by marginals, lift matches the integer
+    formula exactly, and every pair is emitted once with tok_a<tok_b."""
+    from tests.conftest import SF_SMALL
+    from map_reduce_lite_spark.ops.text import (
+        COLLOC_SCALE,
+        COLLOC_TOP_M,
+        collocation_lift,
+    )
+
+    rows = collocation_lift(spark, SF_SMALL).collect()
+    assert 0 < len(rows) <= COLLOC_TOP_M * (COLLOC_TOP_M - 1) // 2
+    seen = set()
+    n_docs = None
+    for r in rows:
+        assert r["tok_a"] < r["tok_b"]
+        assert (r["tok_a"], r["tok_b"]) not in seen
+        seen.add((r["tok_a"], r["tok_b"]))
+        assert 0 < r["n_ab"] <= min(r["n_a"], r["n_b"])
+        if n_docs is None:
+            # recover N from any row: lift = floor(S*N*n_ab/(n_a*n_b))
+            from map_reduce_lite_spark.relational.tables import load_table
+
+            n_docs = load_table(spark, SF_SMALL, "documents").count()
+        assert r["lift_e6"] == (COLLOC_SCALE * n_docs * r["n_ab"]) // (
+            r["n_a"] * r["n_b"]
+        )
