@@ -239,6 +239,8 @@ def test_no_cartesian_product_anywhere(spark):
         "similarity_ann_rerank",
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
+        "text_collocation_lift",  # broadcast 1-row corpus-size N
+        "curation_token_budget",  # broadcast 1-row token budget
         # k-means assignment: corpus × K-row broadcast centroid table
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",
