@@ -107,8 +107,8 @@ _FRONTED_STREAMING = [
 
 ALL_QUERIES = {
     # NEWEST (late r4) — no driver evidence yet, go first: the
-    # histogram-decomposed token-budget carve and the two-stage exact-k
-    # per-stratum sampler
+    # histogram-decomposed token-budget carve, the two-stage exact-k
+    # per-stratum sampler, and the integer-exact collocation lift
     **{
         "curation_token_budget": CURATION_QUERIES["curation_token_budget"],
         "sample_topk_per_stratum": SAMPLING_QUERIES["sample_topk_per_stratum"],
