@@ -68,111 +68,78 @@ from map_reduce_lite_spark.ops import (
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
 # Ordered so everything new-or-changed THIS round sits in the front of
-# the dict: a correctness harness that samples a prefix of the query
-# list re-verifies every changed query first. Round-4 changes: the two
-# TIMESTAMP_NTZ-fixed event queries, the broadcast-hint removals on the
-# big-dim TPC-H shapes (q2/q8/q9/q11/q15/q16/q21 in tranche 3; q3/q7/
-# q10/q18 in the rear), the newly oracle-backed HLL sketch, and the
-# localCheckpoint'd leakage-safe split. Queries with standing driver
-# evidence from earlier rounds yield their slots.
-_FRONTED_RELATIONAL = [
-    "sessionize_events",      # NTZ fix — driver-red in r3, must re-verify
-    "funnel_sessions",        # NTZ fix — driver-red in r3, must re-verify
-    "q3_top_orders",          # broadcast hint dropped on customer
-    "q7_nation_volume",       # broadcast hints dropped on customer+supplier
-    "q10_returned_revenue",   # broadcast hint dropped on customer
-    "q18_large_orders",       # broadcast hint dropped on customer
-]
-
+# the dict: a correctness harness that samples a ~50-query prefix of
+# the query list re-verifies every changed query first. Round-5
+# changes: the four oracle-side HUGEINT→BIGINT casts (driver hash-red
+# in r4 purely from DuckDB's int128 SUM type; values verified equal),
+# the three queries that have never yet rotated into a driver window,
+# and anything new/changed this round. Queries with standing green
+# driver evidence from earlier rounds yield their slots.
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
-# The ENTIRE streaming family is fronted this round: every drain now
-# runs through the bounded-state-partition context manager
-# (streaming/windows.py::_drain_shuffle_bound), so all 11 queries'
-# execution path changed and all need fresh driver evidence (each was
-# re-verified green locally at sf0.01 AND sf0.1 after the change).
-_FRONTED_STREAMING = [
-    "streaming_purchase_view_left",  # NEW in r4 — left-outer stream-stream join
-    "streaming_distinct_users",   # NEW — HLL cardinality state, exact-audited
-    "streaming_serving_upsert",   # NEW — foreachBatch upsert serving
-    "streaming_sessionize_native",  # NEW — JVM session_window tier
-    "streaming_events_sliding",   # oracle made timezone-free
-    "streaming_events_hourly",
-    "streaming_rollup_multires",
-    "streaming_purchase_view_join",
-    "streaming_sessionize",
-    "streaming_dedup_events",
-    "streaming_enrich_purchases",
+# r4 driver hash-reds — oracle SQL now CASTs the offending SUM column
+# to BIGINT (ops/index.py, ops/profile.py, ops/pipeline.py,
+# ops/sampling.py). Must re-verify first.
+_FRONT_CAST_FIXES = [
+    "text_oov_rate",
+    "profile_documents",
+    "pipeline_incremental_refresh",
+    "sample_stratified_sources",
 ]
 
+# Never inside any driver window across r1–r4 — close the ledger.
+_FRONT_NEVER_CHECKED = [
+    "curation_quality_quantile",
+    "sketch_cms_token_freq",
+    "text_unigram_logprob",
+]
+
+_FAMILIES = {
+    **TIMESERIES_QUERIES,
+    **INDEX_QUERIES,
+    **PROFILE_QUERIES,
+    **LINKAGE_QUERIES,
+    **PROJECTION_QUERIES,
+    **SNAPSHOT_QUERIES,
+    **PIPELINE_QUERIES,
+    **SPAN_QUERIES,
+    **CLUSTERING_QUERIES,
+    **GRAPH_QUERIES,
+    **SAMPLING_QUERIES,
+    **TEXT_QUERIES,
+    **CURATION_QUERIES,
+    **DEDUP_QUERIES,
+    **SIMILARITY_QUERIES,
+    **MULTIMODAL_QUERIES,
+    **STREAMING_QUERIES,
+    **PARITY_QUERIES,
+    **RELATIONAL_QUERIES_3,
+    **_REAR,
+}
+
 ALL_QUERIES = {
-    # NEWEST (late r4) — no driver evidence yet, go first: the
-    # histogram-decomposed token-budget carve, the two-stage exact-k
-    # per-stratum sampler, and the integer-exact collocation lift
+    # Round-5 oracle-cast fixes + never-driver-checked queries first.
+    **{name: _FAMILIES[name] for name in _FRONT_CAST_FIXES},
+    **{name: _FAMILIES[name] for name in _FRONT_NEVER_CHECKED},
+    # NEW / CHANGED in r5 (SemDeDup cluster-size cap, full-refresh
+    # pipeline composition) are inserted here as they land.
+    **{
+        "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],
+        "pipeline_semdedup_prune": CLUSTERING_QUERIES["pipeline_semdedup_prune"],
+    },
+    # Late-r4 additions whose first driver pass was r4 — keep them in
+    # the window one more round in case the r4 prefix cut them off.
     **{
         "curation_token_budget": CURATION_QUERIES["curation_token_budget"],
         "sample_topk_per_stratum": SAMPLING_QUERIES["sample_topk_per_stratum"],
         "text_collocation_lift": TEXT_QUERIES["text_collocation_lift"],
+        "vocab_bpe_merges": SPAN_QUERIES["vocab_bpe_merges"],
+        "streaming_distinct_users": STREAMING_QUERIES["streaming_distinct_users"],
+        "streaming_serving_upsert": STREAMING_QUERIES["streaming_serving_upsert"],
     },
-    # NEW families this session — no driver evidence yet, go first
-    **TIMESERIES_QUERIES,     # gap-filled rollup + exact z-score anomalies
-    **INDEX_QUERIES,          # bounded-memory inverted index
-    **PROFILE_QUERIES,        # single-scan column profiler
-    **LINKAGE_QUERIES,        # blocked fuzzy join (edit-distance verify)
-    **PROJECTION_QUERIES,     # JL projection, int8 quantize, rerank funnel
-    **SNAPSHOT_QUERIES,       # NEW — snapshot diff + incremental index dedup
-    # NEW — hard-negative mining + filtered hybrid search, fronted
-    # ahead of their (r3-green) family
-    **{
-        "similarity_hard_negatives": SIMILARITY_QUERIES["similarity_hard_negatives"],
-        "similarity_filtered_topk": SIMILARITY_QUERIES["similarity_filtered_topk"],
-    },
-    # NEW — incremental refresh composition (snapshot delta → gates);
-    # pretrain_curation fronted too: its stage-1+2 were factored into
-    # the shared quality_lang_flags projection (behavior-identical,
-    # re-verified, but the code path changed)
-    **PIPELINE_QUERIES,
-    **{name: _REAR[name] for name in _FRONTED_RELATIONAL},
-    **SPAN_QUERIES,           # NEW family this round — exact substring dedup + chunking
-    **CLUSTERING_QUERIES,     # NEW family this round — k-means + SemDeDup
-    **GRAPH_QUERIES,          # graph_triangle_parts is NEW this round
-    # CHANGED this round (32→60-bit fingerprint) — must sit in the
-    # driver's re-verification window, ahead of its family
-    **{"dedup_simhash": DEDUP_QUERIES["dedup_simhash"]},
-    # NEW — production 16×8 minhash banding, now fully value-oracled
-    **{"dedup_minhash_lsh_prod": DEDUP_QUERIES["dedup_minhash_lsh_prod"]},
-    **SAMPLING_QUERIES,       # NEW family this round — needs first driver pass
-    **{name: STREAMING_QUERIES[name] for name in _FRONTED_STREAMING},
-    # r4-changed/new members pulled ahead of their families so they sit
-    # inside the driver's 50-query re-verification window (their
-    # r3-green unchanged siblings yield the slots). The sketches go
-    # BEFORE the relational tranche: sketch_distinct_tokens has never
-    # had a green driver row (r1–r3 no_oracle), so it outranks the
-    # broadcast-hint plan changes, whose values are unchanged.
-    **{
-        name: TEXT_QUERIES[name]
-        for name in (
-            "sketch_distinct_tokens",   # newly oracle-backed (HLL + flag)
-            "sketch_quantiles_price",   # two-tier GK rework
-            "sketch_cms_token_freq",    # NEW family member (CMS)
-            "text_unigram_logprob",     # NEW (perplexity-proxy quality)
-        )
-    },
-    **RELATIONAL_QUERIES_3,   # broadcast-hint changes + q11 semi-join rewrite
-    **{
-        # localCheckpoint'd pair set — changed this round
-        "curation_leakage_safe_split": CURATION_QUERIES["curation_leakage_safe_split"]
-    },
-    **TEXT_QUERIES,           # both sketches now oracle-backed (HLL + 2-tier GK)
-    **CURATION_QUERIES,       # leakage_safe_split localCheckpoint
-    **PIPELINE_QUERIES,
-    **DEDUP_QUERIES,          # minhash/embedding band signatures checkpointed
-    **SIMILARITY_QUERIES,
-    **MULTIMODAL_QUERIES,
-    **STREAMING_QUERIES,
-    **GRAPH_QUERIES,
-    **PARITY_QUERIES,     # r01-green, unchanged; q1 also smoke-runs via entry()
-    **_REAR,
+    # Everything else in family order: standing driver evidence, code
+    # unchanged this round.
+    **_FAMILIES,
 }
 
 

@@ -140,7 +140,7 @@ vocab AS (
 )
 SELECT t2.source,
        COUNT(*) AS n_tokens,
-       SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov,
+       CAST(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
        CAST(floor(SUM(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) * 10000.0
                   / COUNT(*)) AS BIGINT) AS oov_bps
 FROM t2 LEFT JOIN vocab v ON t2.token = v.token

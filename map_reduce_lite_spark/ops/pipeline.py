@@ -287,7 +287,7 @@ SELECT source, status, COUNT(*) AS n_delta,
        CAST(SUM(CASE WHEN q_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
        CAST(SUM(CASE WHEN q_ok AND pred = 'en' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_lang,
-       SUM(n_tokens) AS delta_tokens
+       CAST(SUM(n_tokens) AS BIGINT) AS delta_tokens
 FROM flagged GROUP BY source, status
 """
 

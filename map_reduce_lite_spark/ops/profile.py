@@ -55,7 +55,7 @@ def _profile_sql() -> str:
         f"""
 SELECT '{c}' AS column_name,
        COUNT(*) AS n_rows,
-       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS n_null,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
        COUNT(DISTINCT {c}) AS n_distinct,
        MIN(CAST({c} AS VARCHAR)) AS min_str,
        MAX(CAST({c} AS VARCHAR)) AS max_str

@@ -121,8 +121,8 @@ def _sql_strata_rate() -> str:
 SAMPLE_STRATIFIED_SQL = f"""
 SELECT source,
        COUNT(*) AS n_total,
-       SUM(CASE WHEN {_sql_bucket(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
-                     < {_sql_strata_rate()} THEN 1 ELSE 0 END) AS n_sampled,
+       CAST(SUM(CASE WHEN {_sql_bucket(f"'{SAMPLE_SALT}' || CAST(doc_id AS VARCHAR)")}
+                     < {_sql_strata_rate()} THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled,
        MAX({_sql_strata_rate()}) AS target_bps
 FROM documents
 GROUP BY source
