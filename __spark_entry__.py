@@ -124,6 +124,11 @@ ALL_QUERIES = {
     # NEW / CHANGED in r5 (SemDeDup cluster-size cap, full-refresh
     # pipeline composition) are inserted here as they land.
     **{
+        # NEW r5: the complete refresh loop (diff → gates → incremental
+        # dedup vs standing index → survival report) as one oracled plan
+        "pipeline_full_refresh": PIPELINE_QUERIES["pipeline_full_refresh"],
+        # CHANGED r5: cluster-size cap (deterministic sub-split) on the
+        # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],
         "pipeline_semdedup_prune": CLUSTERING_QUERIES["pipeline_semdedup_prune"],
     },

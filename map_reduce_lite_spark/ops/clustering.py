@@ -58,13 +58,27 @@ from map_reduce_lite_spark.ops.similarity import (
     _spread,
     _sql_cos,
 )
-from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 QUANT = 1_000_000.0  # fixed-point scale: q = floor(x * 1e6)
 K_CLUSTERS = 4
 KMEANS_ITERS = 2     # unrolled Lloyd rounds (assign → update, twice) + final assign
 SEMDEDUP_COS = 0.40  # same threshold as the whole-corpus near-dup family
+
+# Hard bound on the quadratic blowup of the within-cluster pair join:
+# a cluster larger than this is deterministically sub-split into
+# ceil(size / cap) hash blocks (portable md5 of vec_id), and pairs are
+# generated only within a (cluster, block). Same contract as
+# SHINGLE_DF_CAP for posting lists and the triangle support gate: an
+# explicit recall-for-boundedness trade at the tail — pairs straddling
+# two blocks of an oversized cluster are skipped (expected recall
+# 1/n_sub inside that cluster only). Production alternative is to
+# recurse k-means into the mega-cluster; the hash split is the
+# oracle-replayable form. 4096 > any cluster at the test scale
+# factors, so results are unchanged there; the property test forces a
+# tiny cap to prove boundedness and oracle agreement under splitting.
+SEMDEDUP_CLUSTER_CAP = 4096
 
 
 def _quantize(vec):
@@ -240,12 +254,40 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assignments(spark, sf_dir)
         .select("vec_id", "cluster")
-        .localCheckpoint(eager=True)
+        # lazy: plan-only consumers (plan lint, .explain) shouldn't pay
+        # the Lloyd run at DataFrame-construction time; the first real
+        # action materializes it once and both join sides reuse it.
+        .localCheckpoint(eager=False)
     )
     return _semdedup_pairs(emb, assign)
 
 
-def _semdedup_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
+def _subsplit(assign: DataFrame, cap: int) -> DataFrame:
+    """(vec_id, cluster, sub): deterministic hash block within cluster.
+
+    Cluster sizes are a K-row aggregate broadcast back onto the
+    assignment; ``n_sub = ceil(size / cap)`` via exact integer
+    arithmetic and ``sub = md5_60bit(vec_id) % n_sub`` — both
+    bit-identical in DuckDB, so the oracle replays the split. For
+    every cluster under the cap n_sub == 1 and the split is the
+    identity."""
+    sizes = assign.groupBy("cluster").agg(
+        ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
+        .cast("long")
+        .alias("n_sub")
+    )
+    return assign.join(F.broadcast(sizes), "cluster").select(
+        "vec_id",
+        "cluster",
+        F.pmod(md5_60bit(F.col("vec_id").cast("string")), F.col("n_sub")).alias(
+            "sub"
+        ),
+    )
+
+
+def _semdedup_pairs(
+    emb: DataFrame, assign: DataFrame, cap: int = SEMDEDUP_CLUSTER_CAP
+) -> DataFrame:
     """Within-cluster near-dup pairs, scored at full parallelism.
 
     Two-step shape (the dedup_embedding_lsh lesson, which here also
@@ -261,14 +303,23 @@ def _semdedup_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
     otherwise), so the per-pair cosine runs map-side on every core.
     Shuffle volume: pairs × 24 bytes + corpus vectors once — instead
     of two vectors riding every candidate pair through the K-key
-    exchange."""
+    exchange.
+
+    Clusters above ``cap`` are sub-split (see ``_subsplit``) so the
+    candidate stage is O(Σ min(size, cap)·size) instead of
+    O(Σ size²) — one mega-cluster can no longer go quadratic in the
+    corpus."""
     vecs = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    a = assign.select(F.col("vec_id").alias("keep_id"), "cluster")
-    b = assign.select(F.col("vec_id").alias("dup_id"), "cluster")
+    sp = _subsplit(assign, cap)
+    a = sp.select(F.col("vec_id").alias("keep_id"), "cluster", "sub")
+    b = sp.select(F.col("vec_id").alias("dup_id"), "cluster", "sub")
     cand = _spread(
-        a.join(b, "cluster").filter(F.col("keep_id") < F.col("dup_id")), "keep_id"
+        a.join(b, ["cluster", "sub"])
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .drop("sub"),
+        "keep_id",
     )
     va = vecs.select(
         F.col("vec_id").alias("keep_id"),
@@ -294,16 +345,30 @@ def _semdedup_pairs(emb: DataFrame, assign: DataFrame) -> DataFrame:
     )
 
 
-def _semdedup_sql() -> str:
+def _sql_subsplit(cap: int) -> str:
+    """CTE fragments replaying _subsplit: sizes → subbed."""
+    return f"""sizes AS (
+  SELECT cluster, (COUNT(*) + {cap - 1}) // {cap} AS n_sub
+  FROM final GROUP BY cluster
+), subbed AS (
+  SELECT f.vec_id, f.cluster,
+         ({sql_md5_60bit('CAST(f.vec_id AS VARCHAR)')} % s.n_sub) AS sub
+  FROM final f JOIN sizes s ON s.cluster = f.cluster
+)"""
+
+
+def _semdedup_sql(cap: int = SEMDEDUP_CLUSTER_CAP) -> str:
     return (
         _kmeans_ctes()
         + f""",
 final AS {_sql_assign('q', f'c{KMEANS_ITERS}', out_qv=False)},
+{_sql_subsplit(cap)},
 scored AS (
   SELECT fa.cluster, fa.vec_id AS keep_id, fb.vec_id AS dup_id,
          {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
-  FROM final fa
-  JOIN final fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  FROM subbed fa
+  JOIN subbed fb ON fa.cluster = fb.cluster AND fa.sub = fb.sub
+                AND fa.vec_id < fb.vec_id
   JOIN embeddings ea ON ea.vec_id = fa.vec_id
   JOIN embeddings eb ON eb.vec_id = fb.vec_id
 )
@@ -332,7 +397,10 @@ def pipeline_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assignments(spark, sf_dir)
         .select("vec_id", "cluster")
-        .localCheckpoint(eager=True)
+        # lazy: plan-only consumers (plan lint, .explain) shouldn't pay
+        # the Lloyd run at DataFrame-construction time; the first real
+        # action materializes it once and both join sides reuse it.
+        .localCheckpoint(eager=False)
     )
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = _semdedup_pairs(emb, assign)
@@ -360,16 +428,18 @@ def pipeline_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _semdedup_prune_sql() -> str:
+def _semdedup_prune_sql(cap: int = SEMDEDUP_CLUSTER_CAP) -> str:
     return (
         _kmeans_ctes()
         + f""",
 final AS {_sql_assign('q', f'c{KMEANS_ITERS}', out_qv=False)},
+{_sql_subsplit(cap)},
 scored AS (
   SELECT fa.cluster, fa.vec_id AS keep_id, fb.vec_id AS dup_id,
          {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
-  FROM final fa
-  JOIN final fb ON fa.cluster = fb.cluster AND fa.vec_id < fb.vec_id
+  FROM subbed fa
+  JOIN subbed fb ON fa.cluster = fb.cluster AND fa.sub = fb.sub
+                AND fa.vec_id < fb.vec_id
   JOIN embeddings ea ON ea.vec_id = fa.vec_id
   JOIN embeddings eb ON eb.vec_id = fb.vec_id
 ), dup_pairs AS (

@@ -295,6 +295,149 @@ FROM flagged GROUP BY source, status
 INCREMENTAL_REFRESH_SQL = _incremental_refresh_sql()
 
 
+def pipeline_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE production refresh loop in one plan: snapshot diff →
+    quality/language gates → incremental near-dup against the standing
+    MinHash index → per-(source, status) survival report.
+
+    Composes what the individual queries prove piecewise
+    (snapshot_diff_documents, pipeline_incremental_refresh,
+    dedup_incremental_minhash): only added+changed docs re-enter the
+    pipeline; gates run BEFORE signatures so the expensive stage sees
+    only gate-survivors (filter-first, the pretrain_curation lesson);
+    the dedup stage band-joins delta signatures against the STANDING
+    corpus's stored signature index — the standing corpus is never
+    re-scanned, so refresh cost scales with the delta. A gated doc is
+    dropped on any band collision with a standing doc (candidate-level
+    policy, matching dedup_incremental_minhash; production would add
+    an exact-Jaccard verify on the collisions, same plan shape).
+
+    Report columns: n_delta (added+changed), n_gates (passed
+    quality+lang), n_dup (gated but colliding with standing), n_survive
+    (gated, no collision), survive_tokens (tokens the survivors add).
+    """
+    from map_reduce_lite_spark.ops.dedup import minhash_band_sigs
+    from map_reduce_lite_spark.ops.snapshot import _derived_snapshots, snapshot_diff
+
+    d = load_table(spark, sf_dir, "documents")
+    prev, cur = _derived_snapshots(d)
+    delta_keys = snapshot_diff(prev, cur).filter(
+        F.col("status").isin("added", "changed")
+    )
+    delta = delta_keys.join(cur, "doc_id")
+    flagged = quality_lang_flags(delta).join(
+        delta_keys.select("doc_id", "status"), "doc_id"
+    )
+    gated = flagged.filter("l_ok").select("doc_id", "text")
+    standing = minhash_band_sigs(prev)  # production: a stored index table
+    dsigs = minhash_band_sigs(gated)
+    dups = (
+        dsigs.alias("d")
+        .join(
+            standing.alias("s"),
+            (F.col("d.band") == F.col("s.band"))
+            & (F.col("d.sig") == F.col("s.sig"))
+            & (F.col("d.doc") != F.col("s.doc")),
+        )
+        .select(F.col("d.doc").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(True))
+    )
+    w = flagged.join(dups, "doc_id", "left")
+    survive = F.col("l_ok") & F.col("is_dup").isNull()
+    return (
+        w.groupBy("source", "status")
+        .agg(
+            F.count(F.lit(1)).alias("n_delta"),
+            F.sum(F.col("l_ok").cast("long")).alias("n_gates"),
+            F.sum((F.col("l_ok") & F.col("is_dup").isNotNull()).cast("long")).alias(
+                "n_dup"
+            ),
+            F.sum(survive.cast("long")).alias("n_survive"),
+            F.sum(F.when(survive, F.col("n_tokens")).otherwise(0)).alias(
+                "survive_tokens"
+            ),
+        )
+        .select(
+            "source", "status", "n_delta", "n_gates", "n_dup", "n_survive",
+            "survive_tokens",
+        )
+    )
+
+
+def _full_refresh_sql() -> str:
+    from map_reduce_lite_spark.ops.snapshot import _band_sig_cte
+    from map_reduce_lite_spark.registry import sql_md5_60bit
+
+    langs = list(STOPWORDS)
+    hit_cols = ",\n         ".join(
+        f"{_sql_stopword_hits('text', ws)} AS hits_{l}" for l, ws in STOPWORDS.items()
+    )
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return rf"""
+WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+), cur AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 7
+), p AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_prev FROM prev
+), c AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_cur FROM cur
+), delta_keys AS (
+  SELECT COALESCE(p.k, c.k) AS doc_id,
+         CASE WHEN p.k IS NULL THEN 'added'
+              WHEN c.k IS NULL THEN 'removed'
+              WHEN p.h_prev <> c.h_cur THEN 'changed'
+              ELSE 'unchanged' END AS status
+  FROM p FULL OUTER JOIN c ON p.k = c.k
+), delta AS (
+  SELECT cur.doc_id, cur.source, cur.text, dk.status
+  FROM delta_keys dk JOIN cur ON cur.doc_id = dk.doc_id
+  WHERE dk.status IN ('added', 'changed')
+), feats AS (
+  SELECT doc_id, source, status, text,
+         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {hit_cols}
+  FROM delta
+), flagged AS (
+  SELECT doc_id, source, status, text, n_tokens,
+         (n_tokens >= {MIN_TOKENS}
+          AND (n_chars - n_tokens + 1) / n_tokens <= {MAX_MEAN_TOKEN_LEN}
+          AND {pred} = 'en') AS l_ok
+  FROM feats
+), gated AS (
+  SELECT doc_id, text FROM flagged WHERE l_ok
+), {_band_sig_cte('prev', 'st_')},
+{_band_sig_cte('gated', 'dl_')},
+dups AS (
+  SELECT DISTINCT d.doc AS doc_id
+  FROM dl_bands d JOIN st_bands s
+    ON d.band = s.band AND d.sig = s.sig AND d.doc <> s.doc
+)
+SELECT source, status, COUNT(*) AS n_delta,
+       CAST(SUM(CASE WHEN l_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_gates,
+       CAST(SUM(CASE WHEN l_ok AND du.doc_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_dup,
+       CAST(SUM(CASE WHEN l_ok AND du.doc_id IS NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_survive,
+       CAST(SUM(CASE WHEN l_ok AND du.doc_id IS NULL THEN n_tokens ELSE 0 END)
+            AS BIGINT) AS survive_tokens
+FROM flagged f LEFT JOIN dups du ON du.doc_id = f.doc_id
+GROUP BY source, status
+"""
+
+
+FULL_REFRESH_SQL = _full_refresh_sql()
+
+
 PIPELINE_QUERIES: dict[str, Query] = {
     "pipeline_pretrain_curation": Query(
         "pipeline_pretrain_curation",
@@ -307,5 +450,11 @@ PIPELINE_QUERIES: dict[str, Query] = {
         pipeline_incremental_refresh,
         INCREMENTAL_REFRESH_SQL,
         "snapshot delta → curation gates: refresh cost scales with the delta",
+    ),
+    "pipeline_full_refresh": Query(
+        "pipeline_full_refresh",
+        pipeline_full_refresh,
+        FULL_REFRESH_SQL,
+        "diff → gates → incremental dedup vs standing index → survival report",
     ),
 }

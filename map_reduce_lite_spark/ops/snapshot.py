@@ -50,7 +50,14 @@ def snapshot_diff(
 
     Projects (key, hash, carry...) per side before a full-outer join on
     the key — the join never moves ``content_col``. ``carry_cols`` ride
-    from whichever side has the row (current wins when both do)."""
+    from whichever side has the row (current wins when both do).
+
+    Collision tradeoff behind the 16-bytes/row shuffle: 'changed' is
+    detected purely by 60-bit hash inequality, so a prev/cur collision
+    on the same key reports 'unchanged' and that update never re-enters
+    the refresh pipeline (probability 2^-60 per changed doc — at 10^12
+    changed docs/refresh, ~1 silently missed update per million
+    refreshes; widen to a 128-bit hash if that matters)."""
     p = prev.select(
         F.col(key_col).alias("k"),
         md5_60bit(F.col(content_col)).alias("h_prev"),

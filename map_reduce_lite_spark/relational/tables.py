@@ -25,6 +25,14 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load a testdata parquet table.
+
+    SIDE EFFECT: pins ``spark.sql.session.timeZone`` to UTC on the
+    given session (every call) — the engine's output contract is UTC
+    regardless of host, and this is the one choke point every query
+    passes through. A foreign session that deliberately set another
+    zone will be overridden; set the zone AFTER load_table if you
+    really need non-UTC rendering."""
     # The engine's output contract is UTC regardless of host: hourly
     # bucketing, date_trunc, and window() follow
     # spark.sql.session.timeZone, and an externally built driver

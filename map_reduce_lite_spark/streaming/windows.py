@@ -114,7 +114,14 @@ def _drain_shuffle_bound(spark, parts: int = 8):
     whole drain must run inside the ``with`` block. A production
     always-on stream sizes state partitions to the CLUSTER (long-lived
     state, partition count bounds parallelism — the opposite trade);
-    this bound is strictly the local-harness drain path."""
+    this bound is strictly the local-harness drain path.
+
+    SINGLE-THREADED ASSUMPTION: the conf rewrite is session-global, so
+    any batch query planned CONCURRENTLY in the same session during a
+    drain would silently plan with ``parts`` shuffle partitions. The
+    harness runs queries sequentially; if concurrency is ever added,
+    switch to a per-query option (df.repartition / writeStream option)
+    instead of the session conf."""
     import contextlib
 
     @contextlib.contextmanager

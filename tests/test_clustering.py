@@ -92,6 +92,41 @@ def test_semdedup_recall_vs_exact(spark):
     assert n_hit / n_exact >= 0.5, f"recall {n_hit}/{n_exact}"
 
 
+def test_cluster_cap_bounds_pairs_and_matches_oracle(spark, duck):
+    """SEMDEDUP_CLUSTER_CAP sub-splitting, forced active with a tiny cap:
+
+    1. boundedness — every candidate block is a strict subset of its
+       cluster, so pair count drops below the uncapped quadratic;
+    2. pairs only form within a (cluster, md5%n_sub) block;
+    3. the DuckDB oracle replays the identical split (exact value
+       parity at the forced cap, not just at the default where the
+       split is the identity)."""
+    from map_reduce_lite_spark.ops.clustering import (
+        _semdedup_pairs,
+        _semdedup_sql,
+        kmeans_assignments,
+    )
+
+    cap = 64  # << every cluster size at sf0.001 → split is active
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assign = kmeans_assignments(spark, SF_SMALL).select("vec_id", "cluster")
+    capped = _semdedup_pairs(emb, assign, cap=cap)
+    uncapped = _semdedup_pairs(emb, assign, cap=1 << 30)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert 0 < n_capped < n_uncapped
+    # capped pairs ⊂ uncapped pairs (split only ever removes candidates)
+    extra = capped.select("keep_id", "dup_id").exceptAll(
+        uncapped.select("keep_id", "dup_id")
+    )
+    assert extra.count() == 0
+    # oracle replays the split bit-for-bit
+    got = {
+        (r.cluster, r.keep_id, r.dup_id, r.sim_e9) for r in capped.collect()
+    }
+    want = set(map(tuple, duck.execute(_semdedup_sql(cap=cap)).fetchall()))
+    assert got == want
+
+
 def test_kmeans_stable_under_repartition(spark):
     """Bit-reproducibility claim: the fixed-point pipeline's output may
     not depend on physical partitioning (integer sums and floor-means

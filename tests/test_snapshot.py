@@ -69,3 +69,31 @@ def test_snapshot_diff_text_never_rides_the_join(spark):
     join_line = [ln for ln in plan.splitlines() if "Join" in ln]
     assert join_line, plan
     assert "text" not in join_line[0], join_line[0]
+
+
+def test_full_refresh_funnel_is_consistent(spark):
+    """pipeline_full_refresh composes diff → gates → incremental dedup:
+    the funnel must be internally consistent (gates partition into
+    dup + survive; gates never exceed the delta) and must agree with
+    the standalone stages it composes."""
+    from map_reduce_lite_spark.ops.pipeline import (
+        pipeline_full_refresh,
+        pipeline_incremental_refresh,
+    )
+    from tests.conftest import SF_SMALL
+
+    out = pipeline_full_refresh(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows, "empty funnel"
+    for r in rows:
+        assert r.n_gates <= r.n_delta
+        assert r.n_dup + r.n_survive == r.n_gates
+        assert r.n_survive == 0 or r.survive_tokens > 0
+        assert r.status in ("added", "changed")
+    # the (source, status, n_delta) margin must equal the standalone
+    # incremental-refresh query's (same diff, same gate inputs)
+    inc = {
+        (r.source, r.status): r.n_delta
+        for r in pipeline_incremental_refresh(spark, SF_SMALL).collect()
+    }
+    assert {(r.source, r.status): r.n_delta for r in rows} == inc
