@@ -127,6 +127,10 @@ ALL_QUERIES = {
         # NEW r5: the complete refresh loop (diff → gates → incremental
         # dedup vs standing index → survival report) as one oracled plan
         "pipeline_full_refresh": PIPELINE_QUERIES["pipeline_full_refresh"],
+        # NEW r5: CMS shard-merge (sketch mergeability proof) and
+        # asymmetric containment dedup (near-subset detection)
+        "sketch_cms_merge_shards": TEXT_QUERIES["sketch_cms_merge_shards"],
+        "dedup_containment": DEDUP_QUERIES["dedup_containment"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

@@ -222,6 +222,96 @@ WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.5
 
 
 # --------------------------------------------------------------------------
+# Asymmetric containment (near-subset detection)
+# --------------------------------------------------------------------------
+
+# A quote-heavy copy or a doc embedded inside a larger page has HIGH
+# containment but LOW Jaccard (the union is dominated by the bigger
+# doc), so symmetric near-dup misses it. C(A→B) = |sh(A) ∩ sh(B)| /
+# |sh(A)| ≥ τ flags A as a near-subset of B.
+CONTAINMENT_T = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed near-subset pairs: (contained_doc, container_doc,
+    containment) where ≥ CONTAINMENT_T of the contained doc's word-3
+    shingles also appear in the container.
+
+    Scale shape is dedup_ngram_jaccard's exactly — one DF-capped
+    inverted-index self-join computes each unordered pair's |∩| ONCE,
+    then both directed ratios are checked against τ from the same row
+    (no second join, no second shuffle): containment reuses the
+    Jaccard candidate machinery, it just divides by |A| instead of
+    |A∪B|. Division of identical ints → bit-identical doubles vs the
+    oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).cache()
+    sizes = sh.groupBy("doc").agg(F.count(F.lit(1)).alias("n_shingles"))
+    capped = (
+        sh.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") <= SHINGLE_DF_CAP)
+        .select("shingle")
+        .join(sh, "shingle")
+    )
+    a, b = capped.alias("a"), capped.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .groupBy(F.col("a.doc").alias("doc1"), F.col("b.doc").alias("doc2"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
+    sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
+    both = inter.join(sz1, "doc1").join(sz2, "doc2")
+    fwd = both.select(
+        F.col("doc1").alias("contained_doc"),
+        F.col("doc2").alias("container_doc"),
+        (F.col("n_inter") / F.col("n1")).alias("containment"),
+    )
+    rev = both.select(
+        F.col("doc2").alias("contained_doc"),
+        F.col("doc1").alias("container_doc"),
+        (F.col("n_inter") / F.col("n2")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_T)
+
+
+DEDUP_CONTAINMENT_SQL = _SHINGLES_CTE + f"""
+, sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), capped AS (
+  SELECT sh.doc, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) keep
+    ON keep.shingle = sh.shingle
+), inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), both_sized AS (
+  SELECT doc1, doc2, n_inter, s1.n_shingles AS n1, s2.n_shingles AS n2
+  FROM inter
+  JOIN sizes s1 ON s1.doc = doc1
+  JOIN sizes s2 ON s2.doc = doc2
+), directed AS (
+  SELECT doc1 AS contained_doc, doc2 AS container_doc,
+         n_inter / n1 AS containment
+  FROM both_sized
+  UNION ALL
+  SELECT doc2 AS contained_doc, doc1 AS container_doc,
+         n_inter / n2 AS containment
+  FROM both_sized
+)
+SELECT contained_doc, container_doc, containment
+FROM directed WHERE containment >= {CONTAINMENT_T}
+"""
+
+
+# --------------------------------------------------------------------------
 # MinHash + LSH
 # --------------------------------------------------------------------------
 
@@ -722,6 +812,12 @@ DEDUP_QUERIES: dict[str, Query] = {
     for q in [
         Query("dedup_exact", dedup_exact, DEDUP_EXACT_SQL, "exact dedup by content hash"),
         Query("dedup_ngram_jaccard", dedup_ngram_jaccard, DEDUP_NGRAM_SQL, "3-shingle jaccard pairs"),
+        Query(
+            "dedup_containment",
+            dedup_containment,
+            DEDUP_CONTAINMENT_SQL,
+            "directed near-subset pairs by asymmetric shingle containment",
+        ),
         Query("dedup_minhash_lsh", dedup_minhash_lsh, DEDUP_MINHASH_SQL, "minhash-LSH candidates"),
         Query(
             "dedup_minhash_lsh_prod",

@@ -571,6 +571,127 @@ FROM topk t
 CMS_SQL = _cms_sql()
 
 
+def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeability of the CMS — the property that makes sketches THE
+    100 TB aggregation pattern: each shard (here: source) builds its
+    own d×w cell table independently, the shards merge by cell-wise
+    SUM, and the merged sketch answers queries exactly as if built
+    over the whole corpus in one pass. That is how a 1000-executor
+    job summarizes per-partition state into KB-sized artifacts that an
+    incremental refresh later folds together WITHOUT re-scanning (the
+    ops/snapshot.py standing-index story, applied to frequency stats).
+
+    Output per top-k token: exact count, the directly-built global
+    estimate, the shard-merged estimate, and merge_lossless — which
+    must always be true (cell-wise SUM commutes with the per-cell
+    counts; the min over rows is taken after merging). Fully
+    value-oracled: every cell is portable md5 arithmetic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+    ).filter(F.length("token") > 0)
+    rb = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("r"), _cms_bucket(F.col("token"), r).alias("b")
+                )
+                for r in range(CMS_ROWS)
+            ]
+        )
+    ).alias("rb")
+    # per-shard sketches: (source, r, b, c) — built independently per source
+    shard_cells = (
+        toks.select("source", rb)
+        .groupBy("source", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # THE MERGE: cell-wise SUM across shards (d·w rows, KB-sized)
+    merged = shard_cells.groupBy("r", "b").agg(F.sum("c").alias("c"))
+    # direct global sketch, built in one pass for comparison
+    direct = (
+        toks.select(rb)
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    topk = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("exact_count"))
+        .orderBy(F.desc("exact_count"), F.asc("token"))
+        .limit(CMS_TOP_K)
+    )
+    est = topk
+    for r in range(CMS_ROWS):
+        for tag, cells in (("m", merged), ("d", direct)):
+            cr = cells.filter(F.col("r") == r).select(
+                F.col("b").alias(f"{tag}b{r}"), F.col("c").alias(f"{tag}c{r}")
+            )
+            est = est.withColumn(f"{tag}b{r}", _cms_bucket(F.col("token"), r)).join(
+                F.broadcast(cr), f"{tag}b{r}"
+            )
+    est_merged = F.least(*[F.col(f"mc{r}") for r in range(CMS_ROWS)])
+    est_direct = F.least(*[F.col(f"dc{r}") for r in range(CMS_ROWS)])
+    return est.select(
+        "token",
+        "exact_count",
+        est_direct.alias("est_direct"),
+        est_merged.alias("est_merged"),
+        (est_direct == est_merged).alias("merge_lossless"),
+    )
+
+
+def _cms_merge_sql() -> str:
+    def bucket(expr: str, r: int) -> str:
+        salted = f"'cms{r}|' || {expr}"
+        return f"({sql_md5_60bit(salted)} % {CMS_WIDTH})"
+
+    joins = "\n  ".join(
+        f"JOIN merged m{r} ON m{r}.r = {r} AND m{r}.b = {bucket('t.token', r)}\n"
+        f"  JOIN direct d{r} ON d{r}.r = {r} AND d{r}.b = {bucket('t.token', r)}"
+        for r in range(CMS_ROWS)
+    )
+    least_m = "least(" + ", ".join(f"m{r}.c" for r in range(CMS_ROWS)) + ")"
+    least_d = "least(" + ", ".join(f"d{r}.c" for r in range(CMS_ROWS)) + ")"
+    bucket_case = " ".join(
+        f"WHEN {r} THEN {bucket('token', r)}" for r in range(CMS_ROWS)
+    )
+    rows_list = "[" + ", ".join(str(r) for r in range(CMS_ROWS)) + "]"
+    return rf"""
+WITH toks AS (
+  SELECT source, token FROM (
+    SELECT source,
+           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    FROM documents
+  ) WHERE length(token) > 0
+), shard_cells AS (
+  SELECT source, r, CASE r {bucket_case} END AS b, COUNT(*) AS c
+  FROM toks, LATERAL (SELECT unnest({rows_list}) AS r) rr
+  GROUP BY 1, 2, 3
+), merged AS (
+  SELECT r, b, CAST(SUM(c) AS BIGINT) AS c FROM shard_cells GROUP BY r, b
+), direct AS (
+  SELECT r, CASE r {bucket_case} END AS b, COUNT(*) AS c
+  FROM toks, LATERAL (SELECT unnest({rows_list}) AS r) rr
+  GROUP BY 1, 2
+), topk AS (
+  SELECT token, COUNT(*) AS exact_count
+  FROM toks GROUP BY token
+  ORDER BY exact_count DESC, token ASC
+  LIMIT {CMS_TOP_K}
+)
+SELECT t.token, t.exact_count,
+       {least_d} AS est_direct,
+       {least_m} AS est_merged,
+       {least_d} = {least_m} AS merge_lossless
+FROM topk t
+  {joins}
+"""
+
+
+CMS_MERGE_SQL = _cms_merge_sql()
+
+
 # --------------------------------------------------------------------------
 # Collocation discovery (document-level co-occurrence lift)
 # --------------------------------------------------------------------------
@@ -709,6 +830,12 @@ TEXT_QUERIES: dict[str, Query] = {
             sketch_cms_token_freq,
             CMS_SQL,
             "Count-Min sketch frequency estimates for top-k tokens (fully value-oracled)",
+        ),
+        Query(
+            "sketch_cms_merge_shards",
+            sketch_cms_merge_shards,
+            CMS_MERGE_SQL,
+            "per-shard CMS sketches merged cell-wise == direct global sketch",
         ),
         Query(
             "text_unigram_logprob",

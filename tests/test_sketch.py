@@ -108,3 +108,16 @@ def test_cms_never_underestimates_and_is_tight(spark):
     bound = 3 * math.e / CMS_WIDTH * n_tokens
     worst = max(r.cms_est - r.exact_count for r in out)
     assert worst <= bound, f"overestimate {worst} > bound {bound:.1f}"
+
+
+def test_cms_shard_merge_is_lossless(spark):
+    """Cell-wise SUM of per-source CMS sketches must answer identically
+    to the directly-built global sketch — the mergeability contract."""
+    from map_reduce_lite_spark.ops.text import sketch_cms_merge_shards
+    from tests.conftest import SF_SMALL
+
+    out = sketch_cms_merge_shards(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r.merge_lossless, r
+        assert r.est_merged >= r.exact_count  # CMS never underestimates
