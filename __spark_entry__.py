@@ -131,6 +131,11 @@ ALL_QUERIES = {
         # asymmetric containment dedup (near-subset detection)
         "sketch_cms_merge_shards": TEXT_QUERIES["sketch_cms_merge_shards"],
         "dedup_containment": DEDUP_QUERIES["dedup_containment"],
+        # NEW r5: cohort retention matrix + Markov transition paths
+        "events_retention_cohorts": TIMESERIES_QUERIES["events_retention_cohorts"],
+        "events_user_paths": TIMESERIES_QUERIES["events_user_paths"],
+        # NEW r5: product quantization + ADC search (compression tier 3)
+        "similarity_ann_pq": PROJECTION_QUERIES["similarity_ann_pq"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

@@ -261,6 +261,219 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance search
+# --------------------------------------------------------------------------
+
+# The third compression tier: the 64-dim vector becomes M_SUB one-byte
+# codes (here 8 codes over 16-codeword books = 8 bytes/vector, a 32×
+# cut vs float32). Search is ADC (asymmetric distance computation):
+# the QUERY stays full-precision, each corpus vector is approximated
+# by its per-subspace codewords, and d²(q,x) ≈ Σ_m d²(q_m, c_m[code_m]).
+#
+# Deterministic, oracle-replayable codebook: the K_CODES seed vectors
+# (vec_id < 16) sliced per subspace — sampled-point codebooks, the
+# k-means-free PQ variant (production would Lloyd-refine each book
+# with ops/clustering.py's fixed-point machinery; encode/ADC plumbing
+# is identical). All arithmetic runs on the 1e6 fixed-point integers
+# from ops/clustering.py, so every distance is an exact int64 and the
+# ranking is bit-portable.
+M_SUB = 8    # subspaces
+D_SUB = 8    # dims per subspace (M_SUB * D_SUB == EMB_DIM)
+K_CODES = 16  # codewords per subspace
+
+
+def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVFADC-style PQ search funnel: encode the corpus to M_SUB codes
+    (map-only, broadcast codebook — the corpus is NEVER shuffled),
+    ADC-score queries against the 9-int code rows to keep
+    RERANK_FACTOR×k candidates, then re-score ONLY those with exact
+    full-dimension distances. Raw 8-byte ADC alone reads ~0.25
+    recall@5 on this deliberately hard corpus (500 tightly-clustered
+    vectors — neighbor gaps below the 32×-compression resolution, and
+    Lloyd-refining the books does not move it: measured 0.25 at 0
+    iters, 0.225 at 2); the funnel's candidate recall at factor 16 is
+    0.925, which the exact rerank converts into the final answer —
+    the reason production PQ (FAISS IVFADC) always reranks.
+
+    Scale shape: encoding is a pure projection (per vector: M_SUB
+    argmins over K_CODES sub-distances); the ADC stage scans vec_id +
+    codes — at 100 TB that is the difference between moving the
+    embedding matrix and moving 1/32 of it; the exact stage touches
+    RERANK_FACTOR×k full vectors per query, independent of corpus
+    size. Here ADC recomputes each codeword sub-distance inline so
+    DuckDB can replay it row by row; production precomputes the
+    per-query M_SUB×K_CODES lookup table (1024 ints, broadcast) and
+    scoring is M_SUB adds per pair. Every distance is an exact int64 —
+    no floats anywhere in this operator."""
+    from map_reduce_lite_spark.ops.clustering import _quantize, _sqdist
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    # 1-row broadcast codebook: the 16 seed vectors ordered by vec_id
+    cb = qv.filter(F.col("vec_id") < K_CODES).agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("vec_id", "qv"))),
+            lambda s: s["qv"],
+        ).alias("cb")
+    )
+
+    def _sub(vec, m):
+        return F.slice(vec, m * D_SUB + 1, D_SUB)
+
+    codes_col = F.transform(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        lambda m: F.array_min(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(K_CODES - 1)),
+                lambda j: F.struct(
+                    _sqdist(
+                        F.slice(F.col("qv"), m * D_SUB + 1, D_SUB),
+                        F.slice(F.col("cb")[j], m * D_SUB + 1, D_SUB),
+                    ).alias("d"),
+                    j.alias("j"),
+                ),
+            )
+        )["j"],
+    )
+    codes = qv.crossJoin(F.broadcast(cb)).select(
+        "vec_id", codes_col.alias("codes")
+    )
+    queries = qv.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("qv").alias("qq")
+    )
+    adc = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M_SUB - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, m: acc
+        + _sqdist(
+            F.slice(F.col("qq"), m * D_SUB + 1, D_SUB),
+            F.slice(F.col("cb")[F.col("codes")[m]], m * D_SUB + 1, D_SUB),
+        ),
+    )
+    pairs = (
+        _spread(codes, "vec_id")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .crossJoin(F.broadcast(cb))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            adc.alias("approx_d2"),
+        )
+    )
+    wa = Window.partitionBy("query_id").orderBy(
+        F.asc("approx_d2"), F.asc("neighbor_id")
+    )
+    cand = pairs.withColumn("arank", F.row_number().over(wa)).filter(
+        F.col("arank") <= RERANK_FACTOR * TOP_K
+    )
+    nfull = qv.select(F.col("vec_id").alias("neighbor_id"), F.col("qv").alias("nv"))
+    exact = (
+        _spread(cand.select("query_id", "neighbor_id"), "query_id")
+        .join(F.broadcast(queries), "query_id")
+        .join(nfull, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            _sqdist(F.col("qq"), F.col("nv")).alias("d2"),
+        )
+    )
+    we = Window.partitionBy("query_id").orderBy(F.asc("d2"), F.asc("neighbor_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(we))
+        .filter(F.col("rank") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("int").alias("rank"),
+            "d2",
+        )
+    )
+
+
+def _ann_pq_sql() -> str:
+    from map_reduce_lite_spark.ops.clustering import QUANT
+
+    quant_cols = ", ".join(
+        f"CAST(floor(CAST(embedding[{i}] AS DOUBLE) * {QUANT}) AS BIGINT) AS q{i}"
+        for i in range(1, M_SUB * D_SUB + 1)
+    )
+    # unpivot vectors and seeds into (id, m, v1..v8) sub-vector rows
+    vsub_selects = "\n  UNION ALL\n".join(
+        "  SELECT vec_id, {m} AS m, {cols} FROM q".format(
+            m=m,
+            cols=", ".join(
+                f"q{m * D_SUB + i} AS v{i}" for i in range(1, D_SUB + 1)
+            ),
+        )
+        for m in range(M_SUB)
+    )
+    ssub_selects = "\n  UNION ALL\n".join(
+        "  SELECT vec_id AS code, {m} AS m, {cols} FROM q WHERE vec_id < {k}".format(
+            m=m,
+            cols=", ".join(
+                f"q{m * D_SUB + i} AS c{i}" for i in range(1, D_SUB + 1)
+            ),
+            k=K_CODES,
+        )
+        for m in range(M_SUB)
+    )
+    dist_vc = " + ".join(
+        f"(v.v{i} - s.c{i}) * (v.v{i} - s.c{i})" for i in range(1, D_SUB + 1)
+    )
+    dist_qc = " + ".join(
+        f"(qs.v{i} - sb.c{i}) * (qs.v{i} - sb.c{i})" for i in range(1, D_SUB + 1)
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id, {quant_cols} FROM embeddings
+), vsub AS (
+{vsub_selects}
+), ssub AS (
+{ssub_selects}
+), codes AS (
+  SELECT vec_id, m, code FROM (
+    SELECT v.vec_id, v.m, s.code,
+           row_number() OVER (PARTITION BY v.vec_id, v.m
+                              ORDER BY {dist_vc} ASC, s.code ASC) AS rn
+    FROM vsub v JOIN ssub s ON s.m = v.m
+  ) WHERE rn = 1
+), adc AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(SUM({dist_qc}) AS BIGINT) AS approx_d2
+  FROM codes c
+  JOIN ssub sb ON sb.m = c.m AND sb.code = c.code
+  JOIN vsub qs ON qs.m = c.m AND qs.vec_id < {N_QUERY_VECS}
+  WHERE c.vec_id <> qs.vec_id
+  GROUP BY 1, 2
+), cand AS (
+  SELECT query_id, neighbor_id,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY approx_d2 ASC, neighbor_id ASC) AS arank
+  FROM adc
+), exact AS (
+  SELECT k.query_id, k.neighbor_id,
+         CAST(SUM((qs.v1 - vs.v1) * (qs.v1 - vs.v1) + (qs.v2 - vs.v2) * (qs.v2 - vs.v2)
+            + (qs.v3 - vs.v3) * (qs.v3 - vs.v3) + (qs.v4 - vs.v4) * (qs.v4 - vs.v4)
+            + (qs.v5 - vs.v5) * (qs.v5 - vs.v5) + (qs.v6 - vs.v6) * (qs.v6 - vs.v6)
+            + (qs.v7 - vs.v7) * (qs.v7 - vs.v7) + (qs.v8 - vs.v8) * (qs.v8 - vs.v8))
+          AS BIGINT) AS d2
+  FROM cand k
+  JOIN vsub qs ON qs.vec_id = k.query_id
+  JOIN vsub vs ON vs.vec_id = k.neighbor_id AND vs.m = qs.m
+  WHERE k.arank <= {RERANK_FACTOR * TOP_K}
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       CAST(row_number() OVER (PARTITION BY query_id
+                               ORDER BY d2 ASC, neighbor_id ASC)
+            AS INT) AS rank,
+       d2
+FROM exact
+QUALIFY rank <= {TOP_K}
+"""
+
+
 PROJECTION_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -269,6 +482,12 @@ PROJECTION_QUERIES: dict[str, Query] = {
             embedding_random_projection,
             _random_projection_sql(),
             "Rademacher JL projection 64d -> 16d, literal sign matrix",
+        ),
+        Query(
+            "similarity_ann_pq",
+            similarity_ann_pq,
+            _ann_pq_sql(),
+            "product-quantization codes + asymmetric-distance top-k",
         ),
         Query(
             "embedding_quantize_int8",

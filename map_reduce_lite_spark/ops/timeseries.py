@@ -176,6 +176,129 @@ WHERE (mo.n * e.m - mo.s) * (mo.n * e.m - mo.s) > 9 * (mo.n * mo.s2 - mo.s * mo.
 """
 
 
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly cohort retention matrix — the product-analytics staple:
+    users are cohorted by the ISO week of their FIRST event, and each
+    (cohort_week, age_weeks) cell counts how many are still active
+    that many weeks later, with retention as exact basis points of the
+    cohort's size.
+
+    Scale shape: the raw stream collapses immediately to the DISTINCT
+    (user_id, week) activity table (map-side combine; at 100 TB this
+    is the only pass over raw events), the per-user MIN week derives
+    from THAT table (not a second raw scan), and the cohort join is
+    user_id-equi — co-partitioned with the activity table's own
+    shuffle key, so AQE can plan it shuffle-free. The final matrix is
+    #weeks × #weeks rows. retention_bps = floor(10000·n/n0) is exact
+    integer arithmetic — no float ratios."""
+    e = load_table(spark, sf_dir, "events")
+    active = (
+        e.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
+        .distinct()
+    )
+    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        active.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("age_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_active"))
+    )
+    size = cells.filter(F.col("age_weeks") == 0).select(
+        "cohort_week", F.col("n_active").alias("cohort_size")
+    )
+    return cells.join(size, "cohort_week").select(
+        F.col("cohort_week").cast("date").alias("cohort_week"),
+        "age_weeks",
+        "n_active",
+        "cohort_size",
+        F.floor(F.lit(10000) * F.col("n_active") / F.col("cohort_size"))
+        .cast("long")
+        .alias("retention_bps"),
+    )
+
+
+RETENTION_SQL = """
+WITH active AS (
+  SELECT DISTINCT user_id, date_trunc('week', ts) AS week FROM events
+), cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM active GROUP BY user_id
+), cells AS (
+  SELECT c.cohort_week,
+         CAST((CAST(a.week AS DATE) - CAST(c.cohort_week AS DATE)) // 7
+              AS BIGINT) AS age_weeks,
+         CAST(COUNT(*) AS BIGINT) AS n_active
+  FROM active a JOIN cohort c ON a.user_id = c.user_id
+  GROUP BY 1, 2
+), size_ AS (
+  SELECT cohort_week, n_active AS cohort_size FROM cells WHERE age_weeks = 0
+)
+SELECT CAST(ce.cohort_week AS DATE) AS cohort_week, ce.age_weeks, ce.n_active,
+       s.cohort_size,
+       CAST(floor(10000.0 * ce.n_active / s.cohort_size) AS BIGINT)
+         AS retention_bps
+FROM cells ce JOIN size_ s ON s.cohort_week = ce.cohort_week
+"""
+
+
+def events_user_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition counts (the first-order Markov
+    matrix behind user-journey analysis): each user's events ordered
+    by (ts, event_id), consecutive pairs counted globally, with the
+    per-from-state transition probability in exact basis points.
+
+    Scale shape: ONE shuffle partitions by user (window lead over
+    (ts, event_id) within the partition — the sessionize_events
+    pattern), then the transition agg has ≤ |types|² distinct keys so
+    map-side combine collapses it to a tiny table. No self-join of
+    the stream (a ts-ordered self-join would shuffle the corpus
+    twice and explode on ties)."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("from_type"),
+            F.lead("event_type", 1).over(w).alias("to_type"),
+        )
+        .filter(F.col("to_type").isNotNull())
+        .groupBy("from_type", "to_type")
+        .agg(F.count(F.lit(1)).alias("n_trans"))
+    )
+    totals = trans.groupBy("from_type").agg(F.sum("n_trans").alias("n_from"))
+    return trans.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        "n_trans",
+        F.floor(F.lit(10000) * F.col("n_trans") / F.col("n_from"))
+        .cast("long")
+        .alias("prob_bps"),
+    )
+
+
+USER_PATHS_SQL = """
+WITH seq AS (
+  SELECT user_id, event_type AS from_type,
+         lead(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS to_type
+  FROM events
+), trans AS (
+  SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n_trans
+  FROM seq WHERE to_type IS NOT NULL
+  GROUP BY 1, 2
+), totals AS (
+  SELECT from_type, CAST(SUM(n_trans) AS BIGINT) AS n_from
+  FROM trans GROUP BY from_type
+)
+SELECT t.from_type, t.to_type, t.n_trans,
+       CAST(floor(10000.0 * t.n_trans / tot.n_from) AS BIGINT) AS prob_bps
+FROM trans t JOIN totals tot ON tot.from_type = t.from_type
+"""
+
+
 TIMESERIES_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -190,6 +313,18 @@ TIMESERIES_QUERIES: dict[str, Query] = {
             events_anomaly_zscore,
             ANOMALY_SQL,
             "exact-arithmetic 3-sigma anomaly flagging per event type",
+        ),
+        Query(
+            "events_retention_cohorts",
+            events_retention_cohorts,
+            RETENTION_SQL,
+            "weekly cohort retention matrix with exact-bps retention",
+        ),
+        Query(
+            "events_user_paths",
+            events_user_paths,
+            USER_PATHS_SQL,
+            "event-type transition (Markov) matrix with exact-bps probabilities",
         ),
     ]
 }

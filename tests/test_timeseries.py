@@ -114,3 +114,46 @@ def test_fuzzy_link_blocked_and_verified(spark):
     for r in rows:
         assert r.dist <= MAX_DIST
         assert c_nk[r.c_custkey] == s_nk[r.s_suppkey]  # blocking respected
+
+
+def test_retention_cohort_matrix_invariants(spark):
+    """Age-0 cell equals the cohort size (10000 bps); retention never
+    exceeds 10000; every cohort has an age-0 row."""
+    from map_reduce_lite_spark.ops.timeseries import events_retention_cohorts
+    from tests.conftest import SF_SMALL
+
+    rows = events_retention_cohorts(spark, SF_SMALL).collect()
+    assert rows
+    cohorts = {r.cohort_week for r in rows}
+    age0 = {r.cohort_week: r for r in rows if r.age_weeks == 0}
+    assert set(age0) == cohorts
+    for r in rows:
+        assert 0 < r.n_active <= r.cohort_size
+        assert r.retention_bps <= 10000
+        if r.age_weeks == 0:
+            assert r.n_active == r.cohort_size and r.retention_bps == 10000
+
+
+def test_user_paths_probabilities_sum_to_one(spark):
+    """Per from_type, transition counts partition the outgoing edges:
+    bps sum within floor-rounding of 10000, and total transitions =
+    total events minus one per active user."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.timeseries import events_user_paths
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    out = events_user_paths(spark, SF_SMALL)
+    rows = out.collect()
+    assert rows
+    by_from = {}
+    for r in rows:
+        by_from.setdefault(r.from_type, []).append(r)
+    for f_, rs in by_from.items():
+        s = sum(r.prob_bps for r in rs)
+        assert 10000 - len(rs) < s <= 10000, (f_, s)
+    e = load_table(spark, SF_SMALL, "events")
+    n_events = e.count()
+    n_users = e.select("user_id").distinct().count()
+    assert sum(r.n_trans for r in rows) == n_events - n_users
