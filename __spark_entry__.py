@@ -136,6 +136,8 @@ ALL_QUERIES = {
         "events_user_paths": TIMESERIES_QUERIES["events_user_paths"],
         # NEW r5: product quantization + ADC search (compression tier 3)
         "similarity_ann_pq": PROJECTION_QUERIES["similarity_ann_pq"],
+        # NEW r5: incremental view maintenance (delta-maintained stats)
+        "pipeline_incremental_stats": SNAPSHOT_QUERIES["pipeline_incremental_stats"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

@@ -261,6 +261,138 @@ FROM dl_bands d JOIN st_bands s
 DEDUP_INCREMENTAL_SQL = _incremental_minhash_sql()
 
 
+def pipeline_incremental_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for corpus aggregates: the standing
+    per-source stats table is UPDATED from the snapshot delta's signed
+    contributions (+cur for added, -prev for removed, cur-prev for
+    changed) instead of recomputed — and the operator proves the
+    maintained numbers equal a direct recomputation over the current
+    snapshot.
+
+    This is how a 100 TB pipeline keeps corpus dashboards current:
+    the standing stats are a KB-sized stored artifact, the refresh
+    touches only delta rows (two delta-sized equi-joins fetch the
+    prev/cur text for token counts; unchanged docs never enter the
+    plan past the 16-byte diff join), and the merge is one signed SUM
+    per (source). Same mergeability argument as
+    sketch_cms_merge_shards, applied to exact aggregates under
+    updates and deletes — the subtraction side is what plain
+    re-aggregation can't do without a re-scan.
+
+    Output per source: docs/tokens from direct recomputation and from
+    maintenance, plus consistent (always true)."""
+    d = load_table(spark, sf_dir, "documents")
+    prev, cur = _derived_snapshots(d)
+    ntok = lambda c: F.size(F.split(F.trim(c), r"\s+")).cast("long")  # noqa: E731
+    delta = snapshot_diff(prev, cur, carry_cols=("source",)).filter(
+        F.col("status") != "unchanged"
+    )
+    pv = prev.select("doc_id", ntok(F.col("text")).alias("prev_toks"))
+    cv = cur.select("doc_id", ntok(F.col("text")).alias("cur_toks"))
+    signed = (
+        delta.join(pv, "doc_id", "left")
+        .join(cv, "doc_id", "left")
+        .select(
+            "source",
+            F.when(F.col("status") == "added", F.lit(1))
+            .when(F.col("status") == "removed", F.lit(-1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("d_docs"),
+            (
+                F.coalesce(F.col("cur_toks"), F.lit(0))
+                - F.coalesce(F.col("prev_toks"), F.lit(0))
+            ).alias("d_toks"),
+        )
+        .groupBy("source")
+        .agg(F.sum("d_docs").alias("d_docs"), F.sum("d_toks").alias("d_toks"))
+    )
+    standing = prev.groupBy("source").agg(
+        F.count(F.lit(1)).alias("p_docs"), F.sum(ntok(F.col("text"))).alias("p_toks")
+    )
+    maintained = standing.join(signed, "source", "left").select(
+        "source",
+        (F.col("p_docs") + F.coalesce(F.col("d_docs"), F.lit(0))).alias(
+            "docs_maintained"
+        ),
+        (F.col("p_toks") + F.coalesce(F.col("d_toks"), F.lit(0))).alias(
+            "toks_maintained"
+        ),
+    )
+    direct = cur.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs_direct"),
+        F.sum(ntok(F.col("text"))).alias("toks_direct"),
+    )
+    return direct.join(maintained, "source").select(
+        "source",
+        "docs_direct",
+        "docs_maintained",
+        "toks_direct",
+        "toks_maintained",
+        (
+            (F.col("docs_direct") == F.col("docs_maintained"))
+            & (F.col("toks_direct") == F.col("toks_maintained"))
+        ).alias("consistent"),
+    )
+
+
+INCREMENTAL_STATS_SQL = rf"""
+WITH prev AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 13 = 0 THEN text || ' [stale]' ELSE text END AS text
+  FROM documents WHERE doc_id % 17 <> 3
+), cur AS (
+  SELECT doc_id, source, text FROM documents WHERE doc_id % 19 <> 7
+), p AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_prev, source AS prev_source
+  FROM prev
+), c AS (
+  SELECT doc_id AS k, {sql_md5_60bit('text')} AS h_cur, source AS cur_source
+  FROM cur
+), delta AS (
+  SELECT COALESCE(p.k, c.k) AS doc_id,
+         CASE WHEN p.k IS NULL THEN 'added'
+              WHEN c.k IS NULL THEN 'removed'
+              WHEN p.h_prev <> c.h_cur THEN 'changed'
+              ELSE 'unchanged' END AS status,
+         COALESCE(c.cur_source, p.prev_source) AS source
+  FROM p FULL OUTER JOIN c ON p.k = c.k
+), signed AS (
+  SELECT d.source,
+         CAST(SUM(CASE d.status WHEN 'added' THEN 1
+                                WHEN 'removed' THEN -1 ELSE 0 END) AS BIGINT)
+           AS d_docs,
+         CAST(SUM(COALESCE(len(string_split_regex(trim(cv.text), '\s+')), 0)
+                - COALESCE(len(string_split_regex(trim(pv.text), '\s+')), 0))
+              AS BIGINT) AS d_toks
+  FROM delta d
+  LEFT JOIN prev pv ON pv.doc_id = d.doc_id
+  LEFT JOIN cur cv ON cv.doc_id = d.doc_id
+  WHERE d.status <> 'unchanged'
+  GROUP BY d.source
+), standing AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS p_docs,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS p_toks
+  FROM prev GROUP BY source
+), maintained AS (
+  SELECT st.source,
+         st.p_docs + COALESCE(s.d_docs, 0) AS docs_maintained,
+         st.p_toks + COALESCE(s.d_toks, 0) AS toks_maintained
+  FROM standing st LEFT JOIN signed s ON s.source = st.source
+), direct AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_direct,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS toks_direct
+  FROM cur GROUP BY source
+)
+SELECT di.source, di.docs_direct, m.docs_maintained,
+       di.toks_direct, m.toks_maintained,
+       (di.docs_direct = m.docs_maintained
+        AND di.toks_direct = m.toks_maintained) AS consistent
+FROM direct di JOIN maintained m ON m.source = di.source
+"""
+
+
 SNAPSHOT_QUERIES: dict[str, Query] = {
     "snapshot_diff_documents": Query(
         "snapshot_diff_documents",
@@ -273,5 +405,11 @@ SNAPSHOT_QUERIES: dict[str, Query] = {
         dedup_incremental_minhash,
         DEDUP_INCREMENTAL_SQL,
         "snapshot delta band-joined against the standing MinHash signature index",
+    ),
+    "pipeline_incremental_stats": Query(
+        "pipeline_incremental_stats",
+        pipeline_incremental_stats,
+        INCREMENTAL_STATS_SQL,
+        "IVM: delta-maintained per-source aggregates == direct recomputation",
     ),
 }

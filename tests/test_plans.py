@@ -252,6 +252,10 @@ def test_no_cartesian_product_anywhere(spark):
         # all candidates on projected dims by design (composes with
         # IVF/LSH blocking at scale); the exact stage is equi-joined
         "similarity_ann_rerank",
+        # same shape for the PQ funnel's ADC stage: broadcast 8-row
+        # query side over the 9-int code rows (1/32 of the embedding
+        # bytes); the exact rerank stage is equi-joined
+        "similarity_ann_pq",
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
         "text_collocation_lift",  # broadcast 1-row corpus-size N

@@ -97,3 +97,27 @@ def test_full_refresh_funnel_is_consistent(spark):
         for r in pipeline_incremental_refresh(spark, SF_SMALL).collect()
     }
     assert {(r.source, r.status): r.n_delta for r in rows} == inc
+
+
+def test_incremental_stats_consistent_and_delta_sized(spark):
+    """IVM contract: maintained == direct on every source, and the
+    signed-delta path must not touch unchanged documents (the delta
+    join count is bounded by the non-unchanged key count)."""
+    from map_reduce_lite_spark.ops.snapshot import (
+        _derived_snapshots,
+        pipeline_incremental_stats,
+        snapshot_diff,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    out = pipeline_incremental_stats(spark, SF_SMALL).collect()
+    assert out
+    for r in out:
+        assert r.consistent
+        assert r.docs_direct == r.docs_maintained
+        assert r.toks_direct == r.toks_maintained
+    d = load_table(spark, SF_SMALL, "documents")
+    prev, cur = _derived_snapshots(d)
+    delta = snapshot_diff(prev, cur).filter(F.col("status") != "unchanged")
+    assert 0 < delta.count() < d.count()  # a real, strict delta
