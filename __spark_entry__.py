@@ -138,6 +138,10 @@ ALL_QUERIES = {
         "similarity_ann_pq": PROJECTION_QUERIES["similarity_ann_pq"],
         # NEW r5: incremental view maintenance (delta-maintained stats)
         "pipeline_incremental_stats": SNAPSHOT_QUERIES["pipeline_incremental_stats"],
+        # NEW r5: LPA communities, temperature mixture, association rules
+        "graph_label_propagation": GRAPH_QUERIES["graph_label_propagation"],
+        "curation_mixture_temperature": CURATION_QUERIES["curation_mixture_temperature"],
+        "assoc_rules_brands": RELATIONAL_QUERIES_3["assoc_rules_brands"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

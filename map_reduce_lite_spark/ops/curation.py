@@ -334,6 +334,79 @@ MIX_RATE_HI = 80  # % kept from even-numbered sources (the "high-quality" pile)
 MIX_RATE_LO = 30  # % kept from odd-numbered sources
 
 
+def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixture weights (α = 0.5): the multilingual-
+    pretraining rebalance w_i ∝ n_i^α that upweights small sources
+    relative to raw proportional sampling. Output per source: token
+    count, raw proportional share, temperature share (both exact bps),
+    and boost_flag (whether the source gained weight).
+
+    Determinism: sqrt is IEEE-754 correctly rounded — bit-identical in
+    both engines — and everything downstream stays integer:
+    s_i = floor(sqrt(n_i) · 1e6) is an exact int64, the denominators
+    are exact integer SUMs (order-free), and the shares are floor
+    divisions. No order-dependent float accumulation anywhere.
+
+    Scale: one map-side-combined agg over the corpus to (source,
+    n_tokens); the rebalance math runs on the #sources-row table
+    against two 1-row broadcast scalar totals."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+    per_src = d.select("source", n_tokens.alias("t")).groupBy("source").agg(
+        F.sum("t").alias("n_tokens")
+    )
+    scaled = per_src.select(
+        "source",
+        "n_tokens",
+        F.floor(F.sqrt(F.col("n_tokens").cast("double")) * 1e6)
+        .cast("long")
+        .alias("s"),
+    )
+    totals = scaled.agg(
+        F.sum("n_tokens").alias("tot_n"), F.sum("s").alias("tot_s")
+    )
+    return (
+        scaled.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_tokens",
+            F.floor(F.lit(10000) * F.col("n_tokens") / F.col("tot_n"))
+            .cast("long")
+            .alias("raw_share_bps"),
+            F.floor(F.lit(10000) * F.col("s") / F.col("tot_s"))
+            .cast("long")
+            .alias("temp_share_bps"),
+        )
+        .withColumn(
+            "boosted", F.col("temp_share_bps") > F.col("raw_share_bps")
+        )
+    )
+
+
+MIXTURE_TEMP_SQL = r"""
+WITH per_src AS (
+  SELECT source,
+         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), scaled AS (
+  SELECT source, n_tokens,
+         CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1e6) AS BIGINT) AS s
+  FROM per_src
+), totals AS (
+  SELECT CAST(SUM(n_tokens) AS BIGINT) AS tot_n,
+         CAST(SUM(s) AS BIGINT) AS tot_s
+  FROM scaled
+)
+SELECT sc.source, sc.n_tokens,
+       CAST(floor(10000.0 * sc.n_tokens / t.tot_n) AS BIGINT) AS raw_share_bps,
+       CAST(floor(10000.0 * sc.s / t.tot_s) AS BIGINT) AS temp_share_bps,
+       CAST(floor(10000.0 * sc.s / t.tot_s) AS BIGINT)
+         > CAST(floor(10000.0 * sc.n_tokens / t.tot_n) AS BIGINT) AS boosted
+FROM scaled sc CROSS JOIN totals t
+"""
+
+
 def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Weighted per-source subsampling — the data-mixing step that turns
     raw source piles into a pretraining mixture. Even-numbered sources
@@ -792,6 +865,12 @@ CURATION_QUERIES: dict[str, Query] = {
         mixture_plan,
         MIXTURE_SQL,
         "weighted per-source mixture subsampling",
+    ),
+    "curation_mixture_temperature": Query(
+        "curation_mixture_temperature",
+        mixture_temperature,
+        MIXTURE_TEMP_SQL,
+        "temperature-scaled (alpha=0.5) mixture weights, exact-bps shares",
     ),
     "curation_sequence_packing": Query(
         "curation_sequence_packing",

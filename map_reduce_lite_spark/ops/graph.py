@@ -298,6 +298,109 @@ LIMIT {TRIANGLE_TOP_K}
 """
 
 
+LPA_ROUNDS = 3
+
+
+def label_propagation_parts(spark, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation over the
+    supported co-purchase part graph (same support-gated edge list as
+    the triangle query): every node starts labeled with its own id,
+    and each round adopts the most frequent label among its neighbors
+    (ties → smallest label). Deterministic by construction —
+    synchronous rounds plus a total tie order — unlike classic
+    asynchronous LPA, so the DuckDB oracle replays it exactly.
+
+    Output: one row per surviving community (label, n_members,
+    min_part) — the corpus-organization statistic (which product
+    clusters exist and how big they are).
+
+    Scale shape: each round is ONE join (edge list against the K-byte
+    label table, shuffling on node id — the partitioning is reused
+    round to round) + one (node, label) count agg + one per-node
+    argmax window over rows bounded by degree. Rounds are a fixed
+    constant; label tables are localCheckpoint'd so lineage stays
+    flat (the connected-components lesson). The argmax window
+    partitions by node — millions of small partitions, no skew."""
+    from pyspark.sql import Window
+
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    e = (
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        .localCheckpoint(eager=True)
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        counts = (
+            e.join(labels, e.v == labels.node)
+            .select(F.col("u").alias("node"), "lbl")
+            .groupBy("node", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            counts.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "lbl")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        labels.groupBy(F.col("lbl").alias("community"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min("node").alias("min_part"),
+        )
+    )
+
+
+def _lpa_sql() -> str:
+    def rnd(prev: str, out: str) -> str:
+        return f"""{out} AS (
+  SELECT node, lbl FROM (
+    SELECT e.u AS node, p.lbl, COUNT(*) AS cnt,
+           row_number() OVER (PARTITION BY e.u
+                              ORDER BY COUNT(*) DESC, p.lbl ASC) AS rn
+    FROM e JOIN {prev} p ON p.node = e.v
+    GROUP BY e.u, p.lbl
+  ) WHERE rn = 1
+)"""
+
+    rounds = ", ".join(rnd(f"l{i}", f"l{i + 1}") for i in range(LPA_ROUNDS))
+    return f"""
+WITH fwd AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+), e AS (
+  SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd
+), l0 AS (
+  SELECT DISTINCT u AS node, u AS lbl FROM e
+), {rounds}
+SELECT lbl AS community, CAST(COUNT(*) AS BIGINT) AS n_members,
+       MIN(node) AS min_part
+FROM l{LPA_ROUNDS} GROUP BY lbl
+"""
+
+
 def _graph_queries():
     from map_reduce_lite_spark.registry import Query
 
@@ -307,6 +410,12 @@ def _graph_queries():
             pagerank_supplier_part,
             _pagerank_sql(),
             "fixed-iteration PageRank, decimal-exact oracle",
+        ),
+        "graph_label_propagation": Query(
+            "graph_label_propagation",
+            label_propagation_parts,
+            _lpa_sql(),
+            "deterministic synchronous LPA communities over the co-purchase graph",
         ),
         "graph_triangle_parts": Query(
             "graph_triangle_parts",

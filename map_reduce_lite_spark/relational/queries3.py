@@ -546,6 +546,110 @@ FROM rolled
 """
 
 
+# Association rules over order baskets (brand level): the market-basket
+# mining companion to text_collocation_lift. Support floor 2 is the
+# standard noise gate; per-order pair fanout is C(lines,2) ≈ 6 — never
+# corpus-quadratic.
+ASSOC_MIN_SUPPORT = 2
+
+
+def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed association rules a→b between part brands co-occurring
+    in an order: support (co-occurrence count), confidence and lift in
+    exact basis points. Confidence(a→b) = n_ab/n_a; lift =
+    N·n_ab/(n_a·n_b). All integer arithmetic (floor-scaled), so every
+    row is bit-portable.
+
+    Scale shape: baskets = DISTINCT (order, brand) — one projection +
+    distinct; the pair self-join keys on l_orderkey (per-basket fanout
+    is the basket's brand count, small by nature); brand margins and
+    the basket total are tiny broadcast sides. The undirected pair agg
+    has ≤|brands|² keys — map-side combine collapses it before the
+    shuffle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    baskets = (
+        li.join(p, li.l_partkey == p.p_partkey)
+        .select("l_orderkey", "p_brand")
+        .distinct()
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.p_brand") < F.col("b.p_brand")),
+        )
+        .groupBy(
+            F.col("a.p_brand").alias("x"), F.col("b.p_brand").alias("y")
+        )
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+        .filter(F.col("n_xy") >= ASSOC_MIN_SUPPORT)
+    )
+    margins = baskets.groupBy("p_brand").agg(F.count(F.lit(1)).alias("n"))
+    total = baskets.select("l_orderkey").distinct().agg(
+        F.count(F.lit(1)).alias("n_baskets")
+    )
+    directed = pairs.select(
+        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "n_xy"
+    ).unionAll(
+        pairs.select(
+            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_xy"
+        )
+    )
+    ma = margins.select(F.col("p_brand").alias("antecedent"), F.col("n").alias("n_a"))
+    mb = margins.select(F.col("p_brand").alias("consequent"), F.col("n").alias("n_b"))
+    return (
+        directed.join(F.broadcast(ma), "antecedent")
+        .join(F.broadcast(mb), "consequent")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "antecedent",
+            "consequent",
+            F.col("n_xy").alias("support"),
+            F.floor(F.lit(10000) * F.col("n_xy") / F.col("n_a"))
+            .cast("long")
+            .alias("confidence_bps"),
+            F.floor(
+                F.lit(10000) * F.col("n_baskets") * F.col("n_xy")
+                / (F.col("n_a") * F.col("n_b"))
+            )
+            .cast("long")
+            .alias("lift_bps"),
+        )
+    )
+
+
+ASSOC_RULES_SQL = f"""
+WITH baskets AS (
+  SELECT DISTINCT li.l_orderkey, p.p_brand
+  FROM lineitem li JOIN part p ON li.l_partkey = p.p_partkey
+), pairs AS (
+  SELECT a.p_brand AS x, b.p_brand AS y, CAST(COUNT(*) AS BIGINT) AS n_xy
+  FROM baskets a JOIN baskets b
+    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {ASSOC_MIN_SUPPORT}
+), directed AS (
+  SELECT x AS antecedent, y AS consequent, n_xy FROM pairs
+  UNION ALL
+  SELECT y AS antecedent, x AS consequent, n_xy FROM pairs
+), margins AS (
+  SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n FROM baskets GROUP BY p_brand
+), total AS (
+  SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_baskets FROM baskets
+)
+SELECT d.antecedent, d.consequent, d.n_xy AS support,
+       CAST(floor(10000.0 * d.n_xy / ma.n) AS BIGINT) AS confidence_bps,
+       CAST(floor(10000.0 * t.n_baskets * d.n_xy / (ma.n * mb.n)) AS BIGINT)
+         AS lift_bps
+FROM directed d
+JOIN margins ma ON ma.p_brand = d.antecedent
+JOIN margins mb ON mb.p_brand = d.consequent
+CROSS JOIN total t
+"""
+
+
 RELATIONAL_QUERIES_3: dict[str, Query] = {
     q.name: q
     for q in [
@@ -558,6 +662,12 @@ RELATIONAL_QUERIES_3: dict[str, Query] = {
         Query("q16_supplier_count", q16_supplier_count, Q16_SQL, "count-distinct with NOT IN (Q16)"),
         Query("q20_bolt_suppliers", q20_bolt_suppliers, Q20_SQL, "nested-aggregate semi join (Q20)"),
         Query("q21_waiting_suppliers", q21_waiting_suppliers, Q21_SQL, "EXISTS + NOT EXISTS self-joins (Q21)"),
+        Query(
+            "assoc_rules_brands",
+            assoc_rules_brands,
+            ASSOC_RULES_SQL,
+            "market-basket association rules (support/confidence/lift, exact bps)",
+        ),
         Query(
             "events_rollup_multires",
             events_rollup_multires,

@@ -260,6 +260,8 @@ def test_no_cartesian_product_anywhere(spark):
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
         "text_collocation_lift",  # broadcast 1-row corpus-size N
         "curation_token_budget",  # broadcast 1-row token budget
+        "curation_mixture_temperature",  # broadcast 1-row share totals
+        "assoc_rules_brands",  # broadcast 1-row basket total
         # k-means assignment: corpus × K-row broadcast centroid table
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",
