@@ -246,3 +246,23 @@ def test_token_budget_greedy_prefix_semantics(spark):
     kept_tokens = sum(r["n_tokens"] for r in rows if r["kept"])
     assert kept_tokens <= budget
     assert 0 < len(got_kept) < len(rows), "budget must actually split the corpus"
+
+
+def test_mixture_temperature_rebalances_toward_small_sources(spark):
+    """Temperature scaling must compress the share distribution: every
+    below-average source gains share (or holds), every above-average
+    source loses (or holds), shares stay a near-partition of 10000."""
+    from map_reduce_lite_spark.ops.curation import mixture_temperature
+    from tests.conftest import SF_SMALL
+
+    rows = mixture_temperature(spark, SF_SMALL).collect()
+    assert rows
+    mean_share = 10000 / len(rows)
+    for r in rows:
+        if r.raw_share_bps < mean_share - 1:
+            assert r.temp_share_bps >= r.raw_share_bps, r
+        if r.raw_share_bps > mean_share + 1:
+            assert r.temp_share_bps <= r.raw_share_bps, r
+    for col in ("raw_share_bps", "temp_share_bps"):
+        s = sum(getattr(r, col) for r in rows)
+        assert 10000 - len(rows) < s <= 10000, (col, s)

@@ -244,3 +244,38 @@ def test_containment_dominates_jaccard(spark):
     # at least one direction-asymmetric pair should exist only one way
     one_way = [k for k in cmap if (k[1], k[0]) not in cmap]
     assert isinstance(one_way, list)  # asymmetry allowed, not required
+
+
+def test_lpa_communities_partition_the_graph(spark):
+    """LPA output must partition the node set: community sizes sum to
+    the number of distinct nodes in the supported edge list, and each
+    community's min_part belongs to it (label <= min member is not
+    required after propagation, but the partition property is)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.graph import (
+        TRIANGLE_MIN_SUPPORT,
+        label_propagation_parts,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    out = label_propagation_parts(spark, SF_SMALL).collect()
+    assert out
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    n_nodes = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .filter(F.col("s") >= TRIANGLE_MIN_SUPPORT)
+        .select(F.explode(F.array("u", "v")).alias("n"))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_members for r in out) == n_nodes
+    assert len({r.community for r in out}) == len(out)

@@ -177,3 +177,24 @@ def test_collocation_lift_bounds_and_symmetric_pairs(spark):
         assert r["lift_e6"] == (COLLOC_SCALE * n_docs * r["n_ab"]) // (
             r["n_a"] * r["n_b"]
         )
+
+
+def test_assoc_rules_probability_bounds(spark):
+    """Association-rule sanity: confidence <= 10000 bps, support >= the
+    gate, every rule exists in both directions (same support), and
+    lift is direction-symmetric."""
+    from map_reduce_lite_spark.relational.queries3 import (
+        ASSOC_MIN_SUPPORT,
+        assoc_rules_brands,
+    )
+    from tests.conftest import SF_SMALL
+
+    rows = assoc_rules_brands(spark, SF_SMALL).collect()
+    assert rows
+    idx = {(r.antecedent, r.consequent): r for r in rows}
+    for r in rows:
+        assert r.support >= ASSOC_MIN_SUPPORT
+        assert 0 < r.confidence_bps <= 10000
+        rev = idx[(r.consequent, r.antecedent)]
+        assert rev.support == r.support
+        assert rev.lift_bps == r.lift_bps
