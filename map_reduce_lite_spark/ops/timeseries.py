@@ -183,30 +183,32 @@ def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     that many weeks later, with retention as exact basis points of the
     cohort's size.
 
-    Scale shape: the raw stream collapses immediately to the DISTINCT
-    (user_id, week) activity table (map-side combine; at 100 TB this
-    is the only pass over raw events), the per-user MIN week derives
-    from THAT table (not a second raw scan), and the cohort join is
-    user_id-equi — co-partitioned with the activity table's own
-    shuffle key, so AQE can plan it shuffle-free. The final matrix is
-    #weeks × #weeks rows. retention_bps = floor(10000·n/n0) is exact
-    integer arithmetic — no float ratios."""
+    Scale shape: ONE corpus shuffle. The raw stream goes straight into
+    a user-keyed ``collect_set(week)`` — map-side partial aggregation
+    dedups (user, week) pairs before the exchange, and the per-user
+    set is bounded by CALENDAR WEEKS (a 10-year stream is ≤522
+    elements), so the agg buffer can't blow up. Cohort week is
+    ``array_min`` of that set — no second scan, no distinct+groupBy+
+    rejoin chain (the earlier 3-shuffle formulation). The exploded
+    (cohort, age) agg has #weeks² distinct keys — tiny. The final
+    matrix is #weeks × #weeks rows. retention_bps = floor(10000·n/n0)
+    is exact integer arithmetic — no float ratios."""
     e = load_table(spark, sf_dir, "events")
-    active = (
+    per_user = (
         e.select("user_id", F.date_trunc("week", F.col("ts")).alias("week"))
-        .distinct()
-    )
-    cohort = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
-    cells = (
-        active.join(cohort, "user_id")
-        .groupBy(
-            "cohort_week",
-            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
-            .cast("long")
-            .alias("age_weeks"),
+        .groupBy("user_id")
+        .agg(F.collect_set("week").alias("weeks"))
+        .select(
+            F.array_min("weeks").alias("cohort_week"),
+            F.explode("weeks").alias("week"),
         )
-        .agg(F.count(F.lit(1)).alias("n_active"))
     )
+    cells = per_user.groupBy(
+        "cohort_week",
+        (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+        .cast("long")
+        .alias("age_weeks"),
+    ).agg(F.count(F.lit(1)).alias("n_active"))
     size = cells.filter(F.col("age_weeks") == 0).select(
         "cohort_week", F.col("n_active").alias("cohort_size")
     )
