@@ -172,6 +172,14 @@ def _emit(timings: dict[str, float]) -> None:
 
 
 def main() -> None:
+    global BENCH_QUERIES
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    if only:  # comma-separated subset, for targeted investigation runs
+        names = [n.strip() for n in only.split(",") if n.strip()]
+        unknown = [n for n in names if n not in BENCH_QUERIES]
+        BENCH_QUERIES = names
+        if unknown:
+            print(f"warning: not in headline set: {unknown}", file=sys.stderr)
     argv = sys.argv[1:]
     if argv[:1] == ["--batch"]:
         # child worker: time the listed queries, write JSON to the file
