@@ -142,6 +142,9 @@ ALL_QUERIES = {
         "graph_label_propagation": GRAPH_QUERIES["graph_label_propagation"],
         "curation_mixture_temperature": CURATION_QUERIES["curation_mixture_temperature"],
         "assoc_rules_brands": RELATIONAL_QUERIES_3["assoc_rules_brands"],
+        # NEW r5: resize completes the brief's multimodal enumeration
+        # (decode / feature-extract / resize / frame-sample)
+        "multimodal_resize_stub": MULTIMODAL_QUERIES["multimodal_resize_stub"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

@@ -268,6 +268,50 @@ def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
     return media.mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
 
 
+def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize plumbing end-to-end: synthetic media → Arrow-batched
+    mapInPandas thumbnail kernel (see resize_image_stub). The fake
+    kernel is integer/md5 math over the payload, so DuckDB replays it
+    exactly — the Python path gets a full value oracle."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_image_stub(synthesize_media(d))
+
+
+# Oracle for the fake resize kernel. Exactness notes: math.isqrt(n) ==
+# floor(sqrt(CAST(n AS DOUBLE))) for n ≤ 2^52 (doc payloads are KB);
+# Python's int(w * scale) truncates toward zero == floor for positive
+# doubles, and w*scale is the same IEEE double product both sides; the
+# corpus is ASCII so md5 of the first 64 payload BYTES == md5 of the
+# first 64 CHARS of text.
+RESIZE_STUB_SQL = """
+WITH b AS (
+  SELECT doc_id AS media_id,
+         octet_length(encode(text)) AS n,
+         md5(substr(text, 1, 64)) AS head_md5
+  FROM documents
+), dims AS (
+  SELECT media_id, n, head_md5,
+         GREATEST(1, CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT)) AS w
+  FROM b
+), full_dims AS (
+  SELECT media_id, n, head_md5, w, (n + w - 1) // w AS h FROM dims
+), scaled AS (
+  SELECT media_id, n, head_md5, w, h,
+         LEAST(1.0::DOUBLE, 64.0::DOUBLE / GREATEST(w, h)) AS scale
+  FROM full_dims
+)
+SELECT media_id,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(GREATEST(1, CAST(floor(w * scale) AS BIGINT)) AS INT)
+       END AS width,
+       CASE WHEN n = 0 THEN NULL
+            ELSE CAST(GREATEST(1, CAST(floor(h * scale) AS BIGINT)) AS INT)
+       END AS height,
+       CASE WHEN n = 0 THEN NULL ELSE head_md5 END AS thumb_md5
+FROM scaled
+"""
+
+
 # The fake decoder's features are pure byte math over the UTF-8 payload,
 # so DuckDB can replay it with per-char ord() sums (corpus is ASCII, so
 # char code == byte value and octet_length == length): the Python
@@ -304,6 +348,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
             multimodal_frame_sample,
             FRAME_SAMPLE_SQL,
             "1→N frame sampling (mapInPandas, value-checked)",
+        ),
+        Query(
+            "multimodal_resize_stub",
+            multimodal_resize_stub,
+            RESIZE_STUB_SQL,
+            "thumbnail-resize plumbing (mapInPandas, value-checked)",
         ),
     ]
 }
