@@ -145,6 +145,8 @@ ALL_QUERIES = {
         # NEW r5: resize completes the brief's multimodal enumeration
         # (decode / feature-extract / resize / frame-sample)
         "multimodal_resize_stub": MULTIMODAL_QUERIES["multimodal_resize_stub"],
+        # NEW r5: RFM quartile segmentation (histogram-decomposed)
+        "rfm_segment_customers": RELATIONAL_QUERIES_3["rfm_segment_customers"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

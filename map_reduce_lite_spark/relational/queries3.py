@@ -546,6 +546,134 @@ FROM rolled
 """
 
 
+# RFM customer segmentation (recency / frequency / monetary quartiles).
+# Scale-correct quartiling: NO global ntile window (a one-task sort over
+# every customer — the anti-pattern curation_token_budget's histogram
+# decomposition exists to avoid). Each dimension is coarsened to a
+# BOUNDED integer domain (recency in days, frequency as-is, monetary in
+# integer thousands), bucketed by prefix-sums over its value histogram —
+# the windows run over histogram-sized tables (#distinct coarse values),
+# never the customer table. Ties (same coarse value) land in the same
+# bucket by construction, so the result is deterministic and exactly
+# oracle-replayable. Coarsening granularity is the scale lever: at
+# 100 TB widen the monetary bins, the plan shape is unchanged.
+RFM_BUCKETS = 4
+RFM_MONETARY_BIN = 1000.0  # currency units per monetary histogram bin
+
+
+def rfm_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: per-customer recency (days since last order,
+    vs the corpus max date), frequency (#orders), monetary (exact
+    decimal revenue sum), each quartile-bucketed 1..4 (1 = best:
+    most recent / most frequent / highest spend), reported as segment
+    counts.
+
+    Quartile rule, exact and tie-stable: for a customer whose coarse
+    value v has ``cum_before`` customers strictly better-ranked,
+    bucket = 1 + floor(B·cum_before / n). "Better" is recency ASC,
+    frequency DESC, monetary DESC."""
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        dsum(F.col("o_totalprice"), 2).alias("monetary"),
+    )
+    ref = per_cust.agg(F.max("last_order").alias("ref_date"))
+    dims = per_cust.crossJoin(F.broadcast(ref)).select(
+        "o_custkey",
+        F.datediff(F.col("ref_date"), F.col("last_order")).alias("r_days"),
+        "frequency",
+        F.floor(F.col("monetary") / RFM_MONETARY_BIN).cast("long").alias("m_k"),
+    )
+
+    def _bucket(df: DataFrame, col: str, asc: bool) -> DataFrame:
+        """(value → bucket) via histogram prefix sums; the window runs
+        over the #distinct-values histogram, not the customer table,
+        and the total is a broadcast 1-row aggregate (no driver-side
+        count() — plan construction stays lazy)."""
+        from pyspark.sql import Window
+
+        hist = df.groupBy(col).agg(F.count(F.lit(1)).alias("c"))
+        total = df.agg(F.count(F.lit(1)).alias("n"))
+        order = F.col(col).asc() if asc else F.col(col).desc()
+        w = Window.orderBy(order).rowsBetween(
+            Window.unboundedPreceding, Window.currentRow
+        )
+        return hist.crossJoin(F.broadcast(total)).select(
+            col,
+            (
+                1
+                + F.floor(
+                    F.lit(RFM_BUCKETS)
+                    * (F.sum("c").over(w) - F.col("c"))
+                    / F.col("n")
+                )
+            )
+            .cast("int")
+            .alias(f"{col}_bucket"),
+        )
+
+    out = (
+        dims.join(F.broadcast(_bucket(dims, "r_days", asc=True)), "r_days")
+        .join(F.broadcast(_bucket(dims, "frequency", asc=False)), "frequency")
+        .join(F.broadcast(_bucket(dims, "m_k", asc=False)), "m_k")
+    )
+    return (
+        out.groupBy(
+            F.col("r_days_bucket").alias("r_bucket"),
+            F.col("frequency_bucket").alias("f_bucket"),
+            F.col("m_k_bucket").alias("m_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.min("o_custkey").alias("min_custkey"),
+        )
+    )
+
+
+def _rfm_sql() -> str:
+    def bucket_cte(name: str, col: str, direction: str) -> str:
+        return f"""{name} AS (
+  SELECT {col},
+         CAST(1 + floor({RFM_BUCKETS} * (SUM(c) OVER (ORDER BY {col} {direction}
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)
+              / (SELECT COUNT(*) FROM dims)) AS INT) AS {col}_bucket
+  FROM (SELECT {col}, COUNT(*) AS c FROM dims GROUP BY {col})
+)"""
+
+    return f"""
+WITH per_cust AS (
+  SELECT o_custkey, MAX(o_orderdate) AS last_order,
+         CAST(COUNT(*) AS BIGINT) AS frequency,
+         CAST({sql_dsum('o_totalprice', 2)} AS DOUBLE) AS monetary
+  FROM orders GROUP BY o_custkey
+), ref AS (
+  SELECT MAX(last_order) AS ref_date FROM per_cust
+), dims AS (
+  SELECT o_custkey,
+         CAST(CAST(r.ref_date AS DATE) - CAST(p.last_order AS DATE) AS BIGINT)
+           AS r_days,
+         frequency,
+         CAST(floor(monetary / {RFM_MONETARY_BIN}) AS BIGINT) AS m_k
+  FROM per_cust p CROSS JOIN ref r
+), {bucket_cte('rb', 'r_days', 'ASC')},
+{bucket_cte('fb', 'frequency', 'DESC')},
+{bucket_cte('mb', 'm_k', 'DESC')}
+SELECT rb.r_days_bucket AS r_bucket, fb.frequency_bucket AS f_bucket,
+       mb.m_k_bucket AS m_bucket,
+       CAST(COUNT(*) AS BIGINT) AS n_customers,
+       MIN(d.o_custkey) AS min_custkey
+FROM dims d
+JOIN rb ON rb.r_days = d.r_days
+JOIN fb ON fb.frequency = d.frequency
+JOIN mb ON mb.m_k = d.m_k
+GROUP BY 1, 2, 3
+"""
+
+
+RFM_SQL = _rfm_sql()
+
+
 # Association rules over order baskets (brand level): the market-basket
 # mining companion to text_collocation_lift. Support floor 2 is the
 # standard noise gate; per-order pair fanout is C(lines,2) ≈ 6 — never
@@ -667,6 +795,12 @@ RELATIONAL_QUERIES_3: dict[str, Query] = {
             assoc_rules_brands,
             ASSOC_RULES_SQL,
             "market-basket association rules (support/confidence/lift, exact bps)",
+        ),
+        Query(
+            "rfm_segment_customers",
+            rfm_segment_customers,
+            RFM_SQL,
+            "RFM quartile segmentation (histogram-decomposed, no global window)",
         ),
         Query(
             "events_rollup_multires",

@@ -262,6 +262,9 @@ def test_no_cartesian_product_anywhere(spark):
         "curation_token_budget",  # broadcast 1-row token budget
         "curation_mixture_temperature",  # broadcast 1-row share totals
         "assoc_rules_brands",  # broadcast 1-row basket total
+        # broadcast 1-row scalars: corpus max date + per-dim customer
+        # totals feeding the histogram bucket tables
+        "rfm_segment_customers",
         # k-means assignment: corpus × K-row broadcast centroid table
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",

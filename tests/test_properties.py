@@ -198,3 +198,25 @@ def test_assoc_rules_probability_bounds(spark):
         rev = idx[(r.consequent, r.antecedent)]
         assert rev.support == r.support
         assert rev.lift_bps == r.lift_bps
+
+
+def test_rfm_buckets_partition_customers(spark):
+    """RFM invariants: buckets in 1..4 on all dims, segment counts sum
+    to the distinct customer count, and bucket-1 monetary customers
+    exist (the top quartile is never empty)."""
+    from map_reduce_lite_spark.relational.queries3 import rfm_segment_customers
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    rows = rfm_segment_customers(spark, SF_SMALL).collect()
+    assert rows
+    n_cust = (
+        load_table(spark, SF_SMALL, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_customers for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.r_bucket <= 4 and 1 <= r.f_bucket <= 4 and 1 <= r.m_bucket <= 4
+    assert any(r.m_bucket == 1 for r in rows)
