@@ -147,6 +147,8 @@ ALL_QUERIES = {
         "multimodal_resize_stub": MULTIMODAL_QUERIES["multimodal_resize_stub"],
         # NEW r5: RFM quartile segmentation (histogram-decomposed)
         "rfm_segment_customers": RELATIONAL_QUERIES_3["rfm_segment_customers"],
+        # NEW r5: trending top-k over the streamed hourly rollup
+        "streaming_topk_trending": STREAMING_QUERIES["streaming_topk_trending"],
         # CHANGED r5: cluster-size cap (deterministic sub-split) on the
         # SemDeDup pair join — oracle replays the split
         "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],

@@ -236,6 +236,57 @@ def streaming_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.table(name)
 
 
+TRENDING_K = 3
+
+
+def streaming_topk_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending top-k: the streamed hourly rollup ranked per hour at
+    the SERVING layer — top TRENDING_K event types per hour by count
+    (ties → type ASC).
+
+    Rank is deliberately OUTSIDE the stream: Structured Streaming
+    cannot run a rank window mid-stream (non-time-based window over an
+    aggregated stream is unsupported), so production ranks in the
+    serving read / foreachBatch over the continuously-maintained
+    state — exactly what this does over the drained aggregate. Scale:
+    the streaming side is the same single stateful hourly aggregation;
+    the rank runs on #hours × #types rows, partitioned by hour —
+    millions of tiny partitions, no skew, no global sort."""
+    from pyspark.sql import Window
+
+    hourly = streaming_events_hourly(spark, sf_dir)
+    w = Window.partitionBy("hour_start").orderBy(
+        F.desc("n_events"), F.asc("event_type")
+    )
+    return (
+        hourly.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= TRENDING_K)
+        .select(
+            "hour_start",
+            "event_type",
+            "n_events",
+            F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+
+
+def _trending_sql() -> str:
+    return f"""
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS hour_start, event_type,
+         COUNT(*) AS n_events
+  FROM events
+  GROUP BY 1, 2
+)
+SELECT hour_start, event_type, n_events,
+       CAST(row_number() OVER (PARTITION BY hour_start
+                               ORDER BY n_events DESC, event_type ASC)
+            AS INT) AS rnk
+FROM hourly
+QUALIFY rnk <= {TRENDING_K}
+"""
+
+
 def multires_rollup_stream(stream: DataFrame) -> DataFrame:
     """Explode each event into its hour/day/month (resolution, bucket)
     memberships, then ONE stateful aggregation maintains all three
@@ -901,6 +952,12 @@ def _streaming_queries():
             streaming_distinct_users,
             STREAMING_DISTINCT_USERS_SQL,
             "streaming HLL++ cardinality state, exact-audited (tolerance-flagged)",
+        ),
+        "streaming_topk_trending": Query(
+            "streaming_topk_trending",
+            streaming_topk_trending,
+            _trending_sql(),
+            "streamed hourly rollup ranked top-k per hour at the serving layer",
         ),
     }
 
