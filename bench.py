@@ -101,6 +101,22 @@ BENCH_QUERIES = [
     "vocab_bpe_merges",
     "sample_bernoulli_docs",
     "pipeline_full_refresh",
+    # added in round 6 — the 13 r5 queries that had no headline number
+    "graph_label_propagation",
+    "similarity_ann_pq",
+    "assoc_rules_brands",
+    "rfm_segment_customers",
+    "events_retention_cohorts",
+    "events_user_paths",
+    "pipeline_incremental_stats",
+    "dedup_containment",
+    "sketch_cms_merge_shards",
+    "streaming_topk_trending",
+    "curation_mixture_temperature",
+    "multimodal_resize_stub",
+    # r6 additions
+    "text_bm25_search",
+    "text_bigram_logprob",
 ]
 
 
@@ -176,10 +192,16 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     if only:  # comma-separated subset, for targeted investigation runs
         names = [n.strip() for n in only.split(",") if n.strip()]
-        unknown = [n for n in names if n not in BENCH_QUERIES]
-        BENCH_QUERIES = names
+        # validate against the live registry BEFORE spawning children: a
+        # typo'd name would otherwise die as an opaque KeyError in the
+        # batch subprocess
+        import __spark_entry__ as entry_mod
+
+        known = set(entry_mod.ALL_QUERIES)
+        unknown = [n for n in names if n not in known]
         if unknown:
-            print(f"warning: not in headline set: {unknown}", file=sys.stderr)
+            raise SystemExit(f"unknown queries in SPARK_GRAFT_BENCH_ONLY: {unknown}")
+        BENCH_QUERIES = names
     argv = sys.argv[1:]
     if argv[:1] == ["--batch"]:
         # child worker: time the listed queries, write JSON to the file
@@ -202,12 +224,16 @@ def main() -> None:
                 [sys.executable, str(Path(__file__).resolve()), "--batch",
                  ",".join(batch), f.name],
                 stdout=subprocess.DEVNULL,
-                stderr=subprocess.DEVNULL,
+                stderr=subprocess.PIPE,
                 env=os.environ,
-                timeout=1200,
+                timeout=1800,
             )
             if proc.returncode != 0:
-                raise RuntimeError(f"bench batch {batch} failed rc={proc.returncode}")
+                tail = proc.stderr.decode(errors="replace")[-2000:]
+                raise RuntimeError(
+                    f"bench batch {batch} failed rc={proc.returncode}\n"
+                    f"--- child stderr tail ---\n{tail}"
+                )
             timings.update(json.loads(Path(f.name).read_text()))
     _emit(timings)
 

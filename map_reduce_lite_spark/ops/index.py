@@ -148,6 +148,155 @@ GROUP BY t2.source
 """
 
 
+# --------------------------------------------------------------------------
+# BM25 ranked retrieval — the search capstone over the index stats
+# --------------------------------------------------------------------------
+
+# Lucene-variant BM25 (k1=1.2, b=0.75): idf = ln(1 + (N-df+0.5)/(df+0.5))
+# is never negative, the same practical choice Lucene made over the raw
+# Robertson-Spärck Jones form.
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+# Small fixed query workload (terms from the corpus vocabulary) — BM25
+# serving always scores a query batch against the corpus statistics.
+BM25_QUERY_SET: list[tuple[int, str]] = [
+    (1, "hash"), (1, "join"),
+    (2, "window"), (2, "agg"), (2, "stream"),
+    (3, "vector"), (3, "scan"), (3, "filter"),
+]
+
+
+def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K documents per query under BM25 — ranked retrieval over the
+    same corpus statistics the inverted index materializes (df per
+    term, per-doc length, corpus avgdl).
+
+    Plan shape: tokenize ONCE → (doc, term) tf counts (one shuffle);
+    doc lengths derive from tf by a second groupBy that reuses the
+    doc partitioning; the query-term table and the per-term df table
+    are tiny broadcasts, corpus stats a 1-row broadcast — so scoring
+    is a map stage over the tf rows that match a query term (the
+    broadcast join prunes the corpus to matching postings before any
+    FLOPs). Top-K per query is a rank window that Spark rewrites to
+    WindowGroupLimit: every task keeps only K candidates per query
+    BEFORE the exchange, so the final sort sees tasks×K rows, not the
+    corpus (plan-pinned in tests/test_plans.py).
+
+    Determinism: idf and the tf normalization are a fixed sequence of
+    IEEE double ops on exact integer inputs (bit-identical in DuckDB);
+    the per-(query, doc) sum of term contributions goes through
+    DECIMAL(18,12) so accumulation order cannot matter; ties on score
+    break by doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "doc_id",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    ).select(
+        "n_docs",
+        (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+    )
+    qterms = spark.createDataFrame(BM25_QUERY_SET, "query_id INT, term STRING")
+    uterms = qterms.select("term").distinct()
+    dfreq = tf.join(F.broadcast(uterms), "term").groupBy("term").agg(
+        F.count(F.lit(1)).alias("df")
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+    )
+    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(BM25_K1)
+        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+    )
+    scored = (
+        tf.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(dfreq), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", (idf * tfn).alias("contrib"))
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_matched"),
+        F.sum(F.col("contrib").cast("decimal(18,12)")).cast("double").alias("score"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= BM25_TOP_K)
+        .select(
+            "query_id",
+            F.col("rank").cast("int").alias("rank"),
+            "doc_id",
+            "n_matched",
+            F.floor(F.col("score") * 1e6).cast("long").alias("score_e6"),
+        )
+    )
+
+
+_BM25_VALUES = ", ".join(f"({q}, '{t}')" for q, t in BM25_QUERY_SET)
+
+BM25_SQL = rf"""
+WITH toks AS (
+  SELECT doc_id, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(CAST(SUM(dl) AS BIGINT) AS DOUBLE) / COUNT(*) AS avgdl
+  FROM dl
+), qterms(query_id, term) AS (
+  VALUES {_BM25_VALUES}
+), uterms AS (
+  SELECT DISTINCT term FROM qterms
+), dfreq AS (
+  SELECT t.term, COUNT(*) AS df
+  FROM tf t JOIN uterms u ON u.term = t.term
+  GROUP BY 1
+), scored AS (
+  SELECT q.query_id, t.doc_id,
+         ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+         * ((t.tf * {BM25_K1 + 1.0}) /
+            (t.tf + {BM25_K1} * ({1.0 - BM25_B} + {BM25_B} * (l.dl / s.avgdl))))
+           AS contrib
+  FROM tf t
+  JOIN qterms q ON q.term = t.term
+  JOIN dfreq d ON d.term = t.term
+  JOIN dl l ON l.doc_id = t.doc_id
+  CROSS JOIN stats s
+), agg AS (
+  SELECT query_id, doc_id, COUNT(*) AS n_matched,
+         CAST(SUM(CAST(contrib AS DECIMAL(18,12))) AS DOUBLE) AS score
+  FROM scored GROUP BY 1, 2
+)
+SELECT CAST(query_id AS INT) AS query_id, CAST(rank AS INT) AS rank,
+       doc_id, n_matched,
+       CAST(floor(score * 1e6) AS BIGINT) AS score_e6
+FROM (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM agg
+)
+WHERE rank <= {BM25_TOP_K}
+"""
+
+
 INDEX_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -162,6 +311,12 @@ INDEX_QUERIES: dict[str, Query] = {
             text_oov_rate,
             OOV_RATE_SQL,
             "per-source OOV rate vs corpus top-K vocabulary",
+        ),
+        Query(
+            "text_bm25_search",
+            text_bm25_search,
+            BM25_SQL,
+            "BM25 top-K ranked retrieval for a fixed query batch",
         ),
     ]
 }

@@ -693,7 +693,15 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the basket's brand count, small by nature); brand margins and
     the basket total are tiny broadcast sides. The undirected pair agg
     has ≤|brands|² keys — map-side combine collapses it before the
-    shuffle."""
+    shuffle.
+
+    Portability: both engines build the lift numerator 10000·N·n_ab as
+    an EXACT int64 product before the (double) divide, so the floor
+    lands identically. Bound: the int64 numerator overflows past
+    N·n_ab > ~9.2e14 (N ≈ 1.5e9 orders at sf1000 would need n_ab ≈
+    6e5 co-occurrences — far beyond brand-pair counts at any TPC-H
+    scale; DuckDB errors loudly on overflow, Spark would wrap, so the
+    guard is the shared exactness window, not silent truncation)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     p = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
     baskets = (
@@ -769,7 +777,7 @@ WITH baskets AS (
 )
 SELECT d.antecedent, d.consequent, d.n_xy AS support,
        CAST(floor(10000.0 * d.n_xy / ma.n) AS BIGINT) AS confidence_bps,
-       CAST(floor(10000.0 * t.n_baskets * d.n_xy / (ma.n * mb.n)) AS BIGINT)
+       CAST(floor((10000 * t.n_baskets * d.n_xy) / (ma.n * mb.n)) AS BIGINT)
          AS lift_bps
 FROM directed d
 JOIN margins ma ON ma.p_brand = d.antecedent

@@ -12,7 +12,11 @@ query still returns the right rows — and would fall over at scale.
 from __future__ import annotations
 
 import io
+import os
 from contextlib import redirect_stdout
+from pathlib import Path
+
+import pytest
 
 from tests.conftest import SF_SMALL
 
@@ -62,16 +66,24 @@ def test_q3_broadcasts_customer(spark):
     assert "TakeOrderedAndProject" in plan  # top-k, not global sort
 
 
+_BENCH_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+@pytest.mark.skipif(
+    not Path(_BENCH_SF_DIR).exists(), reason="bench-scale fixture absent"
+)
 def test_q3_broadcasts_customer_at_sf01(spark):
     """Pin the intended sf0.1 strategy: with NO hint, Catalyst's size
     stats must still broadcast the segment-filtered customer dim (and
     orders) at sf0.1 — the r4 bench drift on q3 was sweep contention,
     not a plan change (clean re-time: 1.03 s vs the 0.79 s r1 number,
     with this exact double-broadcast plan). Planning-only, no
-    execution."""
+    execution. Note: asserts Catalyst's size-stat-driven choice on the
+    driver-generated fixture; regenerated data with much larger
+    customer/orders files could legitimately flip the no-hint plan."""
     import __spark_entry__ as e
 
-    plan = _plan(e.queries()["q3_top_orders"](spark, "/root/testdata/sf0.1"))
+    plan = _plan(e.queries()["q3_top_orders"](spark, _BENCH_SF_DIR))
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "SortMergeJoin" not in plan, plan
     assert "TakeOrderedAndProject" in plan
