@@ -67,32 +67,18 @@ from map_reduce_lite_spark.ops import (
 )
 from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 
-# Ordered so everything new-or-changed THIS round sits in the front of
-# the dict: a correctness harness that samples a ~50-query prefix of
-# the query list re-verifies every changed query first. Round-5
-# changes: the four oracle-side HUGEINT→BIGINT casts (driver hash-red
-# in r4 purely from DuckDB's int128 SUM type; values verified equal),
-# the three queries that have never yet rotated into a driver window,
-# and anything new/changed this round. Queries with standing green
-# driver evidence from earlier rounds yield their slots.
+# Ordered so the driver's ~50-query prefix re-verification is spent
+# where it matters, under a two-tier policy:
+#   1. CHANGED/NEW queries this round go first — every query whose
+#      builder or oracle was touched must get fresh driver evidence.
+#   2. The remaining prefix slots hold the EVIDENCE-FRESHNESS ROTATION:
+#      the queries whose last driver-green round is OLDEST (computed
+#      from the cumulative CORRECTNESS_r*.json ledger at round start).
+#      Each round the just-rechecked batch rotates to the rear and the
+#      next-oldest batch rotates in, so no query's driver evidence ages
+#      more than ~3 rounds (146 queries / ~44 rotation slots).
+# Queries with fresher standing evidence follow in family order.
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
-
-# r4 driver hash-reds — oracle SQL now CASTs the offending SUM column
-# to BIGINT (ops/index.py, ops/profile.py, ops/pipeline.py,
-# ops/sampling.py). Must re-verify first.
-_FRONT_CAST_FIXES = [
-    "text_oov_rate",
-    "profile_documents",
-    "pipeline_incremental_refresh",
-    "sample_stratified_sources",
-]
-
-# Never inside any driver window across r1–r4 — close the ledger.
-_FRONT_NEVER_CHECKED = [
-    "curation_quality_quantile",
-    "sketch_cms_token_freq",
-    "text_unigram_logprob",
-]
 
 _FAMILIES = {
     **TIMESERIES_QUERIES,
@@ -117,55 +103,71 @@ _FAMILIES = {
     **_REAR,
 }
 
+# Tier 1 — NEW or CHANGED in r6: the two new LM/search queries, the
+# assoc-rules oracle's exact-int64 lift numerator, and the clustering
+# family whose module was touched (K-parametrized k-means + recursive
+# sub-split option; default outputs unchanged, re-verify anyway).
+_FRONT_CHANGED = [
+    "text_bm25_search",
+    "text_bigram_logprob",
+    "assoc_rules_brands",
+    "cluster_embeddings_kmeans",
+    "semdedup_embeddings",
+    "pipeline_semdedup_prune",
+]
+
+# Tier 2 — evidence-freshness rotation, r6 batch: the 42 queries whose
+# last driver-green round is 1 (everything else is r3+). Next round
+# this batch will be r6-green and the r3-age batch rotates in.
+_ROTATION_OLDEST = [
+    "q1_pricing_summary",
+    "q4_late_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "wc_documents",
+    "grep_documents",
+    "vertex_degree_lineitem",
+    "matrix_multiply_synth",
+    "join_nation_region",
+    "outer_join_order_counts",
+    "semi_join_customers",
+    "anti_join_customers",
+    "salted_join_segments",
+    "range_join_qty_bands",
+    "asof_join_purchase_view",
+    "agg_stats_by_brand",
+    "two_stage_agg_supplier",
+    "distinct_segments",
+    "rollup_returnflag",
+    "cube_flag_status",
+    "grouping_sets_priority",
+    "pivot_qty_by_status",
+    "percentile_quantity",
+    "case_bucket_acctbal",
+    "date_funcs_monthly",
+    "string_funcs",
+    "math_funcs",
+    "json_events",
+    "events_hourly",
+    "setop_nations",
+    "setop_all_variants",
+    "subquery_small_qty_revenue",
+    "topk_parts",
+    "window_top3_orders",
+    "window_rank_suite",
+    "window_value_suite",
+    "window_lag_order_gap",
+    "window_range_frame",
+    "window_running_revenue",
+]
+
 ALL_QUERIES = {
-    # Round-5 oracle-cast fixes + never-driver-checked queries first.
-    **{name: _FAMILIES[name] for name in _FRONT_CAST_FIXES},
-    **{name: _FAMILIES[name] for name in _FRONT_NEVER_CHECKED},
-    # NEW / CHANGED in r5 (SemDeDup cluster-size cap, full-refresh
-    # pipeline composition) are inserted here as they land.
-    **{
-        # NEW r5: the complete refresh loop (diff → gates → incremental
-        # dedup vs standing index → survival report) as one oracled plan
-        "pipeline_full_refresh": PIPELINE_QUERIES["pipeline_full_refresh"],
-        # NEW r5: CMS shard-merge (sketch mergeability proof) and
-        # asymmetric containment dedup (near-subset detection)
-        "sketch_cms_merge_shards": TEXT_QUERIES["sketch_cms_merge_shards"],
-        "dedup_containment": DEDUP_QUERIES["dedup_containment"],
-        # NEW r5: cohort retention matrix + Markov transition paths
-        "events_retention_cohorts": TIMESERIES_QUERIES["events_retention_cohorts"],
-        "events_user_paths": TIMESERIES_QUERIES["events_user_paths"],
-        # NEW r5: product quantization + ADC search (compression tier 3)
-        "similarity_ann_pq": PROJECTION_QUERIES["similarity_ann_pq"],
-        # NEW r5: incremental view maintenance (delta-maintained stats)
-        "pipeline_incremental_stats": SNAPSHOT_QUERIES["pipeline_incremental_stats"],
-        # NEW r5: LPA communities, temperature mixture, association rules
-        "graph_label_propagation": GRAPH_QUERIES["graph_label_propagation"],
-        "curation_mixture_temperature": CURATION_QUERIES["curation_mixture_temperature"],
-        "assoc_rules_brands": RELATIONAL_QUERIES_3["assoc_rules_brands"],
-        # NEW r5: resize completes the brief's multimodal enumeration
-        # (decode / feature-extract / resize / frame-sample)
-        "multimodal_resize_stub": MULTIMODAL_QUERIES["multimodal_resize_stub"],
-        # NEW r5: RFM quartile segmentation (histogram-decomposed)
-        "rfm_segment_customers": RELATIONAL_QUERIES_3["rfm_segment_customers"],
-        # NEW r5: trending top-k over the streamed hourly rollup
-        "streaming_topk_trending": STREAMING_QUERIES["streaming_topk_trending"],
-        # CHANGED r5: cluster-size cap (deterministic sub-split) on the
-        # SemDeDup pair join — oracle replays the split
-        "semdedup_embeddings": CLUSTERING_QUERIES["semdedup_embeddings"],
-        "pipeline_semdedup_prune": CLUSTERING_QUERIES["pipeline_semdedup_prune"],
-    },
-    # Late-r4 additions whose first driver pass was r4 — keep them in
-    # the window one more round in case the r4 prefix cut them off.
-    **{
-        "curation_token_budget": CURATION_QUERIES["curation_token_budget"],
-        "sample_topk_per_stratum": SAMPLING_QUERIES["sample_topk_per_stratum"],
-        "text_collocation_lift": TEXT_QUERIES["text_collocation_lift"],
-        "vocab_bpe_merges": SPAN_QUERIES["vocab_bpe_merges"],
-        "streaming_distinct_users": STREAMING_QUERIES["streaming_distinct_users"],
-        "streaming_serving_upsert": STREAMING_QUERIES["streaming_serving_upsert"],
-    },
-    # Everything else in family order: standing driver evidence, code
-    # unchanged this round.
+    **{name: _FAMILIES[name] for name in _FRONT_CHANGED},
+    **{name: _FAMILIES[name] for name in _ROTATION_OLDEST},
+    # Everything else in family order: fresher standing evidence.
     **_FAMILIES,
 }
 

@@ -139,14 +139,31 @@ def _update(assign: DataFrame) -> DataFrame:
     return g.select("cluster", cv.alias("cv"))
 
 
-def kmeans_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Final (vec_id, cluster, dist_q) after KMEANS_ITERS Lloyd rounds."""
+def kmeans_assignments(
+    spark: SparkSession,
+    sf_dir: str,
+    k: int = K_CLUSTERS,
+    iters: int = KMEANS_ITERS,
+) -> DataFrame:
+    """Final (vec_id, cluster, dist_q) after ``iters`` Lloyd rounds.
+
+    The plan shape is K-INDEPENDENT (pinned by
+    tests/test_clustering.py::test_kmeans_plan_k_independent at K=64):
+    assignment stays one broadcast of a single row carrying the
+    K×(dim longs) centroid array — the codegen'd argmin expression
+    iterates that array as DATA, so generated-code size does not grow
+    with K (unlike the JL sign-matrix literal, which needed the Janino
+    64 KB pin) — and the update stays ONE groupBy of dim SUMs however
+    large K is. The 1-row broadcast carries K·dim·8 bytes ≈ K·0.5 KB
+    at dim 64: K=64 → 33 KB, K=4096 → 2 MB; the posexplode form only
+    becomes necessary when that single row approaches the broadcast /
+    row-size comfort zone (~tens of MB, K ≈ 10⁵ at this dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
-    cents = q.filter(F.col("vec_id") < K_CLUSTERS).select(
+    cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
     )
-    for _ in range(KMEANS_ITERS):
+    for _ in range(iters):
         # K tiny rows — checkpoint keeps each round's plan flat
         cents = _update(_assign(q, cents)).localCheckpoint(eager=True)
     return _assign(q, cents).select(
@@ -285,8 +302,100 @@ def _subsplit(assign: DataFrame, cap: int) -> DataFrame:
     )
 
 
+# Recursive sub-split parameters: each level splits an oversized block
+# into at most BRANCH Voronoi cells, so depth d handles clusters up to
+# cap · BRANCH^d before any block can still exceed the cap.
+SEMDEDUP_SPLIT_BRANCH = 8
+SEMDEDUP_SPLIT_DEPTH = 3
+
+
+def _recursive_subsplit(
+    emb: DataFrame,
+    assign: DataFrame,
+    cap: int,
+    branch: int = SEMDEDUP_SPLIT_BRANCH,
+    depth: int = SEMDEDUP_SPLIT_DEPTH,
+) -> DataFrame:
+    """(vec_id, cluster, sub): GEOMETRY-PRESERVING split of oversized
+    clusters — the recall-lossless alternative the md5 hash split's
+    docstring promises.
+
+    The md5 split is oracle-replayable but recall-blind: a near-dup
+    pair inside an oversized cluster lands in the same block with
+    probability only 1/n_sub. Here each oversized block is instead
+    partitioned into ≤ ``branch`` Voronoi cells around deterministic
+    seeds (its first ``branch`` members by vec_id — the same seeding
+    contract as the top-level k-means), recursively up to ``depth``
+    levels. Near-dup pairs are geometrically tight, so both members
+    fall on the same side of the (distant) seed bisectors and the pair
+    SURVIVES the split — property-tested in
+    tests/test_clustering.py::test_recursive_subsplit_keeps_near_pairs
+    against a forced mega-cluster where the md5 split measurably loses
+    pairs.
+
+    Scale shape per level: block sizes are one groupBy (≤ K·branch^level
+    rows, broadcast back); seeds are a rank-window head capped by the
+    LITERAL ``branch`` first (so Spark's WindowGroupLimit keeps ≤branch
+    rows per block before the exchange) and collect to ≤ branch·dim
+    longs per block; assignment is the same data-driven argmin map
+    stage as the top-level k-means, joined per block. Each level is
+    lazily checkpointed so the lineage stays flat. Deterministic
+    end-to-end (integer distances, lexicographic ties, vec_id seeding) —
+    but not replayed by the DuckDB oracle, hence opt-in: the default
+    stays the md5 split."""
+    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    cur = assign.join(q, "vec_id").select(
+        "vec_id", "cluster", F.lit("r").alias("sub"), "qv"
+    )
+    from pyspark.sql import Window
+
+    for _ in range(depth):
+        sizes = cur.groupBy("cluster", "sub").agg(
+            F.least(
+                ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap)).cast("long"),
+                F.lit(branch).cast("long"),
+            ).alias("n_sub")
+        )
+        w = Window.partitionBy("cluster", "sub").orderBy("vec_id")
+        sized = cur.join(F.broadcast(sizes), ["cluster", "sub"])
+        seeds = (
+            sized.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= F.lit(branch))   # literal → WindowGroupLimit
+            .filter(F.col("rn") <= F.col("n_sub"))
+            .groupBy("cluster", "sub")
+            .agg(
+                F.collect_list(
+                    F.struct((F.col("rn") - 1).alias("sc"), F.col("qv").alias("cv"))
+                ).alias("carr")
+            )
+        )
+        best = F.array_min(
+            F.transform(
+                F.col("carr"),
+                lambda c: F.struct(
+                    _sqdist(F.col("qv"), c["cv"]).alias("dist_q"),
+                    c["sc"].alias("sc"),
+                ),
+            )
+        )
+        cur = (
+            cur.join(F.broadcast(seeds), ["cluster", "sub"])
+            .select(
+                "vec_id",
+                "cluster",
+                F.concat_ws("/", F.col("sub"), best["sc"].cast("string")).alias("sub"),
+                "qv",
+            )
+            .localCheckpoint(eager=False)
+        )
+    return cur.select("vec_id", "cluster", "sub")
+
+
 def _semdedup_pairs(
-    emb: DataFrame, assign: DataFrame, cap: int = SEMDEDUP_CLUSTER_CAP
+    emb: DataFrame,
+    assign: DataFrame,
+    cap: int = SEMDEDUP_CLUSTER_CAP,
+    split: str = "hash",
 ) -> DataFrame:
     """Within-cluster near-dup pairs, scored at full parallelism.
 
@@ -308,11 +417,16 @@ def _semdedup_pairs(
     Clusters above ``cap`` are sub-split (see ``_subsplit``) so the
     candidate stage is O(Σ min(size, cap)·size) instead of
     O(Σ size²) — one mega-cluster can no longer go quadratic in the
-    corpus."""
+    corpus. ``split="recursive"`` opts into the geometry-preserving
+    Voronoi sub-split (``_recursive_subsplit``) instead of the
+    oracle-replayable md5 block split."""
     vecs = emb.select(
         "vec_id", "embedding", _norm(F.col("embedding")).alias("nrm")
     )
-    sp = _subsplit(assign, cap)
+    if split == "recursive":
+        sp = _recursive_subsplit(emb, assign, cap)
+    else:
+        sp = _subsplit(assign, cap)
     a = sp.select(F.col("vec_id").alias("keep_id"), "cluster", "sub")
     b = sp.select(F.col("vec_id").alias("dup_id"), "cluster", "sub")
     cand = _spread(

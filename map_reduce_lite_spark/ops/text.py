@@ -13,7 +13,7 @@ where present. At 100 TB each is scan-bound and embarrassingly parallel.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
@@ -798,6 +798,151 @@ CROSS JOIN n
 """
 
 
+# Stupid backoff (Brants et al. 2007, "Large Language Models in Machine
+# Translation"): S(cur|prev) = c(prev,cur)/c(prev) when the bigram was
+# seen in training, else ALPHA · smoothed-unigram. The web-scale LM
+# recipe — no normalization pass, every quantity a corpus count.
+BIGRAM_BACKOFF_ALPHA = 0.4
+
+
+def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-score under a held-out bigram
+    model with stupid backoff — the CCNet-style perplexity quality
+    signal one step past ``text_unigram_logprob``. The model trains on
+    even doc_ids and scores EVERY document, so odd documents genuinely
+    exercise the backoff path (scoring a corpus under its own bigram
+    MLE would never back off — every observed transition is in the
+    model by construction).
+
+    Plan: posexplode → per-doc lag window (doc-partitioned, full
+    parallelism) gives the transition stream; bigram counts, context
+    counts and unigram counts are three groupBys of the train half.
+    The bigram and context tables are CORPUS-SIZED (|bigram vocab|
+    grows with the corpus — at 100 TB these are billions of rows), so
+    they are JOINED on their keys, never broadcast; only the 1-row
+    (n_train, v_train) scalar broadcasts. Shuffle ledger: one doc
+    repartition, three model aggs, three model equi-joins, one per-doc
+    agg — all linear, all key-partitioned.
+
+    Determinism: seen case -ln(c_big/c_ctx) and backoff case
+    -ln(0.4 · (c_uni+1)/(n_train+v_train)) are each one integer
+    division → IEEE double → ln, written in the same operand order in
+    both engines; the per-doc sum goes through DECIMAL(18,12).
+    Documents with fewer than two tokens have no transitions and are
+    absent from the output (both engines)."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+                "pos", "term"
+            ),
+        )
+        .filter(F.length("term") > 0)
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    trans = (
+        toks.select(
+            "doc_id",
+            F.lag("term", 1).over(w).alias("prev"),
+            F.col("term").alias("cur"),
+        )
+        .filter(F.col("prev").isNotNull())
+    )
+    train_trans = trans.filter(F.col("doc_id") % 2 == 0)
+    big = train_trans.groupBy("prev", "cur").agg(F.count(F.lit(1)).alias("c_big"))
+    ctx = train_trans.groupBy("prev").agg(F.count(F.lit(1)).alias("c_ctx"))
+    train_toks = toks.filter(F.col("doc_id") % 2 == 0)
+    uni = train_toks.groupBy(F.col("term").alias("cur")).agg(
+        F.count(F.lit(1)).alias("c_uni")
+    )
+    stats = train_toks.agg(
+        F.count(F.lit(1)).alias("n_train"),
+        F.count_distinct("term").alias("v_train"),
+    )
+    smoothed = (F.coalesce(F.col("c_uni"), F.lit(0)) + F.lit(1)) / (
+        F.col("n_train") + F.col("v_train")
+    )
+    nll = F.when(
+        F.col("c_big").isNotNull(), -F.log(F.col("c_big") / F.col("c_ctx"))
+    ).otherwise(-F.log(F.lit(BIGRAM_BACKOFF_ALPHA) * smoothed))
+    return (
+        trans.join(big, ["prev", "cur"], "left")
+        .join(ctx, "prev", "left")
+        .join(uni, "cur", "left")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum(F.col("c_big").isNull().cast("long")).alias("n_backoff"),
+            F.floor(
+                (
+                    F.sum(nll.cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+    )
+
+
+BIGRAM_LOGPROB_SQL = rf"""
+WITH tok_lists AS (
+  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, term, pos FROM (
+    SELECT doc_id, unnest(l) AS term,
+           unnest(generate_series(1, len(l))) AS pos
+    FROM tok_lists
+  ) WHERE term <> ''
+), trans AS (
+  SELECT doc_id, lag(term, 1) OVER w AS prev, term AS cur
+  FROM toks
+  WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+  QUALIFY lag(term, 1) OVER w IS NOT NULL
+), train_trans AS (
+  SELECT * FROM trans WHERE doc_id % 2 = 0
+), big AS (
+  SELECT prev, cur, CAST(COUNT(*) AS BIGINT) AS c_big
+  FROM train_trans GROUP BY 1, 2
+), ctx AS (
+  SELECT prev, CAST(COUNT(*) AS BIGINT) AS c_ctx
+  FROM train_trans GROUP BY 1
+), train_toks AS (
+  SELECT * FROM toks WHERE doc_id % 2 = 0
+), uni AS (
+  SELECT term AS cur, CAST(COUNT(*) AS BIGINT) AS c_uni
+  FROM train_toks GROUP BY 1
+), stats AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_train,
+         CAST(COUNT(DISTINCT term) AS BIGINT) AS v_train
+  FROM train_toks
+), scored AS (
+  SELECT t.doc_id,
+         CASE WHEN b.c_big IS NULL THEN 1 ELSE 0 END AS is_backoff,
+         CASE WHEN b.c_big IS NOT NULL THEN -ln(b.c_big / c.c_ctx)
+              ELSE -ln({BIGRAM_BACKOFF_ALPHA} *
+                       ((COALESCE(u.c_uni, 0) + 1) / (s.n_train + s.v_train)))
+         END AS nll
+  FROM trans t
+  LEFT JOIN big b ON b.prev = t.prev AND b.cur = t.cur
+  LEFT JOIN ctx c ON c.prev = t.prev
+  LEFT JOIN uni u ON u.cur = t.cur
+  CROSS JOIN stats s
+)
+SELECT doc_id, COUNT(*) AS n_trans,
+       CAST(SUM(is_backoff) AS BIGINT) AS n_backoff,
+       CAST(floor((CAST(SUM(CAST(nll AS DECIMAL(18,12))) AS DOUBLE)
+                   / COUNT(*)) * 1e6) AS BIGINT) AS nll_e6
+FROM scored GROUP BY doc_id
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -842,6 +987,12 @@ TEXT_QUERIES: dict[str, Query] = {
             unigram_logprob,
             UNIGRAM_LOGPROB_SQL,
             "perplexity-proxy quality: mean -ln p(token) under the corpus unigram model",
+        ),
+        Query(
+            "text_bigram_logprob",
+            bigram_logprob,
+            BIGRAM_LOGPROB_SQL,
+            "held-out bigram LM with stupid backoff: per-doc mean NLL + backoff rate",
         ),
     ]
 }

@@ -127,6 +127,78 @@ def test_cluster_cap_bounds_pairs_and_matches_oracle(spark, duck):
     assert got == want
 
 
+def _plan(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_kmeans_plan_k_independent(spark):
+    """K_CLUSTERS=4 / KMEANS_ITERS=2 are demo-scale constants; the plan
+    contract must hold at production-ish K. At K=64, ITERS=3:
+    assignment stays a map-only stage over the corpus (1-row broadcast
+    centroid array + data-driven argmin — NO corpus shuffle, no
+    sort-merge join) and the update stays ONE hash-partitioned groupBy
+    with map-side partial aggregation. The only exchanges are the
+    1-row centroid collapse (SinglePartition) and the K-key update."""
+    q = _quantized(spark)
+    cents = q.filter(F.col("vec_id") < 64).select(
+        F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
+    )
+    a = _assign(q, cents)
+    plan_a = _plan(a)
+    assert "SortMergeJoin" not in plan_a, plan_a
+    assert "hashpartitioning(" not in plan_a, plan_a
+    assert "BroadcastNestedLoopJoin" in plan_a, plan_a
+    plan_u = _plan(_update(a))
+    assert plan_u.count("hashpartitioning(") == 1, plan_u
+    assert plan_u.count("HashAggregate") >= 2, plan_u  # partial + final
+    # and it runs: 3 Lloyd rounds at K=64 assign every vector
+    out = kmeans_assignments(spark, SF_SMALL, k=64, iters=3)
+    n = load_table(spark, SF_SMALL, "embeddings").count()
+    assert out.count() == n
+    assert out.select("cluster").distinct().count() <= 64
+
+
+def test_recursive_subsplit_keeps_near_pairs(spark):
+    """The recall property the recursive split exists for: on a forced
+    mega-cluster (every vector in one cluster, cap far below its size)
+    the md5 hash split loses near-dup pairs that straddle blocks, while
+    the Voronoi sub-split keeps EVERY pair the uncapped path finds —
+    near-dup pairs are geometrically tight, so both members land in the
+    same cell. 16 near-orthogonal pair-groups: within-pair cosine
+    ≈ 0.9988 (≥ SEMDEDUP_COS), cross-group cosine 0 (< SEMDEDUP_COS)."""
+    from map_reduce_lite_spark.ops.clustering import _semdedup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+
+    rows = []
+    for g in range(16):
+        a = [0.0] * EMB_DIM
+        a[2 * g] = 1.0
+        b = [0.0] * EMB_DIM
+        b[2 * g] = 1.0
+        b[2 * g + 1] = 0.05
+        # ids 0..15 = one member per group (so Voronoi seeds spread
+        # across groups), 16..31 = the near-dup partners
+        rows.append((g, a))
+        rows.append((16 + g, b))
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    assign = emb.select("vec_id", F.lit(0).alias("cluster"))
+    uncapped = _semdedup_pairs(emb, assign, cap=1 << 30)
+    n_all = uncapped.count()
+    assert n_all == 16
+    hashed = _semdedup_pairs(emb, assign, cap=4)
+    recursive = _semdedup_pairs(emb, assign, cap=4, split="recursive")
+    assert hashed.count() < n_all, "md5 split should lose straddling pairs here"
+    got = {(r.keep_id, r.dup_id) for r in recursive.collect()}
+    want = {(r.keep_id, r.dup_id) for r in uncapped.collect()}
+    assert got == want  # zero recall loss vs the uncapped quadratic
+
+
 def test_kmeans_stable_under_repartition(spark):
     """Bit-reproducibility claim: the fixed-point pipeline's output may
     not depend on physical partitioning (integer sums and floor-means

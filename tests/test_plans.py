@@ -270,6 +270,8 @@ def test_no_cartesian_product_anywhere(spark):
         "similarity_ann_pq",
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
+        "text_bigram_logprob",   # broadcast 1-row (n_train, v_train)
+        "text_bm25_search",      # broadcast 1-row (n_docs, avgdl)
         "text_collocation_lift",  # broadcast 1-row corpus-size N
         "curation_token_budget",  # broadcast 1-row token budget
         "curation_mixture_temperature",  # broadcast 1-row share totals
@@ -424,3 +426,16 @@ def test_topk_per_stratum_group_limit_pushdown(spark):
     plan = _plan(_q(spark, "sample_topk_per_stratum"))
     assert plan.count("WindowGroupLimit") >= 4, plan  # partial+final × 2 stages
     assert "Generate" not in plan and "CartesianProduct" not in plan
+
+
+def test_bm25_scale_contract(spark):
+    """BM25 serving at corpus scale: the query-term, df and corpus-stat
+    tables must broadcast (scoring prunes to matching postings map-side,
+    no corpus-wide shuffle for the tiny sides), the top-K rank window
+    must get WindowGroupLimit (tasks ship K candidates per query, not
+    the corpus), and scoring stays JVM-side."""
+    plan = _plan(_q(spark, "text_bm25_search"))
+    assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
+    assert "BroadcastHashJoin" in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
