@@ -1,0 +1,150 @@
+#!/usr/bin/env python
+"""Scale-stress harness for the heavy operator families.
+
+Runs the dedup / clustering / ANN / spans pipelines on generated
+slices (tools/gen_scaledata.py) at increasing scale, reports wall
+times and the fitted log-log scaling exponent per query, and measures
+the boundedness caps actually ENGAGING at the largest scale
+(SEMDEDUP_CLUSTER_CAP sub-splitting clusters, SHINGLE_DF_CAP dropping
+saturated shingles, POSTINGS_CAP truncating posting lists).
+
+Usage:
+  python tools/gen_scaledata.py 0.1 /tmp/scaledata/s010
+  python tools/gen_scaledata.py 0.3 /tmp/scaledata/s030
+  python tools/gen_scaledata.py 1.0 /tmp/scaledata/s100
+  python tools/scale_stress.py /tmp/scaledata/s010 /tmp/scaledata/s030 \
+      /tmp/scaledata/s100
+
+Prints one JSON object. Run on an otherwise-idle machine (timings).
+"""
+
+from __future__ import annotations
+
+import gc
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+QUERIES = [
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_ngram_jaccard",
+    "dedup_substring_spans",
+    "cluster_embeddings_kmeans",
+    "semdedup_embeddings",
+    "similarity_ann_ivf",
+    "text_inverted_index",
+]
+
+
+def main() -> None:
+    dirs = sys.argv[1:]
+    assert len(dirs) >= 2, "need >= 2 scale dirs"
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.session import get_spark
+    import __spark_entry__ as entry_mod
+
+    spark = get_spark(app_name="mrl_scale_stress")
+    qs = entry_mod.queries()
+    sizes: dict[str, int] = {}
+    times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    for d in dirs:
+        sizes[d] = spark.read.parquet(f"{d}/documents.parquet").count()
+        for name in QUERIES:  # warm pass per scale
+            qs[name](spark, d).count()
+        for name in QUERIES:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                qs[name](spark, d).count()
+                best = min(best, time.perf_counter() - t0)
+            times[name][d] = round(best, 3)
+
+    # fitted exponent: slope of log(time) vs log(n_docs), first->last
+    exponents = {}
+    for name in QUERIES:
+        t0, t1 = times[name][dirs[0]], times[name][dirs[-1]]
+        n0, n1 = sizes[dirs[0]], sizes[dirs[-1]]
+        exponents[name] = round(math.log(t1 / t0) / math.log(n1 / n0), 2)
+
+    # --- cap engagement at the largest scale -------------------------
+    big = dirs[-1]
+    from map_reduce_lite_spark.ops.clustering import (
+        SEMDEDUP_CLUSTER_CAP,
+        _semdedup_pairs,
+        kmeans_assignments,
+    )
+    from map_reduce_lite_spark.ops.dedup import SHINGLE_DF_CAP, shingles
+    from map_reduce_lite_spark.ops.index import MIN_DF, POSTINGS_CAP
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, big, "embeddings")
+    assign = kmeans_assignments(spark, big).select("vec_id", "cluster") \
+        .localCheckpoint(eager=True)
+    cluster_sizes = [
+        r["n"] for r in assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    ]
+    caps = {}
+    for cap_name, cap in (("default", SEMDEDUP_CLUSTER_CAP), ("uncapped", 1 << 30)):
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+        t0 = time.perf_counter()
+        n_pairs = _semdedup_pairs(emb, assign, cap=cap).count()
+        caps[cap_name] = {"pairs": n_pairs, "sec": round(time.perf_counter() - t0, 3)}
+
+    docs = load_table(spark, big, "documents")
+    sh = shingles(docs)
+    shingle_df = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    n_shingles = shingle_df.count()
+    n_dropped = shingle_df.filter(F.col("df") > SHINGLE_DF_CAP).count()
+
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
+            )
+        ).alias("token"),
+    )
+    tok_df = toks.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_tokens = tok_df.filter(F.col("df") >= MIN_DF).count()
+    n_truncated = tok_df.filter(F.col("df") > POSTINGS_CAP).count()
+
+    print(
+        json.dumps(
+            {
+                "sizes": sizes,
+                "times": times,
+                "exponents": exponents,
+                "semdedup_cap": {
+                    "cap": SEMDEDUP_CLUSTER_CAP,
+                    "cluster_sizes": sorted(cluster_sizes),
+                    **caps,
+                },
+                "shingle_df_cap": {
+                    "cap": SHINGLE_DF_CAP,
+                    "distinct_shingles": n_shingles,
+                    "dropped_over_cap": n_dropped,
+                },
+                "postings_cap": {
+                    "cap": POSTINGS_CAP,
+                    "index_tokens": n_tokens,
+                    "truncated_lists": n_truncated,
+                },
+            },
+            indent=1,
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
