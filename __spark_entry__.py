@@ -104,13 +104,16 @@ _FAMILIES = {
 }
 
 # Tier 1 — NEW or CHANGED in r6: the two new LM/search queries, the
-# assoc-rules oracle's exact-int64 lift numerator, and the clustering
+# assoc-rules oracle's exact-int64 lift numerator, the clustering
 # family whose module was touched (K-parametrized k-means + recursive
-# sub-split option; default outputs unchanged, re-verify anyway).
+# sub-split option; default outputs unchanged, re-verify anyway), and
+# dedup_simhash whose band join gained the bucket cap (identity at
+# fixture bucket sizes, both engines replay the same split).
 _FRONT_CHANGED = [
     "text_bm25_search",
     "text_bigram_logprob",
     "assoc_rules_brands",
+    "dedup_simhash",
     "cluster_embeddings_kmeans",
     "semdedup_embeddings",
     "pipeline_semdedup_prune",

@@ -516,12 +516,30 @@ def simhash_fingerprints(toks: DataFrame) -> DataFrame:
     return agg.select("doc", fp.alias("simhash"))
 
 
-def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+# Hard bound on a band bucket's quadratic blowup — the simhash twin of
+# SEMDEDUP_CLUSTER_CAP. Corpora with heavily templated / low-entropy
+# text collapse many documents onto the same fingerprint chunk (the r6
+# scale-stress measured a 29k-doc bucket on a saturated-vocabulary
+# corpus: 430M candidate pairs from ONE bucket, wall time superlinear
+# exponent 1.2); even the driver fixture's hottest sf0.1 bucket holds
+# 1 582 of 5 000 docs. Buckets above the cap are sub-split into
+# ceil(size/cap) blocks by a BAND-SALTED portable hash, so the
+# candidate stage is O(Σ min(size, cap)·size) per band. The band salt
+# makes the split independent across the 4 bands: a pair agreeing on m
+# over-cap bands survives with prob 1-(1-1/n_sub)^m rather than being
+# dropped with full correlation — and truly identical text is caught
+# unconditionally by dedup_exact, which is the operator whose job that
+# is. 4096 > every fixture bucket, so results there are unchanged; the
+# forced-cap test proves boundedness + oracle agreement under
+# splitting.
+SIMHASH_BUCKET_CAP = 4096
+
+
+def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ 3, found via a
     4×15-bit band join (a pair within distance 3 must agree exactly on
-    ≥ 1 band)."""
-    d = load_table(spark, sf_dir, "documents")
-    fps = simhash_fingerprints(_tokens(d, "doc_id", "text"))
+    ≥ 1 band), bucket-capped (see SIMHASH_BUCKET_CAP)."""
+    fps = simhash_fingerprints(_tokens(docs, "doc_id", "text"))
     bands = fps.select(
         "doc", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
@@ -531,16 +549,37 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
         ),
     )
-    # NOT checkpointed (unlike the minhash band join): here the 8-bit
-    # chunk join fans out to ~100x candidate rows, so the join dominates
-    # and reading both sides from a materialized RDD scan measures
-    # SLOWER than letting AQE reuse the exchange (A/B at sf0.1)
-    a, b = bands.alias("a"), bands.alias("b")
+    # bucket sizes: ≤ 4·32768 rows however big the corpus — broadcast
+    sizes = bands.groupBy("band", "chunk").agg(
+        ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
+        .cast("long")
+        .alias("n_sub")
+    )
+    sp = bands.join(F.broadcast(sizes), ["band", "chunk"]).withColumn(
+        "sub",
+        F.pmod(
+            md5_60bit(
+                F.concat_ws(
+                    "|",
+                    F.lit("shb"),
+                    F.col("band").cast("string"),
+                    F.col("doc").cast("string"),
+                )
+            ),
+            F.col("n_sub"),
+        ),
+    )
+    # NOT checkpointed (unlike the minhash band join): here the chunk
+    # join fans out to many candidate rows, so the join dominates and
+    # reading both sides from a materialized RDD scan measures SLOWER
+    # than letting AQE reuse the exchange (A/B at sf0.1)
+    a, b = sp.alias("a"), sp.alias("b")
     cands = (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
             & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.sub") == F.col("b.sub"))
             & (F.col("a.doc") < F.col("b.doc")),
         )
         .select(
@@ -557,7 +596,16 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).filter(F.col("hamming") <= HAMMING_MAX)
 
 
-DEDUP_SIMHASH_SQL = rf"""
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(d)
+
+
+def _simhash_sql(cap: int = SIMHASH_BUCKET_CAP) -> str:
+    salt = sql_md5_60bit(
+        "'shb|' || CAST(b.band AS VARCHAR) || '|' || CAST(b.doc AS VARCHAR)"
+    )
+    return rf"""
 WITH toks AS (
   SELECT DISTINCT doc_id AS doc, t.tok AS token
   FROM documents,
@@ -577,15 +625,26 @@ WITH toks AS (
   SELECT doc, simhash, band.k AS band,
          (simhash >> (band.k * {SIMHASH_BAND_BITS})) & {SIMHASH_BAND_MASK} AS chunk
   FROM fps, LATERAL unnest(generate_series(0, {SIMHASH_BANDS - 1})) AS band(k)
+), sizes AS (
+  SELECT band, chunk, (COUNT(*) + {cap - 1}) // {cap} AS n_sub
+  FROM bands GROUP BY 1, 2
+), sp AS (
+  SELECT b.doc, b.simhash, b.band, b.chunk,
+         ({salt} % s.n_sub) AS sub
+  FROM bands b JOIN sizes s ON s.band = b.band AND s.chunk = b.chunk
 )
 SELECT doc1, doc2, hamming FROM (
   SELECT DISTINCT a.doc AS doc1, b.doc AS doc2,
          CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
-  FROM bands a JOIN bands b
-    ON a.band = b.band AND a.chunk = b.chunk AND a.doc < b.doc
+  FROM sp a JOIN sp b
+    ON a.band = b.band AND a.chunk = b.chunk AND a.sub = b.sub
+   AND a.doc < b.doc
 )
 WHERE hamming <= {HAMMING_MAX}
 """
+
+
+DEDUP_SIMHASH_SQL = _simhash_sql()
 
 
 # --------------------------------------------------------------------------

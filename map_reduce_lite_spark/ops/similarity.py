@@ -569,7 +569,17 @@ def ann_ivf_topk(
     one (id, cid) row per vector, no ×C blowup); at ingest the corpus is
     written partitioned by cid, so probing is partition pruning, not a
     join. No driver loops, no Python — every FLOP is codegen'd
-    zip_with/aggregate."""
+    zip_with/aggregate.
+
+    ``stride`` MUST scale with the corpus: with a fixed stride the
+    centroid count C = n/stride grows linearly and the assignment pass
+    costs n·C = n²/stride — the r6 scale-stress measured exponent 1.49
+    (superlinear) at the demo default. The standard IVF sizing is
+    C ≈ sqrt(n), i.e. ``stride ≈ sqrt(n)``, which balances assignment
+    (n·C) against probe width (n·n_probe/C) and restores sub-linear
+    measured scaling (SCALE.md r6: 8× faster at 60k vectors, exponent
+    0.40). The module default stays the oracle-pinned demo constant;
+    callers at scale pass ``stride=int(sqrt(n))``."""
     cent = corpus.filter((F.col(id_col) % stride) == 0).select(
         F.col(id_col).alias("cid"),
         F.col(vec_col).alias("cent_vec"),

@@ -142,6 +142,48 @@ def test_simhash_hamming_symmetry(spark):
         assert 0 <= r["hamming"] <= 3
 
 
+def test_simhash_bucket_cap_bounds_and_matches_oracle(spark, duck):
+    """SIMHASH_BUCKET_CAP sub-splitting, forced active with a tiny cap:
+
+    1. boundedness — every candidate block is a strict subset of its
+       (band, chunk) bucket, so pair count drops below the uncapped run
+       (the fixture corpus has hot buckets: its low-entropy vocabulary
+       collapses many docs onto shared fingerprint chunks);
+    2. capped pairs ⊂ uncapped pairs (the split only removes
+       candidates, never invents them);
+    3. the DuckDB oracle replays the band-salted split bit-for-bit at
+       the forced cap — not just at the default where it is the
+       identity.
+    """
+    from map_reduce_lite_spark.ops.dedup import _simhash_sql, simhash_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    cap = 8  # far below the fixture's hottest bucket → split is active
+    capped = simhash_pairs(docs, cap=cap)
+    uncapped = simhash_pairs(docs, cap=1 << 30)
+    n_capped, n_uncapped = capped.count(), uncapped.count()
+    assert 0 < n_capped < n_uncapped
+    extra = capped.select("doc1", "doc2").exceptAll(uncapped.select("doc1", "doc2"))
+    assert extra.count() == 0
+    got = {(r.doc1, r.doc2, r.hamming) for r in capped.collect()}
+    want = set(map(tuple, duck.execute(_simhash_sql(cap=cap)).fetchall()))
+    assert got == want
+
+
+def test_simhash_default_cap_does_not_perturb_testdata(spark):
+    """Every fixture bucket is far below SIMHASH_BUCKET_CAP, so the
+    default capped result equals the uncapped one — the cap only
+    engages on pathological bucket skew."""
+    from map_reduce_lite_spark.ops.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{SF_SMALL}/documents.parquet")
+    capped = {(r.doc1, r.doc2) for r in simhash_pairs(docs).collect()}
+    uncapped = {
+        (r.doc1, r.doc2) for r in simhash_pairs(docs, cap=1 << 30).collect()
+    }
+    assert capped == uncapped
+
+
 def test_ngram_df_cap_bounds_stop_shingle_blowup(spark):
     """A stop-shingle shared by every document must NOT produce the
     |postings|² candidate explosion: with the DF cap active, documents
