@@ -112,6 +112,7 @@ _FAMILIES = {
 _FRONT_CHANGED = [
     "text_bm25_search",
     "text_bigram_logprob",
+    "similarity_ann_ivf_scaled",
     "assoc_rules_brands",
     "dedup_simhash",
     "cluster_embeddings_kmeans",

@@ -651,10 +651,27 @@ def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_ivf_topk(emb, queries)
 
 
-SIMILARITY_IVF_SQL = f"""
+def similarity_ann_ivf_scaled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with the PRODUCTION sizing rule executed, not just
+    documented: stride = floor(sqrt(n)) so the centroid count C ≈ √n —
+    assignment (n·C) balances probe width (n·n_probe/C) and measured
+    scaling stays sub-linear (SCALE.md r6: exponent 0.40 vs 1.49 at
+    the fixed demo stride). The corpus count is one scalar job
+    (floor(sqrt(n)) is bit-identical in DuckDB, so the oracle replays
+    the sizing from its own COUNT(*))."""
+    import math
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < N_QUERY_VECS)
+    stride = int(math.floor(math.sqrt(emb.count())))
+    return ann_ivf_topk(emb, queries, stride=stride)
+
+
+def _ivf_sql(stride_expr: str = str(CENTROID_STRIDE)) -> str:
+    return f"""
 WITH cent AS (
   SELECT vec_id AS cid, embedding AS cent_vec
-  FROM embeddings WHERE vec_id % {CENTROID_STRIDE} = 0
+  FROM embeddings WHERE vec_id % ({stride_expr}) = 0
 ), assign_scored AS (
   SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec, c.cid,
          {_sql_cos('e.embedding', 'c.cent_vec')} AS csim
@@ -692,6 +709,12 @@ WHERE rank <= {TOP_K}
 """
 
 
+SIMILARITY_IVF_SQL = _ivf_sql()
+SIMILARITY_IVF_SCALED_SQL = _ivf_sql(
+    "SELECT CAST(floor(sqrt(COUNT(*))) AS BIGINT) FROM embeddings"
+)
+
+
 SIMILARITY_LSH_SQL = _similarity_lsh_sql()
 
 
@@ -719,6 +742,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_ann_ivf,
             SIMILARITY_IVF_SQL,
             "IVF coarse-quantized ANN top-k",
+        ),
+        Query(
+            "similarity_ann_ivf_scaled",
+            similarity_ann_ivf_scaled,
+            SIMILARITY_IVF_SCALED_SQL,
+            "IVF with production sizing: stride = floor(sqrt(n)) so C ≈ √n",
         ),
         Query(
             "similarity_hard_negatives",

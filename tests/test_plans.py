@@ -260,6 +260,7 @@ def test_no_cartesian_product_anywhere(spark):
         "q15_top_supplier",     # max-equality scalar compare
         "q22_idle_rich_customers",  # 1-row global-average scalar compare
         "similarity_ann_ivf",   # broadcast centroid table (k rows)
+        "similarity_ann_ivf_scaled",  # same shape, sqrt(n)-sized centroids
         # coarse stage of the rerank funnel: broadcast QUERY side scores
         # all candidates on projected dims by design (composes with
         # IVF/LSH blocking at scale); the exact stage is equi-joined
