@@ -117,6 +117,7 @@ BENCH_QUERIES = [
     # r6 additions
     "text_bm25_search",
     "text_bigram_logprob",
+    "similarity_ann_ivf_scaled",
 ]
 
 
