@@ -113,6 +113,8 @@ _FRONT_CHANGED = [
     "text_bm25_search",
     "text_bigram_logprob",
     "similarity_ann_ivf_scaled",
+    "scd2_user_state",
+    "attribution_last_touch",
     "assoc_rules_brands",
     "dedup_simhash",
     "cluster_embeddings_kmeans",

@@ -301,6 +301,168 @@ FROM trans t JOIN totals tot ON tot.from_type = t.from_type
 """
 
 
+def scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Slowly-changing-dimension Type-2 build from an event stream
+    (the warehouse pattern behind dimension-table history: Kimball
+    SCD2 out of CDC): each user's event_type is treated as their
+    current state; consecutive runs collapse to one versioned row
+    with [effective_from, effective_to) validity and an is_current
+    flag on the open row.
+
+    Scale shape: ONE shuffle on user_id serves everything — the
+    change-detection lag, the run-numbering running sum, the run
+    aggregation, and the effective_to lead are all partitioned by
+    user_id (Catalyst reuses the exchange; the extra passes are
+    per-partition sorts). No self-join of the stream, no global
+    window. Run numbering is a per-user running sum of change flags
+    over the unique (ts, event_id) order — deterministic and
+    identical across engines."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    runs = (
+        e.select(
+            "user_id",
+            F.col("event_type").alias("state"),
+            "ts",
+            "event_id",
+            F.when(
+                F.lag("event_type").over(w) == F.col("event_type"), F.lit(0)
+            )
+            .otherwise(F.lit(1))
+            .alias("chg"),
+        )
+        .withColumn("version", F.sum("chg").over(w))
+        .groupBy("user_id", "version", "state")
+        .agg(
+            F.min("ts").alias("effective_from"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+    w2 = Window.partitionBy("user_id").orderBy("version")
+    return runs.select(
+        "user_id",
+        "version",
+        "state",
+        "effective_from",
+        F.lead("effective_from").over(w2).alias("effective_to"),
+        "n_events",
+        F.lead("effective_from").over(w2).isNull().alias("is_current"),
+    )
+
+
+SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, event_type AS state, ts, event_id,
+         CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) = event_type
+              THEN 0 ELSE 1 END AS chg
+  FROM events
+), numbered AS (
+  SELECT user_id, state, ts,
+         SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS version
+  FROM marked
+), runs AS (
+  SELECT user_id, CAST(version AS BIGINT) AS version, state,
+         MIN(ts) AS effective_from, CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM numbered GROUP BY 1, 2, 3
+)
+SELECT user_id, version, state, effective_from,
+       lead(effective_from) OVER (PARTITION BY user_id ORDER BY version)
+         AS effective_to,
+       n_events,
+       lead(effective_from) OVER (PARTITION BY user_id ORDER BY version)
+         IS NULL AS is_current
+FROM runs
+"""
+
+
+ATTRIBUTION_WINDOW_DAYS = 7
+
+
+def attribution_last_touch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch marketing attribution: each purchase is credited to
+    the user's most recent click/view within a 7-day lookback, else
+    'direct'. Per channel: purchases, exact revenue cents, and total
+    touch-to-purchase lag in whole seconds.
+
+    Scale shape: the as-of lookup is NOT a range join (which would
+    shuffle the stream twice and explode on busy users) — it is one
+    window pass partitioned by user_id carrying the last non-null
+    touch forward (``last(..., ignorenulls)`` over the unique
+    (ts, event_id) order), then a tiny ≤|types|+1-key aggregation
+    with map-side combine. Revenue is floored to integer cents and
+    lag to integer seconds via identical IEEE/integer expressions in
+    both engines, so sums are bit-exact. At extreme scale the BIGINT
+    lag sum holds to ~2^63 purchase-seconds per channel; revenue
+    cents likewise."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    is_touch = F.col("event_type").isin("click", "view")
+    stream = e.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.last(F.when(is_touch, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("lt_ts"),
+        F.last(F.when(is_touch, F.col("event_type")), ignorenulls=True)
+        .over(w)
+        .alias("lt_type"),
+    )
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    in_window = F.col("lt_ts").isNotNull() & (
+        F.col("ts")
+        <= F.col("lt_ts") + F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAYS")
+    )
+    return (
+        purchases.select(
+            F.when(in_window, F.col("lt_type"))
+            .otherwise(F.lit("direct"))
+            .alias("channel"),
+            F.floor(F.lit(100.0) * F.col("value")).cast("long").alias("cents"),
+            F.when(
+                in_window,
+                F.expr("(unix_micros(ts) - unix_micros(lt_ts)) div 1000000"),
+            ).alias("lag_s"),
+        )
+        .groupBy("channel")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("cents").alias("revenue_cents"),
+            F.sum("lag_s").alias("total_lag_s"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH stream AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN ts END
+                    IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lt_ts,
+         last_value(CASE WHEN event_type IN ('click', 'view') THEN event_type
+                    END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id) AS lt_type
+  FROM events
+), purchases AS (
+  SELECT CASE WHEN lt_ts IS NOT NULL
+                   AND ts <= lt_ts + INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAY
+              THEN lt_type ELSE 'direct' END AS channel,
+         CAST(floor(100.0 * value) AS BIGINT) AS cents,
+         CASE WHEN lt_ts IS NOT NULL
+                   AND ts <= lt_ts + INTERVAL {ATTRIBUTION_WINDOW_DAYS} DAY
+              THEN (epoch_us(ts) - epoch_us(lt_ts)) // 1000000 END AS lag_s
+  FROM stream WHERE event_type = 'purchase'
+)
+SELECT channel, CAST(COUNT(*) AS BIGINT) AS n_purchases,
+       CAST(SUM(cents) AS BIGINT) AS revenue_cents,
+       CAST(SUM(lag_s) AS BIGINT) AS total_lag_s
+FROM purchases GROUP BY channel
+"""
+
+
 TIMESERIES_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -327,6 +489,18 @@ TIMESERIES_QUERIES: dict[str, Query] = {
             events_user_paths,
             USER_PATHS_SQL,
             "event-type transition (Markov) matrix with exact-bps probabilities",
+        ),
+        Query(
+            "scd2_user_state",
+            scd2_user_state,
+            SCD2_SQL,
+            "SCD Type-2 dimension history from the event stream (versioned validity ranges)",
+        ),
+        Query(
+            "attribution_last_touch",
+            attribution_last_touch,
+            ATTRIBUTION_SQL,
+            "last-touch attribution: purchases credited to the last click/view in a 7-day window",
         ),
     ]
 }

@@ -440,3 +440,25 @@ def test_bm25_scale_contract(spark):
     assert "BroadcastHashJoin" in plan, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_scd2_single_user_shuffle(spark):
+    """SCD2 history build: ONE exchange on user_id serves the change
+    lag, run-numbering sum, run aggregation, and effective_to lead —
+    the extra passes are per-partition sorts, never re-shuffles. No
+    Python UDFs anywhere in the pipeline."""
+    plan = _plan(_q(spark, "scd2_user_state"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_attribution_window_not_range_join(spark):
+    """Last-touch attribution: the as-of lookup is a window pass on the
+    user partitioning (last non-null touch carried forward), NOT a
+    range join — exactly one corpus-sized exchange; the only other
+    exchange feeds the <=|types|+1-key final agg, which must be
+    map-side combined (partial agg present)."""
+    plan = _plan(_q(spark, "attribution_last_touch"), "simple")
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+    assert "partial" in plan.lower(), plan
+    assert "CartesianProduct" not in plan and "SortMergeJoin" not in plan
