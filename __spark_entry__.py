@@ -115,6 +115,7 @@ _FRONT_CHANGED = [
     "similarity_ann_ivf_scaled",
     "scd2_user_state",
     "attribution_last_touch",
+    "dedup_span_removal",
     "assoc_rules_brands",
     "dedup_simhash",
     "cluster_embeddings_kmeans",

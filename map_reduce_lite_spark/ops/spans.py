@@ -152,6 +152,128 @@ FROM documents, LATERAL (
 """
 
 
+def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CLEANING pass over the boilerplate span index: rewrite the
+    corpus with every duplicated K-token span occurrence REMOVED except
+    the global-first one (Lee et al. 2022 keep one copy of each
+    duplicated span; the canonical occurrence here is the
+    lexicographic min of (doc_id, position), picked by a
+    partial-aggregable min-over-struct — never a per-span row_number
+    window, which a million-occurrence boilerplate span would turn
+    into one hot task).
+
+    Plan: span occurrences (same per-row JVM explosion as
+    dedup_substring_spans, positions kept) → ONE groupBy(span) for
+    {n_docs, first occurrence} → join occurrences back on span (only
+    duplicated-span rows survive) → explode each non-canonical
+    occurrence into its K covered token positions → per-doc position
+    set (bounded by the doc's own token count) → equi-join onto the
+    corpus and filter the token array by position JVM-side. The corpus
+    is never shuffled token-exploded: only deletion rows — bounded by
+    duplicate occurrences × K — move through the shuffles. Cleaned
+    text is the kept tokens joined with single spaces (tokenized
+    canonical form, same convention as the rest of the text family)."""
+    t = _tokens_col(load_table(spark, sf_dir, "documents"))
+    n = F.size("toks")
+    starts = F.when(
+        n >= SPAN_TOKENS,
+        F.sequence(F.lit(1), n - SPAN_TOKENS + 1, F.lit(SPAN_STRIDE)),
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    occ = t.select(
+        "doc_id",
+        F.explode(starts).alias("pos"),
+        F.col("toks"),
+    ).select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice(F.col("toks"), F.col("pos"), SPAN_TOKENS), " ").alias(
+            "span"
+        ),
+    )
+    bp = (
+        occ.groupBy("span")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min(F.struct(F.col("doc_id").alias("d"), F.col("pos").alias("p"))).alias(
+                "first"
+            ),
+        )
+        .filter(F.col("n_docs") >= SPAN_MIN_DOCS)
+        .select("span", "first")
+    )
+    dels = (
+        occ.join(bp, "span")
+        .filter(
+            ~(
+                (F.col("doc_id") == F.col("first.d"))
+                & (F.col("pos") == F.col("first.p"))
+            )
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + F.lit(SPAN_TOKENS - 1))
+            ).alias("dp"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_set("dp").alias("dels"))
+    )
+    joined = t.join(dels, "doc_id", "left").select(
+        "doc_id",
+        "toks",
+        F.coalesce(F.col("dels"), F.expr("array()").cast("array<int>")).alias("dels"),
+    )
+    kept = F.filter(
+        F.col("toks"),
+        lambda x, i: ~F.array_contains(F.col("dels"), i + F.lit(1)),
+    )
+    cleaned = F.array_join(kept, " ")
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed"),
+        cleaned.alias("cleaned_text"),
+        md5_60bit(cleaned).alias("cleaned_hash"),
+    )
+
+
+SPAN_REMOVAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {_SQL_TOKS} AS t FROM documents
+), occ AS (
+  SELECT doc_id, CAST(i AS INT) AS pos,
+         array_to_string(t[i : i + {SPAN_TOKENS - 1}], ' ') AS span
+  FROM toks, LATERAL (
+    SELECT unnest(range(1, len(t) - {SPAN_TOKENS} + 2, {SPAN_STRIDE})) AS i
+  ) s
+), bp AS (
+  SELECT span, min(struct_pack(d := doc_id, p := pos)) AS first
+  FROM occ
+  GROUP BY span
+  HAVING COUNT(DISTINCT doc_id) >= {SPAN_MIN_DOCS}
+), dels AS (
+  SELECT o.doc_id, list(DISTINCT u.dp) AS dels
+  FROM occ o
+  JOIN bp b USING (span),
+  LATERAL (SELECT unnest(range(o.pos, o.pos + {SPAN_TOKENS})) AS dp) u
+  WHERE NOT (o.doc_id = b.first.d AND o.pos = b.first.p)
+  GROUP BY o.doc_id
+)
+SELECT tk.doc_id,
+       CAST(len(tk.t) AS BIGINT) AS n_tokens,
+       CAST(len(tk.t) - len(k.kept) AS BIGINT) AS n_removed,
+       -- DuckDB array_to_string([]) is NULL where Spark's is '' —
+       -- coalesce pins the engines to the same empty-doc rendering
+       coalesce(array_to_string(k.kept, ' '), '') AS cleaned_text,
+       {sql_md5_60bit("coalesce(array_to_string(k.kept, ' '), '')")}
+         AS cleaned_hash
+FROM toks tk
+LEFT JOIN dels d ON d.doc_id = tk.doc_id,
+LATERAL (SELECT list_filter(tk.t,
+           (x, i) -> NOT list_contains(coalesce(d.dels, []), i)) AS kept) k
+"""
+
+
 BPE_TOP_K = 32  # merge candidates surfaced per round
 
 
@@ -205,6 +327,12 @@ SPAN_QUERIES: dict[str, Query] = {
             dedup_substring_spans,
             DEDUP_SPANS_SQL,
             "exact K-token substring dedup (hashed shingle inverted index)",
+        ),
+        Query(
+            "dedup_span_removal",
+            dedup_span_removal,
+            SPAN_REMOVAL_SQL,
+            "corpus rewrite with duplicated K-token spans removed (keep global-first occurrence)",
         ),
         Query(
             "text_chunk_documents",

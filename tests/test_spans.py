@@ -72,3 +72,56 @@ def test_chunk_text_matches_substring(spark):
         F.col("chunk") != F.col("text").substr(F.col("chunk_off"), F.lit(CHUNK_CHARS))
     )
     assert mismatch.count() == 0
+
+def test_span_removal_consistency_and_canonical_kept(spark):
+    """dedup_span_removal invariants: (a) token accounting is exact —
+    the cleaned text has n_tokens - n_removed whitespace tokens;
+    (b) docs untouched by removal reproduce their canonical tokenized
+    text verbatim; (c) something was actually removed at this SF (the
+    fixture plants near/exact dup docs); (d) every duplicated span's
+    GLOBAL-FIRST occurrence doc keeps a copy of the span unless another
+    duplicated span's removal overlapped it — checked on the max-count
+    span, whose canonical doc we assert still contains the span text."""
+    from map_reduce_lite_spark.ops.spans import dedup_span_removal
+
+    out = dedup_span_removal(spark, SF_SMALL).cache()
+    kept_toks = F.when(
+        F.col("cleaned_text") == "", F.lit(0)
+    ).otherwise(F.size(F.split("cleaned_text", r"\s+")))
+    bad = out.filter(kept_toks != F.col("n_tokens") - F.col("n_removed"))
+    assert bad.count() == 0
+    assert out.filter(F.col("n_removed") > 0).count() > 0
+
+    d = load_table(spark, SF_SMALL, "documents")
+    canon = F.regexp_replace(F.trim(F.lower("text")), r"\s+", " ")
+    both = out.filter(F.col("n_removed") == 0).join(
+        d.select("doc_id", canon.alias("canon")), "doc_id"
+    )
+    assert both.filter(F.col("cleaned_text") != F.col("canon")).count() == 0
+
+    # (d) canonical-copy survival for the busiest span
+    spans = dedup_substring_spans(spark, SF_SMALL)
+    top = spans.orderBy(F.desc("n_occ"), F.asc("span")).first()
+    # its global-first occurrence: recompute like the operator does
+    from map_reduce_lite_spark.ops.spans import _tokens_col
+
+    t = _tokens_col(d)
+    n = F.size("toks")
+    starts = F.when(
+        n >= SPAN_TOKENS, F.sequence(F.lit(1), n - SPAN_TOKENS + 1, F.lit(1))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    occ = t.select("doc_id", F.explode(starts).alias("pos"), "toks").select(
+        "doc_id",
+        "pos",
+        F.array_join(F.slice("toks", F.col("pos"), SPAN_TOKENS), " ").alias("span"),
+    )
+    first = (
+        occ.filter(F.col("span") == top["span"])
+        .orderBy("doc_id", "pos")
+        .first()
+    )
+    cleaned_first = out.filter(F.col("doc_id") == first["doc_id"]).first()
+    # the canonical doc's cleaned text still contains the span unless an
+    # overlapping removal clipped it; assert the common case holds for
+    # the busiest span (stable property of the fixture corpus)
+    assert top["span"] in cleaned_first["cleaned_text"]
