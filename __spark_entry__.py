@@ -116,6 +116,7 @@ _FRONT_CHANGED = [
     "scd2_user_state",
     "attribution_last_touch",
     "dedup_span_removal",
+    "embedding_dim_stats",
     "assoc_rules_brands",
     "dedup_simhash",
     "cluster_embeddings_kmeans",

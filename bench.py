@@ -118,6 +118,9 @@ BENCH_QUERIES = [
     "text_bm25_search",
     "text_bigram_logprob",
     "similarity_ann_ivf_scaled",
+    "scd2_user_state",
+    "attribution_last_touch",
+    "dedup_span_removal",
 ]
 
 

@@ -148,6 +148,72 @@ FROM embeddings
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension corpus moments over the embedding column — the
+    statistics a feature-normalization / whitening step consumes
+    (per-dim mean, spread, extrema before z-scaling or PCA).
+
+    Plan: posexplode is a per-row JVM Generate (dim·n rows but zero
+    Python and zero pre-shuffle state), then ONE map-side-combined
+    groupBy on the 64 dim keys — each task emits 64 partial rows
+    however large the corpus is, so the shuffle is O(tasks·dim).
+
+    Exactness: values quantize to integers BEFORE any aggregation —
+    q6 = floor(1e6·x) feeds sum/min/max (|sum| ≤ n·1e6: int64 holds to
+    ~9e12 vectors), q3 = floor(1e3·x) feeds the sum of squares
+    (q3² ≤ 1e6: int64 holds to ~9e12 vectors) — so every output is an
+    order-independent integer, bit-identical across engines, retries
+    and partitionings. Mean in q6 units derives from one IEEE double
+    divide + floor written identically in both engines."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select(F.posexplode("embedding").alias("pos", "val"))
+    q6 = F.floor(F.lit(1e6) * F.col("val").cast("double")).cast("long")
+    q3 = F.floor(F.lit(1e3) * F.col("val").cast("double")).cast("long")
+    agg = (
+        ex.select((F.col("pos") + 1).cast("long").alias("dim"), q6.alias("q6"), (q3 * q3).alias("q3sq"))
+        .groupBy("dim")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.sum("q6").alias("sum_q6"),
+            F.min("q6").alias("min_q6"),
+            F.max("q6").alias("max_q6"),
+            F.sum("q3sq").alias("sumsq_q3"),
+        )
+    )
+    return agg.select(
+        "dim",
+        "n_vecs",
+        "sum_q6",
+        F.floor(F.col("sum_q6").cast("double") / F.col("n_vecs").cast("double"))
+        .cast("long")
+        .alias("mean_q6"),
+        "min_q6",
+        "max_q6",
+        "sumsq_q3",
+    )
+
+
+DIM_STATS_SQL = """
+WITH ex AS (
+  SELECT CAST(i AS BIGINT) AS dim,
+         CAST(floor(1e6 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS q6,
+         CAST(floor(1e3 * CAST(embedding[i] AS DOUBLE)) AS BIGINT) AS q3
+  FROM embeddings, LATERAL (
+    SELECT unnest(range(1, len(embedding) + 1)) AS i
+  ) s
+)
+SELECT dim,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       CAST(SUM(q6) AS BIGINT) AS sum_q6,
+       CAST(floor(CAST(SUM(q6) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+         AS BIGINT) AS mean_q6,
+       CAST(MIN(q6) AS BIGINT) AS min_q6,
+       CAST(MAX(q6) AS BIGINT) AS max_q6,
+       CAST(SUM(q3 * q3) AS BIGINT) AS sumsq_q3
+FROM ex GROUP BY dim
+"""
+
+
 def similarity_ann_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Coarse-score in projected space, exact-rerank the survivors.
 
@@ -488,6 +554,12 @@ PROJECTION_QUERIES: dict[str, Query] = {
             similarity_ann_pq,
             _ann_pq_sql(),
             "product-quantization codes + asymmetric-distance top-k",
+        ),
+        Query(
+            "embedding_dim_stats",
+            embedding_dim_stats,
+            DIM_STATS_SQL,
+            "per-dimension integer-exact moments for feature normalization",
         ),
         Query(
             "embedding_quantize_int8",
