@@ -202,3 +202,31 @@ def test_pq_funnel_recall_vs_exact_l2(spark):
         key = (r.query_id, r.neighbor_id)
         if key in ed:
             assert r.d2 == ed[key], key
+
+
+def test_dim_stats_invariants(spark):
+    """embedding_dim_stats: one row per dimension, every dimension sees
+    the whole corpus, min <= mean <= max, and the q3 sum of squares is
+    consistent with the q6 extrema (|q3|^2 <= ceil(|q6|/1e3)^2 * n)."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.projection import embedding_dim_stats
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    out = embedding_dim_stats(spark, SF_SMALL).cache()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    dim = load_table(spark, SF_SMALL, "embeddings").select(
+        F.size("embedding").alias("d")
+    ).first()["d"]
+    assert out.count() == dim
+    assert out.filter(F.col("n_vecs") != n_vecs).count() == 0
+    bad = out.filter(
+        (F.col("min_q6") > F.col("mean_q6")) | (F.col("mean_q6") > F.col("max_q6"))
+    )
+    assert bad.count() == 0
+    # sumsq bound: each |q3| <= max(|min_q6|, |max_q6|)/1e3 + 1
+    cap = (
+        F.greatest(F.abs("min_q6"), F.abs("max_q6")) / 1000 + 1
+    )
+    assert out.filter(F.col("sumsq_q3") > cap * cap * F.col("n_vecs")).count() == 0
