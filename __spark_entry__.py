@@ -124,9 +124,11 @@ _FRONT_CHANGED = [
     "pipeline_semdedup_prune",
 ]
 
-# Tier 2 — evidence-freshness rotation, r6 batch: the 42 queries whose
-# last driver-green round is 1 (everything else is r3+). Next round
-# this batch will be r6-green and the r3-age batch rotates in.
+# Tier 2 — evidence-freshness rotation, r6 batch: 38 of the queries
+# whose last driver-green round is 1 (everything else is r3+), sized
+# so tier1+tier2 = 50 = the driver's check window. The four r1-age
+# window_* queries that no longer fit rotate in next round. Next
+# round this batch will be r6-green and the r3-age batch rotates in.
 _ROTATION_OLDEST = [
     "q1_pricing_summary",
     "q4_late_orders",
@@ -166,10 +168,6 @@ _ROTATION_OLDEST = [
     "topk_parts",
     "window_top3_orders",
     "window_rank_suite",
-    "window_value_suite",
-    "window_lag_order_gap",
-    "window_range_frame",
-    "window_running_revenue",
 ]
 
 ALL_QUERIES = {
