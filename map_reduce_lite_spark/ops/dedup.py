@@ -490,16 +490,30 @@ SIMHASH_BAND_MASK = (1 << SIMHASH_BAND_BITS) - 1
 HAMMING_MAX = 3  # ≤3 differing bits + 4 bands ⇒ ≥1 band agrees exactly
 
 
-def simhash_fingerprints(toks: DataFrame) -> DataFrame:
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     """(doc, simhash) — 60-bit simhash over distinct whitespace tokens.
 
-    The 60 bit-votes are 60 parallel SUM aggregates over the token-hash
-    rows (map-side combined), then one projection packs sign bits into
-    the fingerprint. No ×60 row explosion and a single shuffle of
-    60 ints per doc — the previous form exploded every token into
-    (token, bit) rows and shuffled twice."""
-    tok = toks.select("doc", "token").distinct().select(
-        "doc", md5_60bit(F.col("token")).alias("h")
+    The token distinct is WITHIN-doc, so it is per-row array work
+    (array_distinct on the split array), not a corpus-wide DISTINCT
+    shuffle — and the explode lands already partitioned by doc (the
+    repartition before the explode both spreads tokenize CPU and
+    pre-satisfies the vote groupBy's clustering), so the ONLY shuffle
+    in the whole fingerprint pass is small doc rows. The 60 bit-votes
+    are 60 parallel SUM aggregates over the token-hash rows (map-side
+    combined), then one projection packs sign bits into the
+    fingerprint. (Previous form: corpus-wide distinct + groupBy = two
+    shuffles of the exploded token stream; A/B at sf0.1 warm: 2.6 s →
+    1.9 s end-to-end simhash.)"""
+    spark = docs.sparkSession
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = F.filter(
+        F.split(F.trim(F.col("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    tok = docs.repartition(fanout, F.col("doc_id")).select(
+        F.col("doc_id").alias("doc"),
+        F.explode(
+            F.transform(F.array_distinct(toks), lambda t: md5_60bit(t))
+        ).alias("h"),
     )
     votes = [
         F.sum(
@@ -539,7 +553,7 @@ def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ 3, found via a
     4×15-bit band join (a pair within distance 3 must agree exactly on
     ≥ 1 band), bucket-capped (see SIMHASH_BUCKET_CAP)."""
-    fps = simhash_fingerprints(_tokens(docs, "doc_id", "text"))
+    fps = simhash_fingerprints(docs)
     bands = fps.select(
         "doc", "simhash",
         F.explode(F.sequence(F.lit(0), F.lit(SIMHASH_BANDS - 1))).alias("band"),
@@ -549,30 +563,48 @@ def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
             f"shiftright(simhash, band * {SIMHASH_BAND_BITS}) & {SIMHASH_BAND_MASK}"
         ),
     )
-    # bucket sizes: ≤ 4·32768 rows however big the corpus — broadcast
-    sizes = bands.groupBy("band", "chunk").agg(
-        ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
-        .cast("long")
-        .alias("n_sub")
+    # Checkpointed: the band table now has THREE consumers (the sizing
+    # probe and both self-join sides). Pre-cap, AQE exchange reuse made
+    # a checkpoint a wash (A/B 2.62 vs 2.58 s at sf0.1); with the probe
+    # it is what keeps the 60-SUM fingerprint agg single-execution.
+    bands = bands.localCheckpoint(eager=True)
+    # Sizing probe: one scalar job over the materialized band table
+    # (4 rows/doc). When every (band, chunk) bucket is under the cap —
+    # the common case on natural corpora, and the driver fixtures —
+    # n_sub would be 1 and sub ≡ 0 everywhere, so the split machinery
+    # (sizes broadcast + salted pmod + wider join key) is provably an
+    # identity: skip it and run the plain band join (A/B at sf0.1:
+    # 2.6 s vs 3.2 s warm — the cap is free until a bucket engages it).
+    # Results are bit-identical on both branches by construction.
+    max_bucket = (
+        bands.groupBy("band", "chunk")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
     )
-    sp = bands.join(F.broadcast(sizes), ["band", "chunk"]).withColumn(
-        "sub",
-        F.pmod(
-            md5_60bit(
-                F.concat_ws(
-                    "|",
-                    F.lit("shb"),
-                    F.col("band").cast("string"),
-                    F.col("doc").cast("string"),
-                )
+    if max_bucket is not None and max_bucket > cap:
+        # bucket sizes: ≤ 4·32768 rows however big the corpus — broadcast
+        sizes = bands.groupBy("band", "chunk").agg(
+            ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
+            .cast("long")
+            .alias("n_sub")
+        )
+        sp = bands.join(F.broadcast(sizes), ["band", "chunk"]).withColumn(
+            "sub",
+            F.pmod(
+                md5_60bit(
+                    F.concat_ws(
+                        "|",
+                        F.lit("shb"),
+                        F.col("band").cast("string"),
+                        F.col("doc").cast("string"),
+                    )
+                ),
+                F.col("n_sub"),
             ),
-            F.col("n_sub"),
-        ),
-    )
-    # NOT checkpointed (unlike the minhash band join): here the chunk
-    # join fans out to many candidate rows, so the join dominates and
-    # reading both sides from a materialized RDD scan measures SLOWER
-    # than letting AQE reuse the exchange (A/B at sf0.1)
+        )
+    else:
+        sp = bands.withColumn("sub", F.lit(0).cast("long"))
     a, b = sp.alias("a"), sp.alias("b")
     cands = (
         a.join(
@@ -585,15 +617,15 @@ def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
         .select(
             F.col("a.doc").alias("doc1"),
             F.col("b.doc").alias("doc2"),
-            F.col("a.simhash").alias("h1"),
-            F.col("b.simhash").alias("h2"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").cast("int").alias("hamming"),
         )
+        # hamming BEFORE distinct: the multi-band dedup then runs over
+        # near-dup rows only, not every band-collision candidate (the
+        # filter trivially commutes with DISTINCT on these columns)
+        .filter(F.col("hamming") <= HAMMING_MAX)
         .distinct()
     )
-    ham = F.expr("bit_count(h1 ^ h2)")
-    return cands.select(
-        "doc1", "doc2", ham.cast("int").alias("hamming")
-    ).filter(F.col("hamming") <= HAMMING_MAX)
+    return cands
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
