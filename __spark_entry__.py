@@ -105,10 +105,12 @@ _FAMILIES = {
 
 # Tier 1 — NEW or CHANGED in r6: the two new LM/search queries, the
 # assoc-rules oracle's exact-int64 lift numerator, the clustering
-# family whose module was touched (K-parametrized k-means + recursive
-# sub-split option; default outputs unchanged, re-verify anyway), and
-# dedup_simhash whose band join gained the bucket cap (identity at
-# fixture bucket sizes, both engines replay the same split).
+# family whose module was touched twice (K-parametrized k-means +
+# recursive sub-split option, then the posexplode centroid update —
+# bit-identical centroids, re-verify anyway), and dedup_simhash whose
+# band join gained the bucket cap and whose fingerprint became the
+# constant-size map-only HOF expression (identity on values at both
+# scales, driver-sim re-verified).
 _FRONT_CHANGED = [
     "text_bm25_search",
     "text_bigram_logprob",
