@@ -112,6 +112,7 @@ _FAMILIES = {
 # constant-size map-only HOF expression (identity on values at both
 # scales, driver-sim re-verified).
 _FRONT_CHANGED = [
+    "curation_dsir_weights",
     "text_bm25_search",
     "text_bigram_logprob",
     "similarity_ann_ivf_scaled",
@@ -126,10 +127,11 @@ _FRONT_CHANGED = [
     "pipeline_semdedup_prune",
 ]
 
-# Tier 2 — evidence-freshness rotation, r6 batch: 38 of the queries
+# Tier 2 — evidence-freshness rotation, r6 batch: 37 of the queries
 # whose last driver-green round is 1 (everything else is r3+), sized
-# so tier1+tier2 = 50 = the driver's check window. The four r1-age
-# window_* queries that no longer fit rotate in next round. Next
+# so tier1+tier2 = 50 = the driver's check window (tier1 grew to 13
+# when curation_dsir_weights landed late in r6, so window_rank_suite
+# joins the r1-age window_* queries rotating in next round). Next
 # round this batch will be r6-green and the r3-age batch rotates in.
 _ROTATION_OLDEST = [
     "q1_pricing_summary",
@@ -169,7 +171,6 @@ _ROTATION_OLDEST = [
     "subquery_small_qty_revenue",
     "topk_parts",
     "window_top3_orders",
-    "window_rank_suite",
 ]
 
 ALL_QUERIES = {

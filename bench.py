@@ -121,6 +121,7 @@ BENCH_QUERIES = [
     "scd2_user_state",
     "attribution_last_touch",
     "dedup_span_removal",
+    "curation_dsir_weights",
 ]
 
 

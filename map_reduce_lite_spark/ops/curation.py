@@ -823,7 +823,171 @@ FROM scored
 TOKEN_BUDGET_SQL = _token_budget_sql()
 
 
+# --------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling
+# --------------------------------------------------------------------------
+
+# Hashed n-gram feature space size. DSIR (Xie et al., NeurIPS 2023,
+# "Data Selection for Language Models via Importance Resampling") hashes
+# unigram+bigram features into a FIXED number of buckets, so the
+# class-conditional bag-of-ngrams model is constant-size no matter how
+# big the corpus is — the property that makes the method practical at
+# pretraining scale, and the contrast with text_bigram_logprob whose
+# model tables are corpus-sized and must be JOINED. 256 buckets keeps
+# the demo collision-rich (31-word vocab); production uses ~10k.
+DSIR_BUCKETS = 256
+# "Target" domain stand-in: a fixed source subset (the paper's target
+# is e.g. Wikipedia; the fixture's sources are uniform, so weights
+# hover near 0 — the operator, not the fixture, is the deliverable).
+DSIR_TARGET_SOURCES = ("src0", "src1", "src2", "src3", "src4")
+
+
+def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR importance log-weight: how much more likely
+    the document's hashed unigram+bigram features are under the
+    TARGET source distribution than under the raw corpus distribution
+    (log p_target(doc) − log p_raw(doc), add-one-smoothed bucket
+    unigram models). Positive ⇒ resampling would up-weight the doc
+    toward the target domain.
+
+    Scale shape — the reason DSIR works at 100 TB: feature extraction
+    is a PURE MAP — unigram and bigram features are built per row from
+    the token array (``zip_with`` of the array against itself shifted
+    by one — no lag window, no doc sort, no union of exploded
+    streams), then one explode; BOTH model distributions come from ONE
+    B=256-key groupBy over that stream (map-side combined, constant
+    output size), broadcast back; the per-doc weight is one doc-keyed
+    agg. No corpus-sized model table, no self-join — one corpus pass,
+    two broadcasts (B rows + 1 scalar row).
+
+    Determinism: each side of the weight is one BIGINT division →
+    IEEE double → ln, written in the same operand order in both
+    engines; the per-doc sum goes through DECIMAL(18,12) (the
+    text_bigram_logprob recipe). `more_target_like` derives from the
+    already-exact integer logweight_e6."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    arr = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    docs = d.repartition(fanout, "doc_id").select(
+        "doc_id",
+        F.col("source").isin(*DSIR_TARGET_SOURCES).cast("long").alias("is_t"),
+        arr.alias("arr"),
+    )
+    unifeats = F.transform("arr", lambda t: F.concat(F.lit("u|"), t))
+    bigfeats = F.zip_with(
+        F.slice("arr", 1, F.size("arr") - 1),
+        F.slice("arr", 2, F.size("arr") - 1),
+        lambda a, b: F.concat_ws("|", F.lit("b"), a, b),
+    )
+    feats = (
+        docs.select(
+            "doc_id", "is_t", F.explode(F.concat(unifeats, bigfeats)).alias("feat")
+        )
+        .select(
+            "doc_id",
+            "is_t",
+            F.pmod(md5_60bit(F.col("feat")), F.lit(DSIR_BUCKETS)).alias("bucket"),
+        )
+        # Two consumers (model agg + per-doc scoring join) and Catalyst
+        # does not dedupe common subtrees, so without this the tokenize
+        # + lag-window stream executes once per consumer. The
+        # checkpoint is (doc_id, is_t, bucket) — ~20 B/feature, far
+        # smaller than the text it derives from; at scale this is the
+        # featurized intermediate you would persist anyway.
+        .localCheckpoint(eager=False)
+    )
+    model = feats.groupBy("bucket").agg(
+        F.sum("is_t").alias("c_t"), F.count(F.lit(1)).alias("c_r")
+    )
+    # Totals are exactly the column sums of the B-row model — no
+    # second corpus-wide pass.
+    stats = model.agg(F.sum("c_t").alias("n_t"), F.sum("c_r").alias("n_r"))
+    term = F.log(
+        (F.col("c_t") + 1) / (F.col("n_t") + F.lit(DSIR_BUCKETS))
+    ) - F.log((F.col("c_r") + 1) / (F.col("n_r") + F.lit(DSIR_BUCKETS)))
+    out = (
+        feats.join(F.broadcast(model), "bucket")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_feats"),
+            F.floor(F.sum(term.cast("decimal(18,12)")).cast("double") * 1e6)
+            .cast("long")
+            .alias("logweight_e6"),
+        )
+    )
+    return out.select(
+        "doc_id",
+        "n_feats",
+        "logweight_e6",
+        (F.col("logweight_e6") > 0).alias("more_target_like"),
+    )
+
+
+def _dsir_sql() -> str:
+    targets = ", ".join(f"'{s}'" for s in DSIR_TARGET_SOURCES)
+    b = DSIR_BUCKETS
+    return rf"""
+WITH tok_lists AS (
+  SELECT doc_id,
+         CASE WHEN source IN ({targets}) THEN 1 ELSE 0 END AS is_t,
+         string_split_regex(trim(lower(text)), '\s+') AS l
+  FROM documents
+), toks AS (
+  SELECT doc_id, is_t, term, pos FROM (
+    SELECT doc_id, is_t, unnest(l) AS term,
+           unnest(generate_series(1, len(l))) AS pos
+    FROM tok_lists
+  ) WHERE term <> ''
+), uni AS (
+  SELECT doc_id, is_t, 'u|' || term AS feat FROM toks
+), big AS (
+  SELECT doc_id, is_t, 'b' || '|' || prev || '|' || cur AS feat FROM (
+    SELECT doc_id, is_t, lag(term, 1) OVER w AS prev, term AS cur
+    FROM toks
+    WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+    QUALIFY lag(term, 1) OVER w IS NOT NULL
+  )
+), feats AS (
+  SELECT doc_id, is_t, ({sql_md5_60bit("feat")} % {b}) AS bucket
+  FROM (SELECT * FROM uni UNION ALL SELECT * FROM big)
+), model AS (
+  SELECT bucket, CAST(SUM(is_t) AS BIGINT) AS c_t,
+         CAST(COUNT(*) AS BIGINT) AS c_r
+  FROM feats GROUP BY 1
+), stats AS (
+  SELECT CAST(SUM(is_t) AS BIGINT) AS n_t,
+         CAST(COUNT(*) AS BIGINT) AS n_r
+  FROM feats
+), scored AS (
+  SELECT f.doc_id,
+         ln((m.c_t + 1) / (s.n_t + {b})) - ln((m.c_r + 1) / (s.n_r + {b}))
+           AS term
+  FROM feats f JOIN model m USING (bucket) CROSS JOIN stats s
+), agg AS (
+  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feats,
+         CAST(floor(CAST(SUM(CAST(term AS DECIMAL(18,12))) AS DOUBLE) * 1e6)
+              AS BIGINT) AS logweight_e6
+  FROM scored GROUP BY doc_id
+)
+SELECT doc_id, n_feats, logweight_e6,
+       logweight_e6 > 0 AS more_target_like
+FROM agg
+"""
+
+
+DSIR_SQL = _dsir_sql()
+
+
 CURATION_QUERIES: dict[str, Query] = {
+    "curation_dsir_weights": Query(
+        "curation_dsir_weights",
+        dsir_weights,
+        DSIR_SQL,
+        "DSIR hashed-ngram importance log-weights vs a target source mix",
+    ),
     "curation_token_budget": Query(
         "curation_token_budget",
         token_budget_select,
