@@ -122,6 +122,7 @@ BENCH_QUERIES = [
     "attribution_last_touch",
     "dedup_span_removal",
     "curation_dsir_weights",
+    "curation_ccnet_buckets",
 ]
 
 

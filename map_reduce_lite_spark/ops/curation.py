@@ -981,7 +981,130 @@ FROM agg
 DSIR_SQL = _dsir_sql()
 
 
+def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    every document gets its unigram-LM mean NLL (the distributed
+    perplexity proxy, same math as ``text_unigram_logprob``) and is
+    assigned to the head / middle / tail tercile WITHIN ITS LANGUAGE —
+    the standard web-corpus quality partition (head = most fluent,
+    tail = candidate garbage) that downstream mixtures sample from.
+
+    Scale shape: the tercile boundaries are computed VALUE-wise, not
+    document-wise — one groupBy onto (lang, nll_e6) distinct values,
+    then the cumulative window runs over #distinct-values rows per
+    language (the RFM/token-budget histogram-decomposition trick), so
+    no per-language global sort of the corpus ever happens; documents
+    get their bucket back via an equi-join on (lang, nll_e6). Ties are
+    value-based by construction: equal-NLL docs always share a bucket,
+    so the output is independent of partitioning and engine sort
+    order. All bucket math is exact integers ((3·c_prev) div n)."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+        # two consumers: the vocabulary agg and the scoring join
+        .localCheckpoint(eager=False)
+    )
+    cnt = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    n = cnt.agg(F.sum("c").alias("nn"))
+    nll = -F.log(F.col("c").cast("double") / F.col("nn").cast("double"))
+    per_doc = (
+        toks.join(cnt, "term")
+        .crossJoin(F.broadcast(n))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.floor(
+                (
+                    F.sum(nll.cast("decimal(18,12)")).cast("double")
+                    / F.count(F.lit(1))
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("nll_e6"),
+        )
+        # two consumers: the value histogram and the bucket join-back
+        .localCheckpoint(eager=False)
+    )
+    vals = per_doc.groupBy("lang", "nll_e6").agg(F.count(F.lit(1)).alias("cnt"))
+    n_lang = per_doc.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("nll_e6")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    buckets = (
+        vals.withColumn("c_prev", F.coalesce(F.sum("cnt").over(w), F.lit(0)))
+        .join(F.broadcast(n_lang), "lang")
+        .select(
+            "lang",
+            "nll_e6",
+            F.least(
+                F.lit(3), F.expr("(3 * c_prev) div n_docs") + F.lit(1)
+            ).alias("b"),
+        )
+    )
+    label = (
+        F.when(F.col("b") == 1, F.lit("head"))
+        .when(F.col("b") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return per_doc.join(buckets, ["lang", "nll_e6"]).select(
+        "doc_id", "lang", "nll_e6", label.alias("ppl_bucket")
+    )
+
+
+CCNET_BUCKETS_SQL = r"""
+WITH toks AS (
+  SELECT doc_id, lang, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), cnt AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1
+), n AS (
+  SELECT CAST(SUM(c) AS BIGINT) AS nn FROM cnt
+), per_doc AS (
+  SELECT t.doc_id, t.lang,
+         CAST(floor((CAST(SUM(CAST(
+                -ln(CAST(cnt.c AS DOUBLE) / CAST(n.nn AS DOUBLE))
+              AS DECIMAL(18,12))) AS DOUBLE) / COUNT(*)) * 1e6) AS BIGINT)
+           AS nll_e6
+  FROM toks t JOIN cnt USING (term) CROSS JOIN n
+  GROUP BY t.doc_id, t.lang
+), vals AS (
+  SELECT lang, nll_e6, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM per_doc GROUP BY 1, 2
+), n_lang AS (
+  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM per_doc GROUP BY 1
+), buckets AS (
+  SELECT v.lang, v.nll_e6,
+         least(3, (3 * COALESCE(SUM(v.cnt) OVER (
+             PARTITION BY v.lang ORDER BY v.nll_e6
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))
+               // nl.n_docs + 1) AS b
+  FROM vals v JOIN n_lang nl USING (lang)
+)
+SELECT p.doc_id, p.lang, p.nll_e6,
+       CASE b WHEN 1 THEN 'head' WHEN 2 THEN 'middle' ELSE 'tail' END
+         AS ppl_bucket
+FROM per_doc p JOIN buckets USING (lang, nll_e6)
+"""
+
+
 CURATION_QUERIES: dict[str, Query] = {
+    "curation_ccnet_buckets": Query(
+        "curation_ccnet_buckets",
+        ccnet_buckets,
+        CCNET_BUCKETS_SQL,
+        "CCNet head/middle/tail per-language perplexity terciles",
+    ),
     "curation_dsir_weights": Query(
         "curation_dsir_weights",
         dsir_weights,
