@@ -19,7 +19,13 @@ eliminate it). The default mode therefore runs BATCHES of queries in
 fresh subprocesses (~11 s session bootstrap per batch, amortized over
 BATCH_SIZE queries) — each batch warms up, GC-settles between queries,
 and reports min-of-2 per query (the warm pass makes run 1
-steady-state already). Full run ≈ 6 min at sf0.1. Modes:
+steady-state already). Full run ≈ 9 min at sf0.1 with the 70-query
+headline set (~40% of that is the 12 session bootstraps). A batch=10
+variant was measured and REJECTED: it saved under a minute end-to-end
+(execution, not bootstrap, dominates) while the alloc-heavy
+similarity family read 2-3× worse at depth 7-10 within a batch — the
+cleaner-debt effect the GC settle only partly controls. batch=6 is
+the protocol r5 calibrated; keep it. Modes:
 
   bench.py                 batched isolation (default, batch=6)
   bench.py --isolate       one process PER QUERY (cleanest numbers,
