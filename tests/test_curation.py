@@ -266,3 +266,62 @@ def test_mixture_temperature_rebalances_toward_small_sources(spark):
     for col in ("raw_share_bps", "temp_share_bps"):
         s = sum(getattr(r, col) for r in rows)
         assert 10000 - len(rows) < s <= 10000, (col, s)
+
+
+def test_dsir_weights_target_docs_score_higher(spark):
+    """The operator's reason to exist: documents FROM the target
+    sources must, in aggregate, be judged more target-like than the
+    rest (the hashed-ngram models are built from exactly those docs).
+    Also pins the exact-partition invariants: one row per document,
+    n_feats = tokens + transitions = 2·tokens − 1 for whitespace text,
+    and more_target_like ⇔ logweight_e6 > 0."""
+    from map_reduce_lite_spark.ops.curation import (
+        DSIR_TARGET_SOURCES,
+        dsir_weights,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    d = load_table(spark, SF_SMALL, "documents")
+    rows = {r.doc_id: r for r in dsir_weights(spark, SF_SMALL).collect()}
+    docs = d.select("doc_id", "source", "text").collect()
+    assert len(rows) == len(docs)
+    t_w, r_w = [], []
+    for doc in docs:
+        r = rows[doc.doc_id]
+        n_tok = len([t for t in doc.text.strip().split() if t])
+        assert r.n_feats == 2 * n_tok - 1, (doc.doc_id, r.n_feats, n_tok)
+        assert r.more_target_like == (r.logweight_e6 > 0), r
+        (t_w if doc.source in DSIR_TARGET_SOURCES else r_w).append(
+            r.logweight_e6
+        )
+    assert t_w and r_w
+    assert sum(t_w) / len(t_w) > sum(r_w) / len(r_w), (
+        "mean target logweight must exceed mean non-target logweight"
+    )
+
+
+def test_ccnet_buckets_are_balanced_ordered_terciles(spark):
+    """Within every language: buckets partition the docs into near
+    thirds (value-based assignment may deviate only when equal-NLL
+    docs straddle a boundary), and the NLL ranges are ordered
+    head < middle < tail with no overlap (equal-NLL docs always share
+    a bucket, so ranges can touch only at distinct values)."""
+    from collections import defaultdict
+
+    from map_reduce_lite_spark.ops.curation import ccnet_buckets
+
+    rows = ccnet_buckets(spark, SF_SMALL).collect()
+    assert rows
+    by_lang = defaultdict(lambda: defaultdict(list))
+    for r in rows:
+        assert r.ppl_bucket in ("head", "middle", "tail"), r
+        by_lang[r.lang][r.ppl_bucket].append(r.nll_e6)
+    for lang, buckets in by_lang.items():
+        n = sum(len(v) for v in buckets.values())
+        for name, v in buckets.items():
+            # near-third: ties can push a whole value-group over a
+            # boundary, but the fixture NLLs are near-unique
+            assert abs(len(v) - n / 3) <= max(2, n * 0.1), (lang, name, len(v), n)
+        if all(buckets.get(b) for b in ("head", "middle", "tail")):
+            assert max(buckets["head"]) <= min(buckets["middle"]), lang
+            assert max(buckets["middle"]) <= min(buckets["tail"]), lang
