@@ -129,6 +129,7 @@ BENCH_QUERIES = [
     "dedup_span_removal",
     "curation_dsir_weights",
     "curation_ccnet_buckets",
+    "embedding_prefix_recall",
 ]
 
 

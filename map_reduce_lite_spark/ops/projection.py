@@ -540,9 +540,145 @@ QUALIFY rank <= {TOP_K}
 """
 
 
+# --------------------------------------------------------------------------
+# Matryoshka-style prefix-dimension retrieval evaluation
+# --------------------------------------------------------------------------
+
+# Nested prefix widths evaluated against the full dimension. Matryoshka
+# Representation Learning (Kusupati et al., NeurIPS 2022) trains
+# embeddings whose PREFIXES are usable at lower cost; before switching
+# a 100 TB retrieval pipeline to a truncated width, you measure exactly
+# this: top-k agreement of prefix-dim inner-product ranking vs the
+# full-dim ranking, per query. (On generic non-MRL embeddings the
+# recall curve is the honest baseline the MRL paper improves on.)
+PREFIX_DIMS = (8, 16, 32, EMB_DIM)
+
+
+def embedding_prefix_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@k of prefix-dim MIPS vs full-dim MIPS, per query vector.
+
+    One corpus scan (query side broadcast, the brute_force_topk scale
+    shape): each (query, corpus) pair computes the 4 prefix inner
+    products as 4 independent left-to-right folds over ``slice`` — no
+    incremental reuse, deliberately: d16 = d8 + tail would change the
+    double accumulation order vs the oracle's clean per-slice fold.
+    Ranking is (dot DESC, neighbor_id ASC) — a total order — and
+    recall_bps = (10000·|overlap|) div k is exact integer math, so the
+    output is bit-portable without any float ever being emitted. The
+    m = EMB_DIM row is the self-reference anchor (always 10000)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERY_VECS).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = _spread(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("c_vec")
+        ),
+        "neighbor_id",
+    )
+    dots = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            *[
+                _dot(F.slice("q_vec", 1, m), F.slice("c_vec", 1, m)).alias(f"d{m}")
+                for m in PREFIX_DIMS
+            ],
+        )
+    )
+    long = dots.select(
+        "query_id",
+        "neighbor_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).cast("int").alias("m"),
+                        F.col(f"d{m}").alias("dot"),
+                    )
+                    for m in PREFIX_DIMS
+                ]
+            )
+        ).alias("md"),
+    ).select("query_id", "neighbor_id", F.col("md.m").alias("m"), F.col("md.dot").alias("dot"))
+    w = Window.partitionBy("query_id", "m").orderBy(
+        F.desc("dot"), F.asc("neighbor_id")
+    )
+    topk = (
+        long.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "m", "neighbor_id")
+        # consumed twice (as the per-m candidate sets and as the m=full
+        # reference); 32·k tiny rows
+        .localCheckpoint(eager=False)
+    )
+    ref = topk.filter(F.col("m") == EMB_DIM).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        topk.join(ref, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id", "m")
+        .agg(F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_hit"))
+        .select(
+            "query_id",
+            F.col("m").alias("prefix_dim"),
+            F.expr(f"(10000 * n_hit) div {TOP_K}").alias("recall_bps"),
+        )
+    )
+
+
+def _prefix_recall_sql() -> str:
+    dcols = ",\n         ".join(
+        f"list_dot_product(CAST(q.qv[1:{m}] AS DOUBLE[]), "
+        f"CAST(c.cv[1:{m}] AS DOUBLE[])) AS d{m}"
+        for m in PREFIX_DIMS
+    )
+    unions = "\n  UNION ALL\n".join(
+        f"  SELECT query_id, neighbor_id, {m} AS m, d{m} AS dot FROM dots"
+        for m in PREFIX_DIMS
+    )
+    return f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+  WHERE vec_id < {N_QUERY_VECS}
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings
+), dots AS (
+  SELECT query_id, neighbor_id,
+         {dcols}
+  FROM q JOIN c ON c.neighbor_id <> q.query_id
+), long AS (
+{unions}
+), ranked AS (
+  SELECT query_id, neighbor_id, m,
+         row_number() OVER (PARTITION BY query_id, m
+                            ORDER BY dot DESC, neighbor_id ASC) AS rank
+  FROM long
+), topk AS (
+  SELECT query_id, m, neighbor_id FROM ranked WHERE rank <= {TOP_K}
+), ref AS (
+  SELECT query_id, neighbor_id, 1 AS hit FROM topk WHERE m = {EMB_DIM}
+)
+SELECT t.query_id, CAST(t.m AS INT) AS prefix_dim,
+       CAST((10000 * CAST(SUM(COALESCE(r.hit, 0)) AS BIGINT)) // {TOP_K}
+            AS BIGINT) AS recall_bps
+FROM topk t
+LEFT JOIN ref r ON r.query_id = t.query_id AND r.neighbor_id = t.neighbor_id
+GROUP BY t.query_id, t.m
+"""
+
+
 PROJECTION_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "embedding_prefix_recall",
+            embedding_prefix_recall,
+            _prefix_recall_sql(),
+            "Matryoshka prefix-dim top-k recall vs full-dim MIPS",
+        ),
         Query(
             "embedding_random_projection",
             embedding_random_projection,

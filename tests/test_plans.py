@@ -269,6 +269,9 @@ def test_no_cartesian_product_anywhere(spark):
         # query side over the 9-int code rows (1/32 of the embedding
         # bytes); the exact rerank stage is equi-joined
         "similarity_ann_pq",
+        # broadcast 8-row query side scanning the corpus once, the
+        # brute_force_topk shape; the recall math after is id-only
+        "embedding_prefix_recall",
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
         "curation_dsir_weights",  # broadcast 1-row (n_t, n_r) feature totals
