@@ -114,6 +114,7 @@ _FAMILIES = {
 _FRONT_CHANGED = [
     "curation_dsir_weights",
     "embedding_prefix_recall",
+    "vocab_bpe_apply",
     "curation_ccnet_buckets",
     "text_bm25_search",
     "text_bigram_logprob",
@@ -129,14 +130,15 @@ _FRONT_CHANGED = [
     "pipeline_semdedup_prune",
 ]
 
-# Tier 2 — evidence-freshness rotation, r6 batch: 35 of the queries
+# Tier 2 — evidence-freshness rotation, r6 batch: 34 of the queries
 # whose last driver-green round is 1 (everything else is r3+), sized
-# so tier1+tier2 = 50 = the driver's check window (tier1 grew to 15
-# when curation_dsir_weights, curation_ccnet_buckets and
-# embedding_prefix_recall landed late in r6, so window_rank_suite,
-# window_top3_orders and topk_parts join the r1-age window_* queries
-# rotating in next round). Next round this batch will be r6-green and
-# the r3-age batch rotates in.
+# so tier1+tier2 = 50 = the driver's check window (tier1 grew to 16
+# as curation_dsir_weights, curation_ccnet_buckets,
+# embedding_prefix_recall and vocab_bpe_apply landed late in r6, so
+# window_rank_suite, window_top3_orders, topk_parts and
+# subquery_small_qty_revenue join the r1-age window_* queries rotating
+# in next round). Next round this batch will be r6-green and the
+# r3-age batch rotates in.
 _ROTATION_OLDEST = [
     "q1_pricing_summary",
     "q4_late_orders",
@@ -172,7 +174,6 @@ _ROTATION_OLDEST = [
     "events_hourly",
     "setop_nations",
     "setop_all_variants",
-    "subquery_small_qty_revenue",
 ]
 
 ALL_QUERIES = {

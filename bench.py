@@ -130,6 +130,7 @@ BENCH_QUERIES = [
     "curation_dsir_weights",
     "curation_ccnet_buckets",
     "embedding_prefix_recall",
+    "vocab_bpe_apply",
 ]
 
 

@@ -31,7 +31,7 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
@@ -319,6 +319,131 @@ LIMIT {BPE_TOP_K}
 """
 
 
+# Merges applied by the inference-side query below — the head of the
+# learned merge ranking. One round's statistics applied in rank order
+# is exactly how a trained merge list is applied at tokenization time.
+BPE_APPLY_M = 8
+
+
+def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the top-M learned BPE merges and measure the compression —
+    the inference half of the tokenizer-training loop whose training
+    half is ``vocab_bpe_merges`` (learn → APPLY → measure).
+
+    Mechanics: each document becomes a newline-joined token body with a
+    leading newline, and merge i rewrites the literal ``\\n<a>\\n<b>``
+    to ``\\n<a>_<b>`` — plain left-to-right non-overlapping literal
+    replacement, which is BPE's greedy pairing and means the same
+    thing in Spark (Java String.replace) and DuckDB (replace()). The
+    merges are applied in learned rank order, so later merges see
+    earlier merges' output exactly as a real tokenizer would. Token
+    counts come from counting newlines — merged pairs drop one
+    newline each, no re-tokenization needed.
+
+    Scale shape: the merge table is one corpus pair-count aggregation
+    (the learner's plan) reduced to a 1-row pivot and broadcast; the
+    application pass is a PURE MAP over the corpus (M literal replaces
+    per row) feeding one per-source aggregation. Nothing corpus-sized
+    shuffles except the tiny (source) agg keys."""
+    d = load_table(spark, sf_dir, "documents")
+    merges = vocab_bpe_merges(spark, sf_dir).limit(BPE_APPLY_M)
+    w = Window.orderBy(F.desc("n_occ"), F.asc("pair"))
+    piv = (
+        merges.withColumn("rk", F.row_number().over(w))
+        .groupBy()
+        .agg(
+            *[
+                F.max(F.when(F.col("rk") == i, F.col("pair"))).alias(f"p{i}")
+                for i in range(1, BPE_APPLY_M + 1)
+            ]
+        )
+    )
+    toks = F.filter(
+        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
+    )
+    body = F.concat(F.lit("\n"), F.array_join(toks, "\n"))
+    applied = body
+    # a merge slot can be NULL on a corpus with < M distinct pairs;
+    # coalesce to a \x01 sentinel no token body can contain
+    for i in range(1, BPE_APPLY_M + 1):
+        p = F.coalesce(F.col(f"p{i}"), F.lit("\x01"))
+        pat = F.concat(F.lit("\n"), F.replace(p, F.lit(" "), F.lit("\n")))
+        rep = F.concat(F.lit("\n"), F.replace(p, F.lit(" "), F.lit("_")))
+        applied = F.replace(applied, pat, rep)
+    n_after = F.length(applied) - F.length(
+        F.replace(applied, F.lit("\n"), F.lit(""))
+    )
+    per_doc = d.crossJoin(F.broadcast(piv)).select(
+        "source",
+        F.size(toks).alias("n_before"),
+        n_after.alias("n_after"),
+    )
+    return (
+        per_doc.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_before").alias("tokens_before"),
+            F.sum("n_after").alias("tokens_after"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "tokens_before",
+            "tokens_after",
+            F.expr(
+                "(10000 * (tokens_before - tokens_after)) div tokens_before"
+            ).alias("saved_bps"),
+        )
+    )
+
+
+def _bpe_apply_sql() -> str:
+    piv_cols = ", ".join(
+        f"MAX(CASE WHEN rk = {i} THEN pair END) AS p{i}"
+        for i in range(1, BPE_APPLY_M + 1)
+    )
+    applied = "chr(10) || array_to_string(t, chr(10))"
+    for i in range(1, BPE_APPLY_M + 1):
+        p = f"COALESCE(p{i}, chr(1))"
+        pat = f"chr(10) || replace({p}, ' ', chr(10))"
+        rep = f"chr(10) || replace({p}, ' ', '_')"
+        applied = f"replace({applied}, {pat}, {rep})"
+    return f"""
+WITH toks AS (
+  SELECT source, {_SQL_TOKS} AS t FROM documents
+), pairs AS (
+  SELECT array_to_string(t[i : i + 1], ' ') AS pair
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) s
+), merges AS (
+  SELECT pair, CAST(COUNT(*) AS BIGINT) AS n_occ
+  FROM pairs GROUP BY pair
+  ORDER BY n_occ DESC, pair ASC
+  LIMIT {BPE_APPLY_M}
+), ranked AS (
+  SELECT pair, row_number() OVER (ORDER BY n_occ DESC, pair ASC) AS rk
+  FROM merges
+), piv AS (
+  SELECT {piv_cols} FROM ranked
+), applied AS (
+  SELECT source,
+         CAST(len(t) AS BIGINT) AS n_before,
+         CAST(length({applied}) -
+              length(replace({applied}, chr(10), '')) AS BIGINT) AS n_after
+  FROM toks CROSS JOIN piv
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_before) AS BIGINT) AS tokens_before,
+       CAST(SUM(n_after) AS BIGINT) AS tokens_after,
+       CAST((10000 * (SUM(n_before) - SUM(n_after))) // SUM(n_before)
+            AS BIGINT) AS saved_bps
+FROM applied
+GROUP BY source
+"""
+
+
+BPE_APPLY_SQL = _bpe_apply_sql()
+
+
 SPAN_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -339,6 +464,12 @@ SPAN_QUERIES: dict[str, Query] = {
             text_chunk_documents,
             CHUNK_SQL,
             "overlapping fixed-size character chunking",
+        ),
+        Query(
+            "vocab_bpe_apply",
+            vocab_bpe_apply,
+            BPE_APPLY_SQL,
+            "apply the top-M learned BPE merges; per-source compression",
         ),
         Query(
             "vocab_bpe_merges",

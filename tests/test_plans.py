@@ -275,6 +275,7 @@ def test_no_cartesian_product_anywhere(spark):
         "text_tfidf_top_terms",  # broadcast 1-row corpus-size N
         "text_unigram_logprob",  # broadcast 1-row corpus-size N
         "curation_dsir_weights",  # broadcast 1-row (n_t, n_r) feature totals
+        "vocab_bpe_apply",  # broadcast 1-row pivoted merge list
         "text_bigram_logprob",   # broadcast 1-row (n_train, v_train)
         "text_bm25_search",      # broadcast 1-row (n_docs, avgdl)
         "text_collocation_lift",  # broadcast 1-row corpus-size N
