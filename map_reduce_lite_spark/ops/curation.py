@@ -876,9 +876,15 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         arr.alias("arr"),
     )
     unifeats = F.transform("arr", lambda t: F.concat(F.lit("u|"), t))
+    # Clamped slice length: an empty/whitespace-only doc tokenizes to an
+    # empty array, and slice(arr, 2, -1) throws INVALID_PARAMETER_VALUE
+    # at runtime. greatest(.., 0) yields empty bigrams instead — the doc
+    # then contributes no features and drops out of the per-doc agg,
+    # exactly what the DuckDB oracle does (its toks CTE is empty).
+    m = F.greatest(F.size("arr") - 1, F.lit(0))
     bigfeats = F.zip_with(
-        F.slice("arr", 1, F.size("arr") - 1),
-        F.slice("arr", 2, F.size("arr") - 1),
+        F.slice("arr", 1, m),
+        F.slice("arr", 2, m),
         lambda a, b: F.concat_ws("|", F.lit("b"), a, b),
     )
     feats = (

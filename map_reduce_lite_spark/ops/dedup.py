@@ -536,7 +536,13 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
         F.col("doc_id").alias("doc"),
         F.transform(F.array_distinct(toks), lambda t: md5_60bit(t)).alias("hs"),
     )
-    return hashed.select("doc", F.expr(_SIMHASH_FP_EXPR).alias("simhash"))
+    # Token-less docs are excluded, matching the oracle's toks CTE which
+    # never emits a row for them: without this, every empty doc would get
+    # simhash=0 and Spark alone would report all-empty pairs as hamming-0
+    # near-dups. Identical text is dedup_exact's job, not simhash's.
+    return hashed.where(F.size("hs") > 0).select(
+        "doc", F.expr(_SIMHASH_FP_EXPR).alias("simhash")
+    )
 
 
 # Hard bound on a band bucket's quadratic blowup — the simhash twin of

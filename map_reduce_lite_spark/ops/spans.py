@@ -223,10 +223,18 @@ def dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.coalesce(F.col("dels"), F.expr("array()").cast("array<int>")).alias("dels"),
     )
-    kept = F.filter(
-        F.col("toks"),
-        lambda x, i: ~F.array_contains(F.col("dels"), i + F.lit(1)),
-    )
+    # Kept tokens via position-set difference: array_except builds a hash
+    # set of `dels` once per row — O(n_tokens + n_dels) — where the
+    # earlier per-token array_contains lambda rescanned dels for every
+    # token (O(n·d), quadratic on a boilerplate-saturated doc).
+    # array_except preserves left-operand order, so positions stay
+    # ascending and token order is untouched. Guarded: sequence(1, 0)
+    # would generate a DESCENDING [1, 0] for an empty token array.
+    n_toks = F.size("toks")
+    kept_pos = F.when(
+        n_toks >= 1, F.array_except(F.sequence(F.lit(1), n_toks), F.col("dels"))
+    ).otherwise(F.expr("array()").cast("array<int>"))
+    kept = F.transform(kept_pos, lambda p: F.element_at(F.col("toks"), p))
     cleaned = F.array_join(kept, " ")
     return joined.select(
         "doc_id",
@@ -330,15 +338,25 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     the inference half of the tokenizer-training loop whose training
     half is ``vocab_bpe_merges`` (learn → APPLY → measure).
 
-    Mechanics: each document becomes a newline-joined token body with a
-    leading newline, and merge i rewrites the literal ``\\n<a>\\n<b>``
-    to ``\\n<a>_<b>`` — plain left-to-right non-overlapping literal
+    Mechanics: each document becomes a token body where EVERY token is
+    flanked by ``\\n`` on both sides (so consecutive tokens are
+    separated by ``\\n\\n`` and the body starts/ends with one ``\\n``),
+    and merge i rewrites the literal ``\\n<a>\\n\\n<b>\\n`` to
+    ``\\n<a>_<b>\\n`` — plain left-to-right non-overlapping literal
     replacement, which is BPE's greedy pairing and means the same
     thing in Spark (Java String.replace) and DuckDB (replace()). The
-    merges are applied in learned rank order, so later merges see
-    earlier merges' output exactly as a real tokenizer would. Token
-    counts come from counting newlines — merged pairs drop one
-    newline each, no re-tokenization needed.
+    trailing ``\\n`` in the pattern is the token-boundary guard: a
+    bare ``\\n<a>\\n<b>`` prefix pattern would also fire when <b> is a
+    proper PREFIX of the next token (pair (x, a) merging into token
+    "agg"), over-merging and inflating saved_bps; the doubled
+    separator keeps adjacent repeats mergeable ([a,b,a,b] → two
+    merges) because each replacement re-emits both boundary newlines,
+    preserving the flanking invariant for later merges. Merges are
+    applied in learned rank order, so later merges see earlier merges'
+    output exactly as a real tokenizer would. Token counts come from
+    counting newlines — every token contributes exactly two, and each
+    merge drops two — so n_after = newlines/2 with no re-tokenization
+    (empty docs guarded to 0).
 
     Scale shape: the merge table is one corpus pair-count aggregation
     (the learner's plan) reduced to a 1-row pivot and broadcast; the
@@ -361,17 +379,29 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = F.filter(
         F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
     )
-    body = F.concat(F.lit("\n"), F.array_join(toks, "\n"))
+    body = F.concat(F.lit("\n"), F.array_join(toks, "\n\n"), F.lit("\n"))
     applied = body
     # a merge slot can be NULL on a corpus with < M distinct pairs;
     # coalesce to a \x01 sentinel no token body can contain
     for i in range(1, BPE_APPLY_M + 1):
         p = F.coalesce(F.col(f"p{i}"), F.lit("\x01"))
-        pat = F.concat(F.lit("\n"), F.replace(p, F.lit(" "), F.lit("\n")))
-        rep = F.concat(F.lit("\n"), F.replace(p, F.lit(" "), F.lit("_")))
+        pat = F.concat(
+            F.lit("\n"), F.replace(p, F.lit(" "), F.lit("\n\n")), F.lit("\n")
+        )
+        rep = F.concat(
+            F.lit("\n"), F.replace(p, F.lit(" "), F.lit("_")), F.lit("\n")
+        )
         applied = F.replace(applied, pat, rep)
-    n_after = F.length(applied) - F.length(
-        F.replace(applied, F.lit("\n"), F.lit(""))
+    # Two newlines per surviving token; empty docs guarded (their body
+    # is "\n\n" which would otherwise read as one phantom token).
+    n_after = F.when(F.size(toks) == 0, F.lit(0)).otherwise(
+        (
+            (
+                F.length(applied)
+                - F.length(F.replace(applied, F.lit("\n"), F.lit("")))
+            )
+            / 2
+        ).cast("int")
     )
     per_doc = d.crossJoin(F.broadcast(piv)).select(
         "source",
@@ -402,11 +432,11 @@ def _bpe_apply_sql() -> str:
         f"MAX(CASE WHEN rk = {i} THEN pair END) AS p{i}"
         for i in range(1, BPE_APPLY_M + 1)
     )
-    applied = "chr(10) || array_to_string(t, chr(10))"
+    applied = "chr(10) || array_to_string(t, chr(10) || chr(10)) || chr(10)"
     for i in range(1, BPE_APPLY_M + 1):
         p = f"COALESCE(p{i}, chr(1))"
-        pat = f"chr(10) || replace({p}, ' ', chr(10))"
-        rep = f"chr(10) || replace({p}, ' ', '_')"
+        pat = f"chr(10) || replace({p}, ' ', chr(10) || chr(10)) || chr(10)"
+        rep = f"chr(10) || replace({p}, ' ', '_') || chr(10)"
         applied = f"replace({applied}, {pat}, {rep})"
     return f"""
 WITH toks AS (
@@ -427,8 +457,10 @@ WITH toks AS (
 ), applied AS (
   SELECT source,
          CAST(len(t) AS BIGINT) AS n_before,
-         CAST(length({applied}) -
-              length(replace({applied}, chr(10), '')) AS BIGINT) AS n_after
+         CAST(CASE WHEN len(t) = 0 THEN 0
+              ELSE (length({applied}) -
+                    length(replace({applied}, chr(10), ''))) // 2
+              END AS BIGINT) AS n_after
   FROM toks CROSS JOIN piv
 )
 SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
