@@ -103,77 +103,77 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — NEW or CHANGED in r6: the two new LM/search queries, the
-# assoc-rules oracle's exact-int64 lift numerator, the clustering
-# family whose module was touched twice (K-parametrized k-means +
-# recursive sub-split option, then the posexplode centroid update —
-# bit-identical centroids, re-verify anyway), and dedup_simhash whose
-# band join gained the bucket cap and whose fingerprint became the
-# constant-size map-only HOF expression (identity on values at both
-# scales, driver-sim re-verified).
+# Tier 1 — NEW or CHANGED in r7: the edge-case hardening batch
+# (tests/test_edgecorpus.py is the adversarial-fixture evidence; these
+# four need fresh DRIVER evidence on the real fixtures too):
+# dsir's clamped bigram slice, simhash's token-less-doc filter,
+# vocab_bpe_apply's boundary-safe doubled-separator encoding (Spark +
+# SQL twins both changed), and span removal's array_except kept-token
+# rewrite.
 _FRONT_CHANGED = [
     "curation_dsir_weights",
-    "embedding_prefix_recall",
-    "vocab_bpe_apply",
-    "curation_ccnet_buckets",
-    "text_bm25_search",
-    "text_bigram_logprob",
-    "similarity_ann_ivf_scaled",
-    "scd2_user_state",
-    "attribution_last_touch",
-    "dedup_span_removal",
-    "embedding_dim_stats",
-    "assoc_rules_brands",
     "dedup_simhash",
-    "cluster_embeddings_kmeans",
-    "semdedup_embeddings",
-    "pipeline_semdedup_prune",
+    "vocab_bpe_apply",
+    "dedup_span_removal",
 ]
 
-# Tier 2 — evidence-freshness rotation, r6 batch: 34 of the queries
-# whose last driver-green round is 1 (everything else is r3+), sized
-# so tier1+tier2 = 50 = the driver's check window (tier1 grew to 16
-# as curation_dsir_weights, curation_ccnet_buckets,
-# embedding_prefix_recall and vocab_bpe_apply landed late in r6, so
-# window_rank_suite, window_top3_orders, topk_parts and
-# subquery_small_qty_revenue join the r1-age window_* queries rotating
-# in next round). Next round this batch will be r6-green and the
-# r3-age batch rotates in.
+# Tier 2 — evidence-freshness rotation, r7 batch: the 8 queries still
+# on r1 driver evidence (the window family the r6 late landings
+# displaced — all 8 were independently re-verified by the r6 judge,
+# now they get driver evidence too), the entire 33-query r3-age batch,
+# and the 5 oldest of the r4 batch, sized so tier1+tier2 = 50 = the
+# driver's check window. After this round no live query's driver
+# evidence is older than r4, and the r4/r5 batches rotate in next.
 _ROTATION_OLDEST = [
-    "q1_pricing_summary",
-    "q4_late_orders",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "wc_documents",
-    "grep_documents",
-    "vertex_degree_lineitem",
-    "matrix_multiply_synth",
-    "join_nation_region",
-    "outer_join_order_counts",
-    "semi_join_customers",
-    "anti_join_customers",
-    "salted_join_segments",
-    "range_join_qty_bands",
-    "asof_join_purchase_view",
-    "agg_stats_by_brand",
-    "two_stage_agg_supplier",
-    "distinct_segments",
-    "rollup_returnflag",
-    "cube_flag_status",
-    "grouping_sets_priority",
-    "pivot_qty_by_status",
-    "percentile_quantity",
-    "case_bucket_acctbal",
-    "date_funcs_monthly",
-    "string_funcs",
-    "math_funcs",
-    "json_events",
-    "events_hourly",
-    "setop_nations",
-    "setop_all_variants",
+    # r1 evidence
+    "window_top3_orders",
+    "window_running_revenue",
+    "window_lag_order_gap",
+    "topk_parts",
+    "subquery_small_qty_revenue",
+    "window_rank_suite",
+    "window_range_frame",
+    "window_value_suite",
+    # r3 evidence
+    "text_rolling_hash",
+    "curation_pii_redact",
+    "curation_contamination",
+    "curation_repetition_filter",
+    "curation_train_split",
+    "curation_mixture_plan",
+    "curation_sequence_packing",
+    "curation_leakage_safe_split",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_embedding_cosine",
+    "dedup_embedding_lsh",
+    "dedup_components",
+    "similarity_bruteforce",
+    "similarity_ann_lsh",
+    "similarity_ann_ivf",
+    "multimodal_bytes",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_bolt_suppliers",
+    "q21_waiting_suppliers",
+    "events_rollup_multires",
+    "array_agg_priorities",
+    "q22_idle_rich_customers",
+    "stats_corr_qty_price",
+    # r4 evidence (oldest five)
+    "sketch_distinct_tokens",
+    "sketch_quantiles_price",
+    "dedup_minhash_lsh_prod",
+    "similarity_hard_negatives",
+    "similarity_filtered_topk",
 ]
 
 ALL_QUERIES = {
