@@ -15,6 +15,16 @@ Usage:
   python tools/scale_stress.py /tmp/scaledata/s010 /tmp/scaledata/s030 \
       /tmp/scaledata/s100
 
+Flags (r7):
+  --queries a,b,c    scope the run to these queries (default: the
+                     original heavy-family list below)
+  --size-table T     table whose row count is the scaling n
+                     (default documents; use lineitem for graph runs,
+                     events for the user-window family)
+  --no-caps          skip the cap-engagement block (it needs
+                     embeddings + the dedup fixtures; scoped text/
+                     graph/events runs don't)
+
 Prints one JSON object. Run on an otherwise-idle machine (timings).
 """
 
@@ -43,7 +53,20 @@ QUERIES = [
 
 
 def main() -> None:
-    dirs = sys.argv[1:]
+    args = sys.argv[1:]
+    queries = list(QUERIES)
+    size_table = "documents"
+    run_caps = True
+    dirs: list[str] = []
+    for a in args:
+        if a.startswith("--queries="):
+            queries = [q for q in a.split("=", 1)[1].split(",") if q]
+        elif a.startswith("--size-table="):
+            size_table = a.split("=", 1)[1]
+        elif a == "--no-caps":
+            run_caps = False
+        else:
+            dirs.append(a)
     assert len(dirs) >= 2, "need >= 2 scale dirs"
     from pyspark.sql import functions as F
 
@@ -53,12 +76,12 @@ def main() -> None:
     spark = get_spark(app_name="mrl_scale_stress")
     qs = entry_mod.queries()
     sizes: dict[str, int] = {}
-    times: dict[str, dict[str, float]] = {q: {} for q in QUERIES}
+    times: dict[str, dict[str, float]] = {q: {} for q in queries}
     for d in dirs:
-        sizes[d] = spark.read.parquet(f"{d}/documents.parquet").count()
-        for name in QUERIES:  # warm pass per scale
+        sizes[d] = spark.read.parquet(f"{d}/{size_table}.parquet").count()
+        for name in queries:  # warm pass per scale
             qs[name](spark, d).count()
-        for name in QUERIES:
+        for name in queries:
             gc.collect()
             spark.sparkContext._jvm.System.gc()
             best = float("inf")
@@ -68,12 +91,19 @@ def main() -> None:
                 best = min(best, time.perf_counter() - t0)
             times[name][d] = round(best, 3)
 
-    # fitted exponent: slope of log(time) vs log(n_docs), first->last
+    # fitted exponent: slope of log(time) vs log(n_rows), first->last
     exponents = {}
-    for name in QUERIES:
+    for name in queries:
         t0, t1 = times[name][dirs[0]], times[name][dirs[-1]]
         n0, n1 = sizes[dirs[0]], sizes[dirs[-1]]
         exponents[name] = round(math.log(t1 / t0) / math.log(n1 / n0), 2)
+
+    if not run_caps:
+        print(json.dumps(
+            {"sizes": sizes, "times": times, "exponents": exponents}, indent=1
+        ))
+        spark.stop()
+        return
 
     # --- cap engagement at the largest scale -------------------------
     big = dirs[-1]
