@@ -115,6 +115,11 @@ _FRONT_CHANGED = [
     "dedup_simhash",
     "vocab_bpe_apply",
     "dedup_span_removal",
+    # connected_components gained pointer jumping + per-round
+    # checkpoints (bit-identical fixpoint, 2-3x faster) — its two
+    # consumers need fresh driver evidence
+    "dedup_components",
+    "curation_leakage_safe_split",
 ]
 
 # Tier 2 — evidence-freshness rotation, r7 batch: the 8 queries still
@@ -142,13 +147,11 @@ _ROTATION_OLDEST = [
     "curation_train_split",
     "curation_mixture_plan",
     "curation_sequence_packing",
-    "curation_leakage_safe_split",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "dedup_embedding_cosine",
     "dedup_embedding_lsh",
-    "dedup_components",
     "similarity_bruteforce",
     "similarity_ann_lsh",
     "similarity_ann_ivf",

@@ -67,9 +67,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "6"))
 
 # Fixed canary trio: tiny, stable, plan-diverse (one broadcast join, one
-# 6-group lineitem agg, one token explode+agg). Timed at the END of every
-# batch under the same gc-settle + min-of-2 protocol as the batch's own
-# queries; their sum is the batch's host-health reading.
+# 6-group lineitem agg, one token explode+agg). Timed FIRST in every
+# batch — right after the warm pass, before any batch query — under the
+# same gc-settle + min-of-2 protocol; their sum is the batch's
+# host-health reading. Position matters: the first full sweep timed
+# them LAST and their spread (1.07-1.59 across 27 batches) tracked the
+# preceding batch's allocation profile, not the host — canary-first
+# makes every batch's reading positionally identical.
 CANARY_QUERIES = ["join_nation_region", "q1_pricing_summary", "wc_documents"]
 CANARY_TOLERANCE = 1.3
 CANARY_FLOOR_PATH = Path(__file__).resolve().parent / ".bench_canary_floor.json"
@@ -227,8 +231,13 @@ def _canary_verdict(
 def _load_floor() -> float | None:
     try:
         data = json.loads(CANARY_FLOOR_PATH.read_text())
-        # a floor recorded for a different canary set or SF is meaningless
-        if data.get("queries") == CANARY_QUERIES and data.get("sf_dir") == SF_DIR:
+        # a floor recorded for a different canary set, SF, or timing
+        # position is meaningless
+        if (
+            data.get("queries") == CANARY_QUERIES
+            and data.get("sf_dir") == SF_DIR
+            and data.get("position") == "first"
+        ):
             return float(data["floor_sec"])
     except (OSError, ValueError, KeyError):
         pass
@@ -240,7 +249,7 @@ def _store_floor(floor: float) -> None:
         CANARY_FLOOR_PATH.write_text(
             json.dumps(
                 {"queries": CANARY_QUERIES, "sf_dir": SF_DIR,
-                 "floor_sec": round(floor, 3)}
+                 "position": "first", "floor_sec": round(floor, 3)}
             )
             + "\n"
         )
@@ -251,7 +260,10 @@ def _store_floor(floor: float) -> None:
 def _run_batch(names: list[str]) -> dict[str, float]:
     """Spawn one child worker over ``names`` (+ canaries) and return its
     timings, including the canary entries."""
-    with_canary = names + [c for c in CANARY_QUERIES if c not in names]
+    # canary first (uniform position), then the batch's own queries; a
+    # batch member that IS a canary query takes its number from the
+    # canary position — same protocol, measured once
+    with_canary = CANARY_QUERIES + [n for n in names if n not in CANARY_QUERIES]
     with tempfile.NamedTemporaryFile(mode="r", suffix=".json") as f:
         proc = subprocess.run(
             [sys.executable, str(Path(__file__).resolve()), "--batch",

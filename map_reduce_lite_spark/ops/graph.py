@@ -48,11 +48,35 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
-    checkpoint_every: int = 5,
+    checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable. Undirected: both directions are added."""
+    node id reachable. Undirected: both directions are added.
+
+    Two r7 changes, both measured on the sf0.1 near-dup graph (the
+    dedup_components / leakage_safe_split input — 479 pairs, longest
+    chain needing 9 plain rounds):
+
+    - POINTER JUMPING: each round a node adopts
+      min(own, min-neighbor-label, label-of-its-label) — the extra
+      self-join doubles how far a label travels per round, so rounds
+      ≈ log2(diameter) instead of diameter (9 → 4 here; on a 100 TB
+      pair graph, a pathological million-doc boilerplate chain
+      converges in ~20 rounds, not 10^6). The label-of-label lookup is
+      a self-join of the KB-per-node label table on its own key —
+      same shuffle class as the neighbor-min join, not a new scale
+      hazard. The fixpoint is unchanged (labels only ever move DOWN,
+      and only to labels already present inside the component), so
+      the recursive-CTE oracle replays it exactly.
+    - CHECKPOINT EVERY ROUND (checkpoint_every=1): the convergence
+      count is an action, so with K rounds between checkpoints each
+      round re-executes up to K rounds of lineage — measured 0.75 →
+      2.09 s per round climbing inside a 5-round window, resetting to
+      0.40 s after the checkpoint. With per-round truncation every
+      round costs the same flat join+agg. (checkpoint_every stays a
+      parameter for callers whose per-round state is huge enough that
+      materialization, not re-execution, dominates.)"""
     ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -69,14 +93,28 @@ def connected_components(
             .groupBy(F.col("a").alias("node"))
             .agg(F.min("label").alias("nmin"))
         )
+        stepped = labels.join(neigh_min, "node", "left").select(
+            "node",
+            F.col("label").alias("old"),
+            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
+                "l1"
+            ),
+        )
+        # pointer jump: follow my (possibly just-updated) label one hop
+        pj = labels.select(
+            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
+        )
         new_labels = (
-            labels.join(neigh_min, "node", "left")
+            stepped.join(pj, stepped.l1 == pj.pj_node, "left")
             .select(
                 "node",
-                F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                    "label"
-                ),
-                (F.col("nmin") < F.col("label")).alias("changed"),
+                F.least(
+                    F.col("l1"), F.coalesce(F.col("pj_label"), F.col("l1"))
+                ).alias("label"),
+                "old",
+            )
+            .select(
+                "node", "label", (F.col("label") < F.col("old")).alias("changed")
             )
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
