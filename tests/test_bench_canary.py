@@ -1,11 +1,15 @@
 """bench.py canary logic — pure-function tests (no Spark).
 
 The bench's host-noise self-defense: every batch times a fixed canary
-trio; `_canary_verdict` compares each batch's canary against a rolling
-floor and names the batches to retry. These tests pin the decision
-table, including the synthetic-contamination case the r6 verdict asked
-for (a run sampled during host/VM contention must come out flagged,
-and a uniformly-slow run must not be able to raise the floor)."""
+trio FIRST; `_canary_verdict` compares the run's MEDIAN canary against a
+rolling min-of-run-medians floor (run-level contamination — the r6
+failure shape where one sample reads every query uniformly 1.5-7×
+slower) and names batches whose canary spikes above tolerance × the
+run's own median (batch-local contention → retry). Median statistics
+were chosen from 81 measured batch canaries over three idle-machine
+sweeps: single-batch canaries jitter ±30-40% around the run median from
+JIT depth and warm-pass composition alone, so a min-of-batches floor
+flags healthy runs (all three measured sweeps tripped it)."""
 
 from __future__ import annotations
 
@@ -16,34 +20,43 @@ import bench
 
 def test_healthy_run_self_calibrates_without_history():
     floor, ratio, over = bench._canary_verdict([1.02, 1.00, 1.05], None)
-    assert floor == 1.00
-    assert ratio == 1.05
+    assert floor == 1.02  # median of the run
+    assert ratio == 1.0
     assert over == []
 
 
-def test_contaminated_batches_are_named_against_stored_floor():
-    # batches 1 and 3 sampled during contention (>1.3x the known floor)
-    floor, ratio, over = bench._canary_verdict([1.05, 1.9, 1.1, 2.6], 1.0)
-    assert floor == 1.0
-    assert ratio == 2.6
-    assert over == [1, 3]
+def test_batch_spike_is_named_for_retry_against_run_median():
+    # median 1.30; batch 3 spikes past 1.3 * 1.30 = 1.69
+    floor, ratio, over = bench._canary_verdict([1.25, 1.30, 1.28, 1.75], 1.2)
+    assert over == [3]
+    # run median 1.29 vs floor 1.2 -> healthy run despite the spike
+    assert ratio < bench.CANARY_TOLERANCE
 
 
-def test_uniform_contamination_cannot_raise_the_floor():
-    # every batch slow (the 137.6s r6 run shape): the stored floor wins
-    # the min, so ALL batches are over tolerance -> run flagged, floor
-    # unchanged
-    floor, ratio, over = bench._canary_verdict([1.8, 2.1, 1.9], 1.0)
-    assert floor == 1.0
-    assert over == [0, 1, 2]
+def test_healthy_jitter_does_not_flag_the_run():
+    # the measured shape: batches spread ±30% around the median while
+    # the median sits a few percent over the historical floor
+    per_batch = [1.15, 1.32, 1.45, 1.38, 1.22, 1.41, 1.28]
+    floor, ratio, over = bench._canary_verdict(per_batch, 1.25)
+    assert ratio < bench.CANARY_TOLERANCE
+    assert over == []
+
+
+def test_uniform_contamination_flags_run_and_cannot_raise_floor():
+    # every batch ~2x (the 137.6s r6 run shape): run median far over the
+    # stored floor -> contaminated; floor unchanged
+    floor, ratio, over = bench._canary_verdict([2.1, 2.3, 1.9, 2.2], 1.2)
+    assert floor == 1.2
     assert ratio > bench.CANARY_TOLERANCE
+    # batches are mutually consistent -> no pointless per-batch retries
+    assert over == []
 
 
 def test_faster_run_lowers_the_floor():
-    floor, ratio, over = bench._canary_verdict([0.8, 0.85], 1.0)
-    assert floor == 0.8
+    floor, ratio, over = bench._canary_verdict([0.8, 0.85, 0.9], 1.0)
+    assert floor == 0.85  # min of run-median and history
+    assert ratio == 1.0
     assert over == []
-    assert ratio == 0.85 / 0.8
 
 
 def test_floor_file_roundtrip_and_mismatch_invalidation(tmp_path, monkeypatch):
@@ -55,5 +68,10 @@ def test_floor_file_roundtrip_and_mismatch_invalidation(tmp_path, monkeypatch):
     # floor recorded for a different SF dir must not be reused
     data = json.loads(p.read_text())
     data["sf_dir"] = "/somewhere/else"
+    p.write_text(json.dumps(data))
+    assert bench._load_floor() is None
+    # ... nor one recorded under a different statistic
+    data["sf_dir"] = bench.SF_DIR
+    data["stat"] = "batch-min"
     p.write_text(json.dumps(data))
     assert bench._load_floor() is None
