@@ -120,6 +120,9 @@ _FRONT_CHANGED = [
     # consumers need fresh driver evidence
     "dedup_components",
     "curation_leakage_safe_split",
+    # brand-new in r7
+    "text_char_entropy",
+    "text_zipf_slope",
 ]
 
 # Tier 2 — evidence-freshness rotation, r7 batch: the 8 queries still
@@ -171,12 +174,11 @@ _ROTATION_OLDEST = [
     "array_agg_priorities",
     "q22_idle_rich_customers",
     "stats_corr_qty_price",
-    # r4 evidence (oldest five)
+    # r4 evidence (oldest three; tier1 took two slots for the new
+    # r7 queries — the remaining r4 members rotate in next round)
     "sketch_distinct_tokens",
     "sketch_quantiles_price",
     "dedup_minhash_lsh_prod",
-    "similarity_hard_negatives",
-    "similarity_filtered_topk",
 ]
 
 ALL_QUERIES = {

@@ -161,6 +161,11 @@ BENCH_QUERIES = [
     "curation_ccnet_buckets",
     "embedding_prefix_recall",
     "vocab_bpe_apply",
+    # r7 additions
+    "text_char_entropy",
+    "text_zipf_slope",
+    "dedup_components",
+    "curation_leakage_safe_split",
 ]
 
 

@@ -943,6 +943,188 @@ FROM scored GROUP BY doc_id
 """
 
 
+def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the character distribution — the
+    classic cheap garbage detector (binary blobs and repeated-char spam
+    sit at the extremes; natural language clusters ~2.5-4.2 nats). Works
+    on trim(lower(text)) like the rest of the text family.
+
+    Plan: ONE corpus pass — per-row position explode to (doc, char),
+    one map-side-combined groupBy(doc_id, ch) count, one per-doc agg.
+    No joins, no windows; the per-doc state is bounded by the alphabet.
+    Determinism: entropy is computed as ln(n) − (Σ c·ln c)/n, so the
+    only double terms are c·ln(c) of exact BIGINT counts, written in
+    identical operand order in both engines and summed through
+    DECIMAL(27,12) (c·ln c overflows an (18,12) at ~10^5-char docs;
+    (27,12) holds to ~10^13-char docs). Token-less docs drop from the
+    output in both engines (empty position range)."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    norm = F.trim(F.lower("text"))
+    chars = (
+        d.repartition(fanout, "doc_id")
+        .select("doc_id", norm.alias("s"))
+        .select(
+            "doc_id",
+            "s",
+            F.explode(
+                F.when(
+                    F.length("s") > 0, F.sequence(F.lit(1), F.length("s"))
+                ).otherwise(F.expr("array()").cast("array<int>"))
+            ).alias("i"),
+        )
+        .select("doc_id", F.expr("substr(s, i, 1)").alias("ch"))
+    )
+    cc = chars.groupBy("doc_id", "ch").agg(F.count(F.lit(1)).alias("c"))
+    clnc = (F.col("c").cast("double") * F.log(F.col("c").cast("double"))).cast(
+        "decimal(27,12)"
+    )
+    return (
+        cc.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_chars_norm"),
+            F.count(F.lit(1)).alias("n_distinct_chars"),
+            F.sum(clnc).alias("sclnc"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_chars_norm").cast("long").alias("n_chars_norm"),
+            F.col("n_distinct_chars").cast("long").alias("n_distinct_chars"),
+            F.floor(
+                (
+                    F.log(F.col("n_chars_norm").cast("double"))
+                    - F.col("sclnc").cast("double")
+                    / F.col("n_chars_norm").cast("double")
+                )
+                * 1e6
+            )
+            .cast("long")
+            .alias("entropy_e6"),
+        )
+    )
+
+
+CHAR_ENTROPY_SQL = r"""
+WITH chars AS (
+  SELECT doc_id, substring(s, i, 1) AS ch
+  FROM (SELECT doc_id, trim(lower(text)) AS s FROM documents),
+       LATERAL (SELECT unnest(range(1, length(s) + 1)) AS i) p
+), cc AS (
+  SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+  FROM chars GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(SUM(c) AS BIGINT) AS n_chars_norm,
+       CAST(COUNT(*) AS BIGINT) AS n_distinct_chars,
+       CAST(floor((ln(CAST(SUM(c) AS DOUBLE))
+                   - CAST(SUM(CAST(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))
+                                   AS DECIMAL(27,12))) AS DOUBLE)
+                     / CAST(SUM(c) AS DOUBLE)) * 1e6) AS BIGINT) AS entropy_e6
+FROM cc GROUP BY doc_id
+"""
+
+
+ZIPF_TOP_K = 100  # tokens ranked per source for the slope fit
+
+
+def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope: least-squares slope of ln(freq) on
+    ln(rank) over the source's top-K tokens — the corpus-QA statistic
+    that separates natural text (slope ≈ −1) from templated/synthetic
+    text (shallow slope: ranks decay too slowly) and from
+    low-diversity spam (steep slope).
+
+    Plan: one groupBy(source, term) count (map-side combined), per-
+    source top-K via a rank window that Spark executes as
+    WindowGroupLimit (each shuffle partition retains only K rows per
+    source during the sort — never a full per-source vocabulary sort
+    buffer), then a K-row-per-source agg. Sources are a bounded set, so
+    the K-row tables are trivial at any corpus size. Determinism:
+    ranks break count ties by token ASC (total order); x=ln(rank) and
+    y=ln(count) are lns of exact integers; Σxy/Σx/Σy/Σx² accumulate
+    through DECIMAL(27,12); the closing slope arithmetic is one
+    identical double expression. Sources with < 2 ranked tokens drop
+    (slope undefined)."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    cnt = toks.groupBy("source", "term").agg(F.count(F.lit(1)).alias("c"))
+    w = Window.partitionBy("source").orderBy(F.desc("c"), F.asc("term"))
+    ranked = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= ZIPF_TOP_K)
+        .select(
+            "source",
+            F.log(F.col("rk").cast("double")).alias("x"),
+            F.log(F.col("c").cast("double")).alias("y"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(27,12)")  # noqa: E731
+    agg = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_ranked"),
+        F.sum(dec(F.col("x"))).alias("sx"),
+        F.sum(dec(F.col("y"))).alias("sy"),
+        F.sum(dec(F.col("x") * F.col("y"))).alias("sxy"),
+        F.sum(dec(F.col("x") * F.col("x"))).alias("sxx"),
+    )
+    nd = F.col("n_ranked").cast("double")
+    slope = (
+        nd * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double")
+    ) / (
+        nd * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double")
+    )
+    return (
+        agg.filter(F.col("n_ranked") >= 2)
+        .select(
+            "source",
+            F.col("n_ranked").cast("long").alias("n_ranked"),
+            F.floor(slope * 1e6).cast("long").alias("zipf_slope_e6"),
+        )
+    )
+
+
+ZIPF_SLOPE_SQL = rf"""
+WITH toks AS (
+  SELECT source, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), cnt AS (
+  SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
+  FROM toks GROUP BY 1, 2
+), ranked AS (
+  SELECT source,
+         ln(CAST(row_number() OVER (PARTITION BY source
+                                    ORDER BY c DESC, term ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y,
+         row_number() OVER (PARTITION BY source
+                            ORDER BY c DESC, term ASC) AS rk
+  FROM cnt
+  QUALIFY rk <= {ZIPF_TOP_K}
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_ranked,
+         CAST(SUM(CAST(x AS DECIMAL(27,12))) AS DOUBLE) AS sx,
+         CAST(SUM(CAST(y AS DECIMAL(27,12))) AS DOUBLE) AS sy,
+         CAST(SUM(CAST(x * y AS DECIMAL(27,12))) AS DOUBLE) AS sxy,
+         CAST(SUM(CAST(x * x AS DECIMAL(27,12))) AS DOUBLE) AS sxx
+  FROM ranked GROUP BY source
+)
+SELECT source, n_ranked,
+       CAST(floor(((CAST(n_ranked AS DOUBLE) * sxy - sx * sy)
+                   / (CAST(n_ranked AS DOUBLE) * sxx - sx * sx)) * 1e6)
+            AS BIGINT) AS zipf_slope_e6
+FROM agg WHERE n_ranked >= 2
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -953,6 +1135,18 @@ TEXT_QUERIES: dict[str, Query] = {
             "top-M token co-occurrence lift (integer-exact PMI ratio)",
         ),
         Query("text_lang_id", lang_id, _lang_id_sql(), "stopword language ID"),
+        Query(
+            "text_char_entropy",
+            char_entropy,
+            CHAR_ENTROPY_SQL,
+            "per-doc character-distribution Shannon entropy (garbage detector)",
+        ),
+        Query(
+            "text_zipf_slope",
+            zipf_slope,
+            ZIPF_SLOPE_SQL,
+            "per-source Zipf slope of ln(freq) on ln(rank) over top-K tokens",
+        ),
         Query("text_quality_score", quality_score, QUALITY_SQL, "quality features"),
         Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),
         Query("text_doc_fingerprint", doc_fingerprint, FINGERPRINT_SQL, "content fingerprints"),

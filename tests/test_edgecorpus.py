@@ -89,6 +89,10 @@ _EDGE_QUERIES = [
     "dedup_simhash",
     "vocab_bpe_apply",
     "dedup_span_removal",
+    # r7 additions — empty/whitespace docs must drop identically from
+    # both engines; single-token sources must drop from the slope fit
+    "text_char_entropy",
+    "text_zipf_slope",
 ]
 
 
