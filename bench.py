@@ -250,7 +250,18 @@ def _canary_verdict(
     return floor, ratio, over
 
 
-def _load_floor() -> float | None:
+# The floor AGES (r8): it is the min over the last FLOOR_WINDOW run
+# medians, not the min of all history — one anomalously fast run (VM
+# burst) would otherwise lower the floor permanently and every normal
+# run after it would read "contaminated" with no recovery path short
+# of hand-editing the file. With a rolling window the outlier falls
+# out after FLOOR_WINDOW runs. Manual reset, should it ever be needed:
+# delete .bench_canary_floor.json and the next run self-calibrates.
+FLOOR_WINDOW = 10
+
+
+def _load_floor_history() -> list[float]:
+    """Return the stored run-median history (possibly empty)."""
     try:
         data = json.loads(CANARY_FLOOR_PATH.read_text())
         # a floor recorded for a different canary set, SF, or timing
@@ -259,21 +270,25 @@ def _load_floor() -> float | None:
             data.get("queries") == CANARY_QUERIES
             and data.get("sf_dir") == SF_DIR
             and data.get("position") == "first"
-            and data.get("stat") == "run-median"
         ):
-            return float(data["floor_sec"])
+            if data.get("stat") == "run-median-rolling":
+                return [float(x) for x in data["medians"]]
+            if data.get("stat") == "run-median":  # pre-r8 single-value file
+                return [float(data["floor_sec"])]
     except (OSError, ValueError, KeyError):
         pass
-    return None
+    return []
 
 
-def _store_floor(floor: float) -> None:
+def _store_floor_history(medians: list[float]) -> None:
+    medians = medians[-FLOOR_WINDOW:]
     try:
         CANARY_FLOOR_PATH.write_text(
             json.dumps(
                 {"queries": CANARY_QUERIES, "sf_dir": SF_DIR,
-                 "position": "first", "stat": "run-median",
-                 "floor_sec": round(floor, 3)}
+                 "position": "first", "stat": "run-median-rolling",
+                 "medians": [round(m, 3) for m in medians],
+                 "floor_sec": round(min(medians), 3)}
             )
             + "\n"
         )
@@ -306,7 +321,7 @@ def _run_batch(names: list[str]) -> dict[str, float]:
         return json.loads(Path(f.name).read_text())
 
 
-def _emit(timings: dict[str, float], canary: dict | None = None) -> None:
+def _emit(timings: dict[str, float], canary: dict | None = None) -> dict:
     sf = None
     tail = Path(SF_DIR).name
     if tail.startswith("sf"):
@@ -314,15 +329,21 @@ def _emit(timings: dict[str, float], canary: dict | None = None) -> None:
             sf = float(tail[2:])
         except ValueError:
             pass
+    # Key order matters downstream: the driver records only the LAST
+    # 2000 chars of stdout, so the long per-query dict goes FIRST and
+    # the run-level summary (sf, canary verdict, total) goes LAST —
+    # that way the tail always carries the total + canary even when
+    # the queries dict is truncated at the front (r7's artifact lost
+    # the total this way).
     payload = {
         "metric": "headline query wall time at sf (sum over queries)",
-        "value": round(sum(timings.values()), 3),
         "unit": "sec",
         "queries": timings,
         "sf": sf,
     }
     if canary is not None:
         payload["canary"] = canary
+    payload["value"] = round(sum(timings.values()), 3)
     print(json.dumps(payload))
     return payload
 
@@ -365,8 +386,13 @@ def main() -> None:
     results = [_run_batch(b) for b in batches]
     canaries = [sum(r[c] for c in CANARY_QUERIES) for r in results]
 
-    stored_floor = _load_floor()
+    history = _load_floor_history()
+    stored_floor = min(history) if history else None
     floor, _, over = _canary_verdict(canaries, stored_floor)
+    # Retries are ONE-SIDED by design (only too-SLOW batches re-run;
+    # keeping the lower-canary attempt is a mild downward bias on
+    # retried batches). Record both attempts' canaries so the bias is
+    # visible in the artifact rather than silent.
     retried = []
     for i in over:
         # one retry per contaminated batch: host/VM contention is
@@ -374,11 +400,17 @@ def main() -> None:
         # keep whichever attempt the canary says was healthier
         retry = _run_batch(batches[i])
         retry_canary = sum(retry[c] for c in CANARY_QUERIES)
-        retried.append(batches[i][0])
-        if retry_canary < canaries[i]:
+        kept_retry = retry_canary < canaries[i]
+        retried.append(
+            {"batch_head": batches[i][0],
+             "first_canary": round(canaries[i], 3),
+             "retry_canary": round(retry_canary, 3),
+             "kept": "retry" if kept_retry else "first"}
+        )
+        if kept_retry:
             results[i], canaries[i] = retry, retry_canary
     floor, ratio, over = _canary_verdict(canaries, stored_floor)
-    _store_floor(floor)
+    _store_floor_history(history + [_median(canaries)])
 
     timings: dict[str, float] = {}
     for batch, r in zip(batches, results):
@@ -391,6 +423,7 @@ def main() -> None:
         "ratio": round(ratio, 3),
         "tolerance": CANARY_TOLERANCE,
         "retried_batches": len(retried),
+        "retries": retried,
         "contaminated": ratio > CANARY_TOLERANCE,
     }
     payload = _emit(timings, canary)

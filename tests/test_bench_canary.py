@@ -62,16 +62,44 @@ def test_faster_run_lowers_the_floor():
 def test_floor_file_roundtrip_and_mismatch_invalidation(tmp_path, monkeypatch):
     p = tmp_path / "floor.json"
     monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
-    assert bench._load_floor() is None  # no file yet
-    bench._store_floor(1.234)
-    assert bench._load_floor() == 1.234
+    assert bench._load_floor_history() == []  # no file yet
+    bench._store_floor_history([1.234, 1.31])
+    assert bench._load_floor_history() == [1.234, 1.31]
+    assert json.loads(p.read_text())["floor_sec"] == 1.234
     # floor recorded for a different SF dir must not be reused
     data = json.loads(p.read_text())
     data["sf_dir"] = "/somewhere/else"
     p.write_text(json.dumps(data))
-    assert bench._load_floor() is None
+    assert bench._load_floor_history() == []
     # ... nor one recorded under a different statistic
     data["sf_dir"] = bench.SF_DIR
     data["stat"] = "batch-min"
     p.write_text(json.dumps(data))
-    assert bench._load_floor() is None
+    assert bench._load_floor_history() == []
+
+
+def test_floor_ages_out_an_anomalously_fast_run(tmp_path, monkeypatch):
+    """One VM-burst run must not depress the floor forever (r8 aging):
+    the floor is the min over the last FLOOR_WINDOW run medians, so the
+    outlier falls out of the window after FLOOR_WINDOW further runs."""
+    p = tmp_path / "floor.json"
+    monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
+    bench._store_floor_history([0.60])  # the anomalous burst run
+    history = bench._load_floor_history()
+    assert min(history) == 0.60
+    # FLOOR_WINDOW normal runs at ~1.3 later, the burst has aged out
+    for _ in range(bench.FLOOR_WINDOW):
+        history = bench._load_floor_history()
+        bench._store_floor_history(history + [1.30])
+    history = bench._load_floor_history()
+    assert len(history) == bench.FLOOR_WINDOW
+    assert min(history) == 1.30  # 1.30/1.30 = 1.0 < tolerance: recovered
+
+
+def test_floor_migrates_pre_r8_single_value_file(tmp_path, monkeypatch):
+    p = tmp_path / "floor.json"
+    monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
+    p.write_text(json.dumps({
+        "queries": bench.CANARY_QUERIES, "sf_dir": bench.SF_DIR,
+        "position": "first", "stat": "run-median", "floor_sec": 1.208}))
+    assert bench._load_floor_history() == [1.208]

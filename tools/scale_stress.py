@@ -15,10 +15,11 @@ Usage:
   python tools/scale_stress.py /tmp/scaledata/s010 /tmp/scaledata/s030 \
       /tmp/scaledata/s100
 
-Flags (r7):
-  --queries a,b,c    scope the run to these queries (default: the
+Flags (r7; note the ``=`` form — the arg loop only splits on ``=``,
+a space-separated value would be read as a scale dir):
+  --queries=a,b,c    scope the run to these queries (default: the
                      original heavy-family list below)
-  --size-table T     table whose row count is the scaling n
+  --size-table=T     table whose row count is the scaling n
                      (default documents; use lineitem for graph runs,
                      events for the user-window family)
   --no-caps          skip the cap-engagement block (it needs
