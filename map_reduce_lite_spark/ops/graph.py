@@ -261,17 +261,26 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
     the order's line count, ~4 — NOT quadratic in the table) + one
     support-counting groupBy, localCheckpoint'd once because the
     triangle enumeration reads it THREE times. Triangles close via two
-    equi-joins on node ids with edges oriented u < v (each triangle
-    enumerated exactly once). Degree-ordered orientation — relabel
-    nodes by (degree, id) before orienting — is the published
-    refinement that bounds the join fanout by arboricity at skewed
-    scale; id-order suffices for this corpus and keeps the oracle
-    identical."""
+    equi-joins with edges DEGREE-ORIENTED (r8): every edge points from
+    its lower-(degree, id) endpoint to the higher one, so the wedge
+    join e1.dst == e2.src fans out from each node by its FORWARD degree
+    only, which the orientation bounds by O(sqrt(m)) / graph arboricity
+    (the published node-iterator++ refinement) — a skewed hub that
+    co-occurs with everything stops generating quadratic wedges because
+    almost all its edges point INTO it. (degree, id) is a total order,
+    so each triangle is still enumerated exactly once, and the triangle
+    SET is orientation-invariant — the DuckDB oracle keeps the plain
+    u < v id-orientation, making the green hash a proof the rewrite
+    changed nothing semantically. Measured on the dense Zipf-part
+    slice (tools/gen_scaledata.py --lineitem, 600k rows → 123k edges):
+    max forward-degree 10,630 → 119, i.e. the hottest node's wedge
+    fanout drops from ~56M to ~7k, and the scaling exponent from 0.45
+    to 0.35-0.38 (SCALE.md r8)."""
     from map_reduce_lite_spark.relational.tables import load_table
 
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a, b = li.alias("a"), li.alias("b")
-    edges = (
+    und = (
         a.join(
             b,
             (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
@@ -283,6 +292,25 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support"))
         .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
         .select("u", "v")
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # orient each edge low-(deg, id) -> high-(deg, id); ties on degree
+    # fall back to id order, i.e. exactly the old orientation
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    edges = (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
         .localCheckpoint(eager=True)
     )
     # merge-join hint: the edge list is a borderline-broadcastable few
@@ -294,13 +322,16 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
     e2 = edges.hint("merge").alias("e2")
     e3 = edges.hint("merge").alias("e3")
     tri = (
-        e1.join(e2, F.col("e1.v") == F.col("e2.u"))
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
             e3,
-            (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
         )
         .select(
-            F.col("e1.u").alias("x"), F.col("e1.v").alias("y"), F.col("e2.v").alias("z")
+            F.col("e1.src").alias("x"),
+            F.col("e1.dst").alias("y"),
+            F.col("e2.dst").alias("z"),
         )
     )
     verts = tri.select(F.explode(F.array("x", "y", "z")).alias("part"))
