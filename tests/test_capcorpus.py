@@ -1,0 +1,274 @@
+"""DEFAULT-cap engagement, cross-engine: corpora sized so the scale caps
+actually fire at their production values inside the REGISTERED queries,
+with the registered DuckDB oracles replaying the capped semantics.
+
+The forced-cap tests (test_dedup.py, test_clustering.py) prove the
+split/drop machinery agrees with the oracle at tiny caps; the Zipf
+stress runs engage the real caps but measure time only. These tests
+close the remaining evidence gap: a green VALUE sweep in the regime
+where SHINGLE_DF_CAP / SIMHASH_BUCKET_CAP / SEMDEDUP_CLUSTER_CAP are
+live at their defaults. (POSTINGS_CAP=8 already engages on every
+fixture sweep — the 31-word vocabulary gives every token df >> 8.)
+
+Each test also proves ENGAGEMENT, not just parity: an uncapped run of
+the same operator on the same corpus produces a different result, so a
+regression that silently disabled the cap would fail here even though
+the fixture-scale sweeps (where the caps are the identity) stay green.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from map_reduce_lite_spark.ops.clustering import SEMDEDUP_CLUSTER_CAP
+from map_reduce_lite_spark.ops.dedup import SHINGLE_DF_CAP, SIMHASH_BUCKET_CAP
+from tests.test_oracle_parity import _multiset
+
+
+def _write_documents(path, rows):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array(["en"] * len(rows), pa.string()),
+            "source": pa.array(["cap"] * len(rows), pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(path / "documents.parquet"))
+
+
+def _duck_for(path, tables=("documents",)):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for t in tables:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{path}/{t}.parquet')"
+        )
+    return con
+
+
+def _run_registered(spark, sf_dir, name):
+    import __spark_entry__ as e
+
+    return e.queries()[name](spark, str(sf_dir)), e.oracle_sql()[name]
+
+
+# --------------------------------------------------------------------------
+# SHINGLE_DF_CAP — stop-shingle corpus, full multiset parity
+# --------------------------------------------------------------------------
+
+# 13-token boilerplate slab -> 11 interior 3-shingles, each carried by
+# all 62 slab docs (df 62 > SHINGLE_DF_CAP 50).
+_BOILER = " ".join(f"b{j}" for j in range(13))
+
+
+@pytest.fixture(scope="module")
+def dfcap_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("dfcap")
+    rows = []
+    # 60 unrelated docs all carrying the boilerplate slab
+    for i in range(60):
+        body = " ".join(f"u{i}w{j}" for j in range(12))
+        rows.append((i, f"{_BOILER} {body}"))
+    # the threshold-straddling pair: 13 boiler tokens + a 2-token tail
+    # each -> 13 shingles/doc, 11 shared (the boiler interior). Uncapped
+    # jaccard = 11 / (13 + 13 - 11) = 0.733 >= 0.5 -> pair EMITTED;
+    # with the boiler shingles df-capped away, n_inter = 0 -> no row.
+    rows.append((200, f"{_BOILER} ta1 ta2"))
+    rows.append((201, f"{_BOILER} tb1 tb2"))
+    # the genuine near-dup pair on RARE shingles (cap must not touch it):
+    # 30 shared rare tokens -> jaccard 28/31 without the tail diff
+    shared = " ".join(f"rare{j}" for j in range(30))
+    rows.append((100, f"{shared}"))
+    rows.append((101, f"{shared} tail"))
+    _write_documents(d, rows)
+    return d
+
+
+def test_shingle_df_cap_engaged_value_parity(spark, dfcap_dir):
+    sdf, oracle = _run_registered(spark, dfcap_dir, "dedup_ngram_jaccard")
+    duck = _duck_for(dfcap_dir)
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    got = _multiset(spark_rows, [0, 1, 2])
+    want = _multiset(duck.execute(oracle).fetchall(), [0, 1, 2])
+    assert got == want
+    pairs = {(r[0], r[1]) for r in spark_rows}
+    # the rare-shingle near-dup survives; the boiler-only pair is capped out
+    assert (100, 101) in pairs
+    assert (200, 201) not in pairs
+    # no pair among the 60 boilerplate docs
+    assert all(d1 >= 100 for d1, _ in pairs), pairs
+
+
+def test_shingle_df_cap_engagement_is_semantic(spark, dfcap_dir):
+    """The same corpus WITHOUT the cap emits the boiler pair — proof the
+    capped sweep above exercised a live cap, not an identity."""
+    from map_reduce_lite_spark.ops.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{dfcap_dir}/documents.parquet")
+    uncapped = {
+        (r.doc1, r.doc2)
+        for r in ngram_jaccard_pairs(docs, df_cap=10**9).collect()
+    }
+    assert (200, 201) in uncapped
+    assert (100, 101) in uncapped
+
+
+# --------------------------------------------------------------------------
+# SIMHASH_BUCKET_CAP — one 4,100-doc fingerprint bucket, digest parity
+# --------------------------------------------------------------------------
+
+_SIMHASH_N = SIMHASH_BUCKET_CAP + 4  # 4,100 docs -> n_sub = 2 in every band
+
+
+@pytest.fixture(scope="module")
+def simcap_dir(tmp_path_factory):
+    # Every doc carries the SAME 10-token distinct set (rotated order),
+    # so all fingerprints are identical: each of the 4 bands has ONE
+    # bucket of 4,100 docs > the 4,096 default cap. Every emitted pair
+    # has hamming 0; a pair is DROPPED only when the band-salted
+    # sub-split separates it in all 4 bands (prob (1/2)^4 per pair,
+    # deterministic md5 arithmetic both engines replay).
+    d = tmp_path_factory.mktemp("simcap")
+    vocab = [f"capw{j}" for j in range(10)]
+    rows = []
+    for i in range(_SIMHASH_N):
+        rot = vocab[i % 10 :] + vocab[: i % 10]
+        rows.append((i, " ".join(rot)))
+    _write_documents(d, rows)
+    return d
+
+
+def test_simhash_default_cap_engaged_digest_parity(spark, simcap_dir):
+    """~7.9M output rows — compared via exact aggregate digests (count
+    and keyed sums computed inside each engine) rather than a collected
+    multiset. The digest is over every output row, so any divergence in
+    which pairs the band-salted split keeps shows up in the sums."""
+    sdf, oracle = _run_registered(spark, simcap_dir, "dedup_simhash")
+    duck = _duck_for(simcap_dir)
+    key = F.col("doc1") * 8191 + F.col("doc2")
+    srow = sdf.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(key).alias("skey"),
+        F.sum("hamming").alias("sham"),
+    ).first()
+    drow = duck.execute(
+        f"SELECT CAST(COUNT(*) AS BIGINT), "
+        f"CAST(SUM(doc1 * 8191 + doc2) AS BIGINT), "
+        f"CAST(SUM(hamming) AS BIGINT) FROM ({oracle})"
+    ).fetchone()
+    assert (srow["n"], srow["skey"], srow["sham"]) == tuple(drow)
+    # engagement: the split dropped pairs — fewer than all C(n, 2)
+    all_pairs = _SIMHASH_N * (_SIMHASH_N - 1) // 2
+    assert 0 < srow["n"] < all_pairs
+
+
+def test_simhash_default_cap_engagement_is_semantic(spark, simcap_dir):
+    """Bucket probe + uncapped comparison: the hot bucket exceeds the
+    default cap, and disabling the cap returns the full quadratic pair
+    set — so the digest test above ran with the split live."""
+    from map_reduce_lite_spark.ops.dedup import (
+        simhash_fingerprints,
+        simhash_pairs,
+    )
+
+    docs = spark.read.parquet(f"{simcap_dir}/documents.parquet")
+    n_fps = simhash_fingerprints(docs).select("simhash").distinct().count()
+    assert n_fps == 1  # one fingerprint -> one bucket per band, size 4,100
+    uncapped = simhash_pairs(docs, cap=1 << 30).count()
+    assert uncapped == _SIMHASH_N * (_SIMHASH_N - 1) // 2
+
+
+# --------------------------------------------------------------------------
+# SEMDEDUP_CLUSTER_CAP — one 4,100-vector k-means cluster, multiset parity
+# --------------------------------------------------------------------------
+
+_EMB_DIM = 64
+_BLOB_N = SEMDEDUP_CLUSTER_CAP + 4  # 4,100 vectors in one cluster
+
+
+@pytest.fixture(scope="module")
+def semcap_dir(tmp_path_factory):
+    # Seeds are vec_id < 4 (K_CLUSTERS). vec_ids 0-2 are far decoys at
+    # 100*e1 / 100*e2 / 100*e3 — each captures only itself. vec_ids
+    # 3..4102 are the blob: +/- one-hot directions over axes 4..63
+    # (120 directions, ~34 vectors each) with small magnitude jitter,
+    # all within distance ~2 of the blob seed while the decoys sit at
+    # distance ~100 — so every Lloyd round keeps the whole blob in
+    # cluster 3 (4,100 > the 4,096 default cap -> n_sub = 2). Same-
+    # direction pairs have cosine 1.0 (emitted); cross-direction pairs
+    # have cosine 0 or -1 (filtered) — output stays a collectable
+    # ~35k rows instead of the 4.2M candidate pairs both engines score.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("semcap")
+    vecs, ids = [], []
+    for j in range(3):
+        v = [0.0] * _EMB_DIM
+        v[j] = 100.0
+        ids.append(j)
+        vecs.append(v)
+    for i in range(_BLOB_N):
+        axis = 4 + (i % 60)
+        sign = 1.0 if (i // 60) % 2 == 0 else -1.0
+        mag = 1.0 + 0.001 * (i % 7)
+        v = [0.0] * _EMB_DIM
+        v[axis] = sign * mag
+        ids.append(3 + i)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return d
+
+
+def test_semdedup_default_cap_engaged_value_parity(spark, semcap_dir):
+    sdf, oracle = _run_registered(spark, semcap_dir, "semdedup_embeddings")
+    duck = _duck_for(semcap_dir, tables=("embeddings",))
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck_rows = duck.execute(oracle).fetchall()
+    assert len(spark_rows) == len(duck_rows)
+    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(
+        duck_rows, [0, 1, 2, 3]
+    )
+    assert len(spark_rows) > 0
+
+
+def test_semdedup_default_cap_engagement_is_semantic(spark, semcap_dir):
+    """The mega-cluster exceeds the default cap, and the uncapped pair
+    set is strictly larger — the parity sweep above ran with the hash
+    sub-split live."""
+    from map_reduce_lite_spark.ops.clustering import (
+        _semdedup_pairs,
+        kmeans_assignments,
+    )
+
+    assign = (
+        kmeans_assignments(spark, str(semcap_dir))
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    sizes = {
+        r.cluster: r.n
+        for r in assign.groupBy("cluster").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert max(sizes.values()) == _BLOB_N > SEMDEDUP_CLUSTER_CAP
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, str(semcap_dir), "embeddings")
+    capped = _semdedup_pairs(emb, assign).count()
+    uncapped = _semdedup_pairs(emb, assign, cap=1 << 30).count()
+    assert 0 < capped < uncapped
