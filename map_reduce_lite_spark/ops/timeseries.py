@@ -463,9 +463,119 @@ FROM purchases GROUP BY channel
 """
 
 
+SESSION_GAP_MS = 30 * 60 * 1000
+
+
+def sessionize_events_stitched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical (user_id, day) sessionization — the hot-key-bounded
+    variant of ``sessionize_events`` (relational/queries.py:572), same
+    answers by construction and proven by sharing its oracle SQL.
+
+    Why it exists: the plain form is one Window.partitionBy(user_id),
+    which AQE cannot split — a pathological key (a bot / sentinel user
+    holding 10% of a 10^12-event stream) serializes its whole history
+    into ONE task's sort (SCALE.md r7 measured the +8-10% cost at 10%
+    skew and designed this mitigation; r8 implements it opt-in). Here
+    the corpus-wide pass partitions by (user_id, day) — bounded by any
+    key's busiest DAY — and only a per-(user, day) SUMMARY table
+    (365× smaller per user-year: first/last event ms + local session
+    count) flows through the per-user window that stitches midnight
+    boundaries.
+
+    Stitch arithmetic: a session spans a day boundary iff the gap
+    between the previous day-chunk's last event and this chunk's first
+    event is <= the inactivity gap (any skipped calendar day implies a
+    gap > 30 min, so lag over PRESENT days suffices). The plain form's
+    session_id is "number of session starts up to this event", so the
+    stitched id is cum_prev + local_sess − merge_day, where cum_prev is
+    the running sum of (n_local − merge) over earlier days: subtracting
+    merge from every local id is exact because only the day's FIRST
+    local session can merge, shifting all later ids down by one. The
+    result is independent of where midnight falls, so the session-tz
+    pin only affects partition shaping, never values.
+
+    Cost trade (measured, SCALE.md r8): one extra shuffle (the
+    summary-table window + the join back) on every workload, in
+    exchange for per-task work bounded by (hot key × day) instead of
+    (hot key × history). Opt-in, exactly as r7 argued: healthy
+    workloads keep the plain form."""
+    return sessionize_stitched(load_table(spark, sf_dir, "events"))
+
+
+def sessionize_stitched(
+    e: DataFrame, gap_ms: int = SESSION_GAP_MS
+) -> DataFrame:
+    """Core of ``sessionize_events_stitched`` over any (user_id, ts,
+    event_id) DataFrame — answer-identical to ``sessionize`` (equality
+    property-tested on midnight-chain corpora in tests/test_timeseries)."""
+    wd = Window.partitionBy("user_id", "day").orderBy("ts", "event_id")
+    loc = e.select(
+        "user_id", "ts", "event_id", F.to_date("ts").alias("day"),
+        F.unix_millis("ts").alias("ms"),
+    )
+    prev_ms = F.lag("ms").over(wd)
+    new_local = F.when(
+        prev_ms.isNull() | (F.col("ms") - prev_ms > gap_ms), 1
+    ).otherwise(0)
+    loc = loc.withColumn("local_sess", F.sum(new_local).over(wd))
+    days = loc.groupBy("user_id", "day").agg(
+        F.min("ms").alias("first_ms"),
+        F.max("ms").alias("last_ms"),
+        F.max("local_sess").alias("n_local"),
+    )
+    wu = Window.partitionBy("user_id").orderBy("day")
+    merge = F.when(
+        F.lag("last_ms").over(wu).isNotNull()
+        & (F.col("first_ms") - F.lag("last_ms").over(wu) <= gap_ms),
+        1,
+    ).otherwise(0)
+    days = days.withColumn("merge", merge).withColumn(
+        "cum_prev",
+        F.coalesce(
+            F.sum(F.col("n_local") - F.col("merge")).over(
+                wu.rowsBetween(Window.unboundedPreceding, -1)
+            ),
+            F.lit(0),
+        ),
+    )
+    glob = loc.join(
+        days.select("user_id", "day", "cum_prev", "merge"), ["user_id", "day"]
+    )
+    return (
+        glob.select(
+            "user_id",
+            "ms",
+            (F.col("cum_prev") + F.col("local_sess") - F.col("merge"))
+            .cast("long")
+            .alias("session_id"),
+        )
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ms").alias("start_ms"),
+            F.max("ms").alias("end_ms"),
+        )
+    )
+
+
+def _stitched_sessionize_sql() -> str:
+    # Same oracle as the plain form — the whole point: the hierarchical
+    # plan must be answer-identical to the single-window formulation.
+    from map_reduce_lite_spark.relational.queries import SESSIONIZE_SQL
+
+    return SESSIONIZE_SQL
+
+
 TIMESERIES_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "sessionize_events_stitched",
+            sessionize_events_stitched,
+            _stitched_sessionize_sql(),
+            "hierarchical (user, day) sessionization with midnight stitching — "
+            "hot-key-bounded variant, answer-identical to sessionize_events",
+        ),
         Query(
             "events_gapfill_hourly",
             events_gapfill_hourly,

@@ -157,3 +157,56 @@ def test_user_paths_probabilities_sum_to_one(spark):
     n_events = e.count()
     n_users = e.select("user_id").distinct().count()
     assert sum(r.n_trans for r in rows) == n_events - n_users
+
+
+def test_stitched_sessionize_equals_plain_on_midnight_chains(spark):
+    """The hierarchical (user, day) stitch must be answer-identical to
+    the single-window sessionize on exactly the shapes the day split
+    cuts through: sessions chaining across one and several midnights,
+    whole days absorbed into the previous day's session, multi-session
+    days whose first session merges backward, boundary gaps just above
+    and below the 30-minute threshold, and ties on ts."""
+    import datetime as dt
+
+    from map_reduce_lite_spark.ops.timeseries import sessionize_stitched
+    from map_reduce_lite_spark.relational.queries import sessionize
+
+    t0 = dt.datetime(2024, 3, 1, 23, 50)
+    m = dt.timedelta(minutes=1)
+    rows = []
+    # u1: one session chaining across TWO midnights (events every 20
+    # min from 23:50 day1 through 00:30 day3 — day2 is absorbed whole)
+    t = t0
+    for i in range(75):
+        rows.append((1, t, 1000 + i)); t += dt.timedelta(minutes=20)
+    # u2: midnight gap exactly 30 min (merge: NOT a new session) then
+    # a 31-min gap (new session)
+    rows += [
+        (2, dt.datetime(2024, 3, 1, 23, 45), 1), (2, dt.datetime(2024, 3, 2, 0, 15), 2),
+        (2, dt.datetime(2024, 3, 2, 0, 46, 0, 1000), 3),
+    ]
+    # u3: multi-session day whose FIRST session merges backward across
+    # midnight; later sessions must shift down by exactly one
+    rows += [
+        (3, dt.datetime(2024, 3, 1, 23, 55), 1),
+        (3, dt.datetime(2024, 3, 2, 0, 10), 2),   # merges back
+        (3, dt.datetime(2024, 3, 2, 9, 0), 3),    # day session 2 -> global 2
+        (3, dt.datetime(2024, 3, 2, 18, 0), 4),   # day session 3 -> global 3
+    ]
+    # u4: ts tie at the midnight boundary (order falls to event_id)
+    rows += [
+        (4, dt.datetime(2024, 3, 2, 0, 0), 7), (4, dt.datetime(2024, 3, 2, 0, 0), 5),
+        (4, dt.datetime(2024, 3, 1, 23, 59), 1),
+    ]
+    e = spark.createDataFrame(rows, "user_id long, ts timestamp, event_id long")
+    plain = sessionize(e).select(
+        "user_id", "session_id", "n_events", "start_ms", "end_ms"
+    )
+    stitched = sessionize_stitched(e)
+    assert plain.exceptAll(stitched).count() == 0
+    assert stitched.exceptAll(plain).count() == 0
+    # sanity on the shapes themselves
+    got = {(r.user_id, r.session_id): r.n_events for r in stitched.collect()}
+    assert got[(1, 1)] == 75          # one session spanning 3 calendar days
+    assert got[(2, 1)] == 2 and got[(2, 2)] == 1
+    assert got[(3, 1)] == 2 and (3, 4) not in got
