@@ -103,82 +103,75 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — NEW or CHANGED in r7: the edge-case hardening batch
-# (tests/test_edgecorpus.py is the adversarial-fixture evidence; these
-# four need fresh DRIVER evidence on the real fixtures too):
-# dsir's clamped bigram slice, simhash's token-less-doc filter,
-# vocab_bpe_apply's boundary-safe doubled-separator encoding (Spark +
-# SQL twins both changed), and span removal's array_except kept-token
-# rewrite.
+# Tier 1 — NEW or CHANGED in r8:
+# triangle counting switched to degree-ordered orientation (Spark side
+# only — the oracle keeps id-orientation, so the green hash proves the
+# rewrite is semantically identity), char_entropy folded into the
+# zero-shuffle sorted-run aggregate (bit-identity A/B'd), and the new
+# hierarchical sessionize variant (oracle = the plain form's SQL).
 _FRONT_CHANGED = [
-    "curation_dsir_weights",
-    "dedup_simhash",
-    "vocab_bpe_apply",
-    "dedup_span_removal",
-    # connected_components gained pointer jumping + per-round
-    # checkpoints (bit-identical fixpoint, 2-3x faster) — its two
-    # consumers need fresh driver evidence
-    "dedup_components",
-    "curation_leakage_safe_split",
-    # brand-new in r7
+    "graph_triangle_parts",
     "text_char_entropy",
-    "text_zipf_slope",
+    "sessionize_events_stitched",
 ]
 
-# Tier 2 — evidence-freshness rotation, r7 batch: the 8 queries still
-# on r1 driver evidence (the window family the r6 late landings
-# displaced — all 8 were independently re-verified by the r6 judge,
-# now they get driver evidence too), the entire 33-query r3-age batch,
-# and the 5 oldest of the r4 batch, sized so tier1+tier2 = 50 = the
-# driver's check window. After this round no live query's driver
-# evidence is older than r4, and the r4/r5 batches rotate in next.
+# Tier 2 — evidence-freshness rotation, r8 batch: the entire 17-query
+# r4-age batch (all 17 were independently re-verified by the r7 judge,
+# so exposure was already zero — this is the promised hygiene), then
+# the 30 alphabetically-first of the 46-query r5-age batch, sized so
+# tier1+tier2 = 50 = the driver's check window. After this round no
+# live query's driver evidence is older than r5; the remaining 16 r5
+# members plus the r6 batch rotate in next.
 _ROTATION_OLDEST = [
-    # r1 evidence
-    "window_top3_orders",
-    "window_running_revenue",
-    "window_lag_order_gap",
-    "topk_parts",
-    "subquery_small_qty_revenue",
-    "window_rank_suite",
-    "window_range_frame",
-    "window_value_suite",
-    # r3 evidence
-    "text_rolling_hash",
-    "curation_pii_redact",
-    "curation_contamination",
-    "curation_repetition_filter",
-    "curation_train_split",
-    "curation_mixture_plan",
-    "curation_sequence_packing",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_embedding_cosine",
-    "dedup_embedding_lsh",
-    "similarity_bruteforce",
-    "similarity_ann_lsh",
-    "similarity_ann_ivf",
-    "multimodal_bytes",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_bolt_suppliers",
-    "q21_waiting_suppliers",
-    "events_rollup_multires",
-    "array_agg_priorities",
-    "q22_idle_rich_customers",
-    "stats_corr_qty_price",
-    # r4 evidence (oldest three; tier1 took two slots for the new
-    # r7 queries — the remaining r4 members rotate in next round)
-    "sketch_distinct_tokens",
-    "sketch_quantiles_price",
-    "dedup_minhash_lsh_prod",
+    # r4 evidence (all 17)
+    "funnel_sessions",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q3_top_orders",
+    "q7_nation_volume",
+    "sessionize_events",
+    "similarity_filtered_topk",
+    "similarity_hard_negatives",
+    "streaming_dedup_events",
+    "streaming_enrich_purchases",
+    "streaming_events_hourly",
+    "streaming_events_sliding",
+    "streaming_purchase_view_join",
+    "streaming_purchase_view_left",
+    "streaming_rollup_multires",
+    "streaming_sessionize",
+    "streaming_sessionize_native",
+    # r5 evidence (alphabetically first 30 of 46)
+    "curation_mixture_temperature",
+    "curation_quality_quantile",
+    "curation_token_budget",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "dedup_substring_spans",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_anomaly_zscore",
+    "events_gapfill_hourly",
+    "events_retention_cohorts",
+    "events_user_paths",
+    "fuzzy_link_customer_supplier",
+    "graph_label_propagation",
+    "heavy_hitters_tokens",
+    "multimodal_resize_stub",
+    "pagerank_supplier_part",
+    "pipeline_full_refresh",
+    "pipeline_incremental_refresh",
+    "pipeline_incremental_stats",
+    "pipeline_pretrain_curation",
+    "profile_documents",
+    "rfm_segment_customers",
+    "sample_bernoulli_docs",
+    "sample_stratified_sources",
+    "sample_topk_per_stratum",
+    "similarity_ann_pq",
+    "similarity_ann_rerank",
+    "sketch_cms_merge_shards",
+    "sketch_cms_token_freq",
 ]
 
 ALL_QUERIES = {

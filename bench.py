@@ -166,6 +166,8 @@ BENCH_QUERIES = [
     "text_zipf_slope",
     "dedup_components",
     "curation_leakage_safe_split",
+    # r8 additions
+    "sessionize_events_stitched",
 ]
 
 
