@@ -869,7 +869,10 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, src="keep_id", dst="dup_id")
 
 
-def _components_sql() -> str:
+def _components_reach_cte() -> str:
+    """Shared WITH RECURSIVE chain ending in ``reach`` — the transitive
+    closure of the LSH-blocked near-dup pair graph. Consumed by the
+    components oracle AND the survivors oracle."""
     from map_reduce_lite_spark.ops.similarity import (
         EMB_DIM,
         LSH_N_BANDS,
@@ -904,13 +907,58 @@ WITH RECURSIVE bands AS (
   SELECT a, b FROM edges
   UNION
   SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
-)
+)"""
+
+
+def _components_sql() -> str:
+    return (
+        _components_reach_cte()
+        + """
 SELECT a AS node, LEAST(a, MIN(b)) AS component
 FROM reach GROUP BY a
 """
+    )
 
 
 DEDUP_COMPONENTS_SQL = _components_sql()
+
+
+def dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP-LIST a dedup pipeline actually materializes: every
+    vec_id that survives cluster-level near-dup pruning — each
+    connected component of the LSH-blocked cosine pair graph keeps its
+    minimum id, every unpaired vector keeps itself. This is
+    ``dedup_components``'s consumer stage (ops/graph.dedup_survivors)
+    registered end-to-end: pairs → components → anti-join, so the
+    driver value-verifies the full pair→cluster→prune funnel, not just
+    the cluster labels.
+
+    Scale shape: the pair + components stages are dedup_components'
+    exactly (banded join, log-round pointer jumping); the prune adds
+    one id-only anti-join against the corpus — 8-byte keys, no new
+    hazard. Oracle: the same recursive transitive-closure CTE, keeping
+    ids that are never a non-minimum member of their component."""
+    from map_reduce_lite_spark.ops.graph import dedup_survivors
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+    return dedup_survivors(pairs, emb.select("vec_id"), "vec_id")
+
+
+def _survivors_sql() -> str:
+    return (
+        _components_reach_cte()
+        + """
+SELECT e.vec_id FROM embeddings e
+WHERE e.vec_id NOT IN (
+  SELECT a FROM reach GROUP BY a HAVING LEAST(a, MIN(b)) <> a
+)
+"""
+    )
+
+
+DEDUP_SURVIVORS_SQL = _survivors_sql()
 
 
 DEDUP_QUERIES: dict[str, Query] = {
@@ -949,6 +997,12 @@ DEDUP_QUERIES: dict[str, Query] = {
             dedup_components,
             DEDUP_COMPONENTS_SQL,
             "near-dup clusters via connected components",
+        ),
+        Query(
+            "dedup_survivors_docs",
+            dedup_survivors_docs,
+            DEDUP_SURVIVORS_SQL,
+            "keep-list after cluster-level near-dup pruning (pairs → components → anti-join)",
         ),
     ]
 }

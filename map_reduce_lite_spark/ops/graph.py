@@ -121,6 +121,9 @@ def connected_components(
             new_labels = ckpt(new_labels)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
+        # diagnostics only (stress harness + convergence tests read it):
+        # rounds actually executed, including the final no-change round
+        connected_components.last_rounds = it + 1
         if n_changed == 0:
             break
     return labels.select("node", F.col("label").alias("component"))

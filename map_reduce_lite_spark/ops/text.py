@@ -1131,9 +1131,159 @@ FROM agg WHERE n_ranked >= 2
 """
 
 
+# Closed support for the per-source JS divergence: top-K corpus tokens
+# plus ONE '<other>' bucket for everything else. Deliberately small so
+# the bucket path is value-verified on the 31-word fixture vocabulary
+# in every sweep (a K above the fixture vocab would leave '<other>'
+# untested until a Zipf corpus), and so the distribution support — and
+# with it the source × vocab grid — is bounded by construction at any
+# corpus size.
+JSD_TOP_VOCAB = 20
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's token
+    distribution and the whole-corpus distribution — the drift metric a
+    mixture-curation pipeline tracks per ingestion source (JSD is
+    symmetric and bounded by ln 2, unlike KL, so a brand-new source
+    can't blow the dashboard up on a single unseen token).
+
+    Distributions are over the corpus's top-JSD_TOP_VOCAB tokens plus
+    an '<other>' bucket (total order: count DESC, token ASC), so the
+    support is closed and identical in both engines. Plan: one
+    tokenize pass; the vocab is a (K+1)-row broadcast; per-source and
+    corpus counts are map-side-combined aggs; the source × vocab grid
+    and the 1-row corpus total are bounded broadcasts (no-cartesian
+    allowlist). Determinism: p and q are single divisions of exact
+    BIGINTs; each p·ln(p/((p+q)/2)) term is written in the identical
+    operand order in both engines and summed through DECIMAL(27,12);
+    the closing (Σtp + Σtq)/2 is one double expression."""
+    d = load_table(spark, sf_dir, "documents")
+    fanout = max(spark.sparkContext.defaultParallelism, 8)
+    toks = (
+        d.repartition(fanout, "doc_id")
+        .select(
+            "source",
+            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+        )
+        .filter(F.length("term") > 0)
+    )
+    corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
+    # vocab-sized input: the single-partition global rank window is
+    # bounded by the distinct-token table, never the corpus
+    wg = Window.orderBy(F.desc("c"), F.asc("term"))
+    vocab = corpus.withColumn("rk", F.row_number().over(wg)).select(
+        "term",
+        F.when(F.col("rk") <= JSD_TOP_VOCAB, F.col("term"))
+        .otherwise(F.lit("<other>"))
+        .alias("mtok"),
+    )
+    mapped = toks.join(F.broadcast(vocab), "term").select("source", "mtok")
+    sc_ = mapped.groupBy("source", "mtok").agg(F.count(F.lit(1)).alias("cs"))
+    qc = mapped.groupBy("mtok").agg(F.count(F.lit(1)).alias("cq"))
+    ns = mapped.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
+    nq = mapped.agg(F.count(F.lit(1)).alias("nq"))
+    grid = ns.select("source").crossJoin(F.broadcast(qc.select("mtok")))
+    pq = (
+        grid.join(sc_, ["source", "mtok"], "left")
+        .join(qc, "mtok")
+        .join(ns, "source")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            "source",
+            F.when(F.col("cs").isNull(), F.lit(0.0))
+            .otherwise(F.col("cs").cast("double") / F.col("ns").cast("double"))
+            .alias("p"),
+            (F.col("cq").cast("double") / F.col("nq").cast("double")).alias("q"),
+        )
+    )
+    dec = lambda col: col.cast("decimal(27,12)")  # noqa: E731
+    half = lambda x: x / F.lit(2.0)  # noqa: E731
+    terms = pq.select(
+        "source",
+        F.when(
+            F.col("p") > 0.0,
+            dec(F.col("p") * F.log(F.col("p") / half(F.col("p") + F.col("q")))),
+        )
+        .otherwise(dec(F.lit(0)))
+        .alias("tp"),
+        dec(F.col("q") * F.log(F.col("q") / half(F.col("p") + F.col("q")))).alias(
+            "tq"
+        ),
+    )
+    return terms.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vocab"),
+        F.floor(
+            ((F.sum("tp").cast("double") + F.sum("tq").cast("double")) / F.lit(2.0))
+            * 1e9
+        )
+        .cast("long")
+        .alias("jsd_e9"),
+    )
+
+
+JSD_SQL = rf"""
+WITH toks AS (
+  SELECT source, t.term AS term
+  FROM documents,
+       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+  WHERE t.term <> ''
+), corpus AS (
+  SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term
+), vocab AS (
+  SELECT term,
+         CASE WHEN row_number() OVER (ORDER BY c DESC, term ASC)
+                   <= {JSD_TOP_VOCAB}
+              THEN term ELSE '<other>' END AS mtok
+  FROM corpus
+), mapped AS (
+  SELECT t.source, v.mtok FROM toks t JOIN vocab v ON v.term = t.term
+), sc_ AS (
+  SELECT source, mtok, CAST(COUNT(*) AS BIGINT) AS cs
+  FROM mapped GROUP BY 1, 2
+), qc AS (
+  SELECT mtok, CAST(COUNT(*) AS BIGINT) AS cq FROM mapped GROUP BY 1
+), ns AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS ns FROM mapped GROUP BY 1
+), nq AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS nq FROM mapped
+), grid AS (
+  SELECT s.source, m.mtok
+  FROM (SELECT source FROM ns) s CROSS JOIN (SELECT mtok FROM qc) m
+), pq AS (
+  SELECT g.source,
+         CASE WHEN sc_.cs IS NULL THEN 0.0
+              ELSE CAST(sc_.cs AS DOUBLE) / CAST(ns.ns AS DOUBLE) END AS p,
+         CAST(qc.cq AS DOUBLE) / CAST(nq.nq AS DOUBLE) AS q
+  FROM grid g
+  LEFT JOIN sc_ ON sc_.source = g.source AND sc_.mtok = g.mtok
+  JOIN qc ON qc.mtok = g.mtok
+  JOIN ns ON ns.source = g.source
+  CROSS JOIN nq
+), terms AS (
+  SELECT source,
+         CASE WHEN p > 0.0
+              THEN CAST(p * ln(p / ((p + q) / 2.0)) AS DECIMAL(27,12))
+              ELSE CAST(0 AS DECIMAL(27,12)) END AS tp,
+         CAST(q * ln(q / ((p + q) / 2.0)) AS DECIMAL(27,12)) AS tq
+  FROM pq
+)
+SELECT source, CAST(COUNT(*) AS BIGINT) AS n_vocab,
+       CAST(floor(((CAST(SUM(tp) AS DOUBLE) + CAST(SUM(tq) AS DOUBLE)) / 2.0)
+                  * 1e9) AS BIGINT) AS jsd_e9
+FROM terms GROUP BY source
+"""
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "text_js_divergence",
+            js_divergence_sources,
+            JSD_SQL,
+            "per-source Jensen-Shannon divergence vs the corpus token distribution",
+        ),
         Query(
             "text_collocation_lift",
             collocation_lift,

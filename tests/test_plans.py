@@ -289,6 +289,9 @@ def test_no_cartesian_product_anywhere(spark):
         "cluster_embeddings_kmeans",
         "semdedup_embeddings",
         "pipeline_semdedup_prune",
+        # broadcast bounded-by-construction sides: the (K+1)-row vocab
+        # grid and the 1-row corpus token total
+        "text_js_divergence",
     }
     failures = []
     for name, builder in e.queries().items():

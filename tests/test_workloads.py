@@ -313,3 +313,23 @@ def test_cli_zorder(tmp_path, spark):
     back = spark.read.parquet(dst)
     assert back.count() == 5000
     assert set(back.columns) == {"a", "b"}
+
+
+def test_connected_components_converges_in_log_rounds(spark):
+    """Pointer jumping must bound rounds at ~log2(diameter), not
+    diameter: a 64-chain (diameter 63) converging in <= 8 rounds is the
+    difference between 20 rounds and a million on a 10^6-doc
+    boilerplate chain at crawl scale. Measured r8 (SCALE.md): chains of
+    diameter 63 / 1023 / 8191 converge in 7 / 11 / 14 rounds; a clique
+    in 2."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    chain = spark.range(63).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = connected_components(chain, max_iter=40)
+    assert connected_components.last_rounds <= 8
+    rows = out.collect()
+    assert {r.component for r in rows} == {0} and len(rows) == 64
