@@ -168,6 +168,8 @@ BENCH_QUERIES = [
     "curation_leakage_safe_split",
     # r8 additions
     "sessionize_events_stitched",
+    "dedup_survivors_docs",
+    "text_js_divergence",
 ]
 
 
