@@ -170,6 +170,9 @@ BENCH_QUERIES = [
     "sessionize_events_stitched",
     "dedup_survivors_docs",
     "text_js_divergence",
+    "graph_kcore_parts",
+    "events_rolling_wau",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -473,6 +473,94 @@ FROM l{LPA_ROUNDS} GROUP BY lbl
 """
 
 
+KCORE_K = 3        # minimum surviving degree
+KCORE_ROUNDS = 6   # fixed peel rounds (oracle-replayable unrolling)
+
+
+def kcore_parts(spark, sf_dir: str) -> DataFrame:
+    """Bounded k-core peeling over the supported co-purchase part graph
+    (same support-gated edge list as triangles/LPA): repeatedly drop
+    nodes with degree < KCORE_K, a fixed KCORE_ROUNDS times, and emit
+    each survivor with its within-core degree — the standard
+    dense-community filter (a node in the k-core has ≥ k neighbors who
+    ALSO survive).
+
+    Fixed-round peeling instead of peel-to-fixpoint is deliberate: the
+    DuckDB twin replays each round as a plain chained CTE (recursive
+    CTEs cannot aggregate in the recursive term), and bounded rounds
+    are also the 100 TB posture — each round is one degree agg + two
+    semi-joins on node id, checkpointed, so R rounds cost R flat
+    passes. Peeling converges geometrically on natural graphs (the
+    fixture converges well inside 6 — pinned by the idempotence test);
+    a corpus that needs more rounds raises KCORE_ROUNDS, not the
+    architecture."""
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    fwd = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
+        .select("u", "v")
+    )
+    e = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    e = e.localCheckpoint(eager=True)
+    for _ in range(KCORE_ROUNDS):
+        keep = (
+            e.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= KCORE_K)
+            .select("u")
+        )
+        e = (
+            e.join(keep, "u", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .localCheckpoint(eager=True)
+        )
+    return (
+        e.groupBy(F.col("u").alias("part"))
+        .agg(F.count(F.lit(1)).cast("long").alias("kcore_degree"))
+    )
+
+
+def _kcore_sql() -> str:
+    # MATERIALIZED is load-bearing: each e{i} is referenced twice (the
+    # degree agg and the next filter) and each k{i} twice (both IN
+    # subqueries) — inlined CTEs would re-evaluate the whole chain
+    # per reference, i.e. 2^ROUNDS plan blowup.
+    rounds = []
+    for i in range(KCORE_ROUNDS):
+        rounds.append(
+            f"""k{i} AS MATERIALIZED (
+  SELECT u FROM (SELECT u, COUNT(*) AS d FROM e{i} GROUP BY u)
+  WHERE d >= {KCORE_K}
+), e{i + 1} AS MATERIALIZED (
+  SELECT e.u, e.v FROM e{i} e
+  WHERE e.u IN (SELECT u FROM k{i}) AND e.v IN (SELECT u FROM k{i})
+)"""
+        )
+    chain = ", ".join(rounds)
+    return f"""
+WITH fwd AS (
+  SELECT a.l_partkey AS u, b.l_partkey AS v
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRIANGLE_MIN_SUPPORT}
+), e0 AS (
+  SELECT u, v FROM fwd UNION ALL SELECT v, u FROM fwd
+), {chain}
+SELECT u AS part, CAST(COUNT(*) AS BIGINT) AS kcore_degree
+FROM e{KCORE_ROUNDS} GROUP BY u
+"""
+
+
 def _graph_queries():
     from map_reduce_lite_spark.registry import Query
 
@@ -494,6 +582,12 @@ def _graph_queries():
             triangle_parts,
             TRIANGLE_SQL,
             "triangle counting over the co-purchase part graph (top-k by participation)",
+        ),
+        "graph_kcore_parts": Query(
+            "graph_kcore_parts",
+            kcore_parts,
+            _kcore_sql(),
+            "bounded k-core peel over the co-purchase graph (survivors + core degree)",
         ),
     }
 

@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 MEDIA_SCHEMA = T.StructType(
@@ -333,10 +333,64 @@ FROM b
 """
 
 
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-dedup pipeline shape: normalize → perceptual hash → group.
+
+    A production image deduper decodes, downscales to a canonical
+    grid, and hashes the result so re-encoded/resized copies collide;
+    here the normalize step's stand-in is lowercase + whitespace-
+    collapse of the payload bytes (no codecs in this container), the
+    hash is the engine's portable 60-bit md5, and the grouping is the
+    real thing: groupBy on the 8-byte hash (NEVER on the binary column
+    itself — the module-doc rule), emitting every group with its copy
+    count and the canonical (minimum) media_id a curation pass would
+    keep (the n_copies >= 2 slice is the duplicate set; singletons stay
+    so the output is the full keep-table, non-vacuous at any SF).
+
+    Scale shape: one map pass (normalize + hash, constant per-item
+    work), one 8-byte-key groupBy with map-side combine, output
+    bounded by the number of distinct GROUPS."""
+    d = load_table(spark, sf_dir, "documents")
+    media = synthesize_media(d)
+    norm = F.trim(
+        F.regexp_replace(F.lower(F.decode(F.col("payload"), "UTF-8")), r"\s+", " ")
+    )
+    return (
+        media.select("media_id", md5_60bit(norm).alias("phash"))
+        .groupBy("phash")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+    )
+
+
+# synthesize_media's payload is encode(text, 'utf-8'), so decoding it
+# back is exactly `text` — the oracle normalizes the text directly.
+_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+PHASH_DEDUP_SQL = f"""
+WITH hashed AS (
+  SELECT doc_id AS media_id,
+         {sql_md5_60bit(_SQL_NORM)}
+           AS phash
+  FROM documents
+)
+SELECT phash, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(media_id) AS keep_media_id
+FROM hashed GROUP BY phash
+"""
+
+
 MULTIMODAL_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
         Query("multimodal_bytes", multimodal_bytes, MULTIMODAL_BYTES_SQL, "binary column metrics"),
+        Query(
+            "multimodal_phash_dedup",
+            multimodal_phash_dedup,
+            PHASH_DEDUP_SQL,
+            "normalize→hash→group image-dedup shape over the binary payload",
+        ),
         Query(
             "multimodal_decode_stub",
             multimodal_decode_stub,

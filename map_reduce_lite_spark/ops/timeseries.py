@@ -566,9 +566,59 @@ def _stitched_sessionize_sql() -> str:
     return SESSIONIZE_SQL
 
 
+WAU_WINDOW_DAYS = 7
+
+
+def events_rolling_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 7-day active users per observed day — the growth metric
+    every analytics stack reports, and a shape Spark windows handle
+    badly if written naively (RANGE-frame COUNT(DISTINCT) is not
+    supported; a per-day self-join over the stream shuffles the corpus
+    ×7). Instead: dedup to (day, user) pairs FIRST (map-side combine —
+    the only corpus-width pass), then each activity day contributes to
+    the 7 trailing windows it belongs to via a 7-element date explode
+    of the already-tiny pair table, semi-joined back to observed days,
+    and one exact COUNT(DISTINCT) per day. State is bounded by
+    users × days, never by raw event volume."""
+    e = load_table(spark, sf_dir, "events")
+    du = e.select(F.to_date("ts").alias("day"), "user_id").distinct()
+    ex = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), WAU_WINDOW_DAYS - 1))
+        ).alias("day"),
+        "user_id",
+    )
+    obs = du.select("day").distinct()
+    return (
+        ex.join(obs, "day", "left_semi")
+        .groupBy("day")
+        .agg(F.countDistinct("user_id").cast("long").alias("wau"))
+    )
+
+
+ROLLING_WAU_SQL = f"""
+WITH du AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+), ex AS (
+  SELECT du.day + CAST(o.o AS INT) AS day, du.user_id
+  FROM du, LATERAL unnest(generate_series(0, {WAU_WINDOW_DAYS - 1})) AS o(o)
+)
+SELECT e.day, CAST(COUNT(DISTINCT e.user_id) AS BIGINT) AS wau
+FROM ex e
+WHERE e.day IN (SELECT day FROM du)
+GROUP BY e.day
+"""
+
+
 TIMESERIES_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "events_rolling_wau",
+            events_rolling_wau,
+            ROLLING_WAU_SQL,
+            "exact rolling 7-day active users per observed day (dedup-first, bounded state)",
+        ),
         Query(
             "sessionize_events_stitched",
             sessionize_events_stitched,

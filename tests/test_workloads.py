@@ -333,3 +333,27 @@ def test_connected_components_converges_in_log_rounds(spark):
     assert connected_components.last_rounds <= 8
     rows = out.collect()
     assert {r.component for r in rows} == {0} and len(rows) == 64
+
+
+def test_kcore_peel_converges_within_fixed_rounds(spark):
+    """KCORE_ROUNDS is sized to reach the fixpoint on natural graphs:
+    one more peel round on the fixture graph must change nothing, and
+    every survivor must have degree >= KCORE_K among survivors (the
+    k-core invariant)."""
+    from pyspark.sql import functions as F
+
+    import map_reduce_lite_spark.ops.graph as g
+    from tests.conftest import SF_SMALL
+
+    out = {(r.part, r.kcore_degree) for r in g.kcore_parts(spark, SF_SMALL).collect()}
+    assert out
+    assert all(d >= g.KCORE_K for _, d in out)
+    orig = g.KCORE_ROUNDS
+    try:
+        g.KCORE_ROUNDS = orig + 1
+        more = {
+            (r.part, r.kcore_degree) for r in g.kcore_parts(spark, SF_SMALL).collect()
+        }
+    finally:
+        g.KCORE_ROUNDS = orig
+    assert more == out
