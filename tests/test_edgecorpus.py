@@ -93,6 +93,12 @@ _EDGE_QUERIES = [
     # both engines; single-token sources must drop from the slope fit
     "text_char_entropy",
     "text_zipf_slope",
+    # r8 additions — the corpus has ~27 distinct tokens > JSD_TOP_VOCAB,
+    # so the '<other>' bucket is live here too; the repeated "x a" docs
+    # and the whitespace-only doc (normalizing to the empty string)
+    # exercise phash grouping on degenerate payloads
+    "text_js_divergence",
+    "multimodal_phash_dedup",
 ]
 
 
