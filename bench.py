@@ -176,8 +176,16 @@ BENCH_QUERIES = [
 ]
 
 
-def _time_queries(names: list[str]) -> dict[str, float]:
-    """Run in THIS process: warm pass, then GC-settled min-of-2 per query."""
+def _time_queries(names: list[str], end_canary: bool = False) -> dict[str, float]:
+    """Run in THIS process: warm pass, then GC-settled min-of-2 per query.
+
+    ``end_canary`` re-times the canary trio AFTER the batch's queries
+    (stored under reserved ``__end__:<name>`` keys) — a diagnostic for
+    contention that arrives mid-batch, which the first-position canary
+    cannot see (r8 observed a heavy query reading 2.6× its isolated
+    value inside a batch whose leading canary was clean). Verdicts
+    (floor, ratio, retry) stay on the first-position reading — the
+    statistic the 81-canary calibration was built on."""
     from map_reduce_lite_spark.session import get_spark
     import __spark_entry__ as entry_mod
 
@@ -218,6 +226,16 @@ def _time_queries(names: list[str]) -> dict[str, float]:
             queries[name](spark, SF_DIR).count()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+    if end_canary:
+        for name in CANARY_QUERIES:
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
+            best = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                queries[name](spark, SF_DIR).count()
+                best = min(best, time.perf_counter() - t0)
+            timings[f"__end__:{name}"] = round(best, 3)
     spark.stop()
     return timings
 
@@ -379,7 +397,9 @@ def main() -> None:
     if argv[:1] == ["--batch"]:
         # child worker: time the listed queries, write JSON to the file
         names, out_path = argv[1].split(","), argv[2]
-        Path(out_path).write_text(json.dumps(_time_queries(names)))
+        Path(out_path).write_text(
+            json.dumps(_time_queries(names, end_canary=True))
+        )
         return
 
     if "--in-process" in argv:
@@ -417,14 +437,27 @@ def main() -> None:
         if kept_retry:
             results[i], canaries[i] = retry, retry_canary
     floor, ratio, over = _canary_verdict(canaries, stored_floor)
-    _store_floor_history(history + [_median(canaries)])
+    # Only full-ish runs feed the rolling floor: a scoped
+    # SPARK_GRAFT_BENCH_ONLY / --isolate probe has 1-2 batches, and a
+    # 1-batch "median" is a single draw with the measured ±30-40%
+    # batch jitter — one lucky probe would depress the shared floor
+    # (observed r8: an isolate probe's 1.159 canary entered the file).
+    if len(canaries) >= 3:
+        _store_floor_history(history + [_median(canaries)])
 
     timings: dict[str, float] = {}
     for batch, r in zip(batches, results):
         timings.update({k: v for k, v in r.items() if k in batch})
+    ends = [
+        sum(r.get(f"__end__:{c}", 0.0) for c in CANARY_QUERIES) for r in results
+    ]
     canary = {
         "queries": CANARY_QUERIES,
         "per_batch": [round(c, 3) for c in canaries],
+        # trailing re-read of the same trio (diagnostic only — verdicts
+        # key on the first-position reading): a batch whose end canary
+        # far exceeds its leading one saw contention ARRIVE mid-batch
+        "per_batch_end": [round(c, 3) for c in ends],
         "median_sec": round(_median(canaries), 3),
         "floor_sec": round(floor, 3),
         "ratio": round(ratio, 3),
