@@ -173,6 +173,7 @@ BENCH_QUERIES = [
     "graph_kcore_parts",
     "events_rolling_wau",
     "multimodal_phash_dedup",
+    "embedding_top_pc",
 ]
 
 

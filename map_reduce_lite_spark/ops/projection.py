@@ -670,9 +670,127 @@ GROUP BY t.query_id, t.m
 """
 
 
+PC_ITERS = 3     # fixed power-iteration rounds (oracle-unrollable)
+PC_V0 = 0.125    # 1/sqrt(64): exact in binary -> identical start vector
+
+
+def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus via PC_ITERS
+    rounds of power iteration on the (uncentered) Gram matrix — the
+    dimensionality-reduction / drift-monitoring primitive (a corpus
+    whose top PC flips is a corpus whose dominant semantic axis moved).
+
+    Each round is v ← normalize(Σ_i x_i·(x_i·v)) computed WITHOUT ever
+    materializing the d×d matrix: one corpus pass scores s_i = x_i·v
+    (the engine's standard left-to-right double fold, bit-matched by
+    DuckDB's list_dot_product), then the update vector accumulates
+    per-dimension as Σ_i CAST(x_id·s_i AS DECIMAL(27,12)) — a
+    posexplode + ONE partial-agg SUM keyed on (pos) (the k-means
+    centroid-update shape: constant-size Catalyst tree, map-side
+    combine, 64-row result), repacked to a 1-row array whose norm is a
+    decimal-exact HOF fold. The 1-row v broadcasts into the next round
+    (no driver round-trip, lineage checkpointed per round). Because
+    normalization rescales v, the update's missing 1/n factor cancels;
+    at extreme row counts (Σ terms ≥ 10^15, past DECIMAL(27,12)'s
+    integer headroom) divide s by n first — same direction, same
+    fixpoint. Determinism: every double product and the decimal sums
+    are written in identical operand order in both engines, so three
+    unrolled CTE rounds replay the loadings bit-for-bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("embedding").localCheckpoint(eager=False)
+    norm_expr = (
+        "transform(warr, w -> w / sqrt(cast(aggregate(warr, "
+        "cast(0 as decimal(27,12)), (acc, x) -> cast(acc + "
+        "cast(x * x as decimal(27,12)) as decimal(27,12))) as double)))"
+    )
+    vdf = None
+    for _ in range(PC_ITERS):
+        if vdf is None:
+            qq = q.select(
+                "embedding", F.array(*[F.lit(PC_V0)] * EMB_DIM).alias("v")
+            )
+        else:
+            qq = q.crossJoin(F.broadcast(vdf))
+        ex = qq.select(
+            _dot(F.col("embedding"), F.col("v")).alias("s"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        w = (
+            ex.select(
+                "pos",
+                F.expr("cast(cast(x as double) * s as decimal(27,12))").alias("t"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("t").alias("wd"))
+            .select("pos", F.col("wd").cast("double").alias("wd"))
+        )
+        packed = (
+            w.groupBy()
+            .agg(F.collect_list(F.struct("pos", "wd")).alias("ps"))
+            .select(
+                F.transform(F.array_sort("ps"), lambda st: st["wd"]).alias("warr")
+            )
+        )
+        vdf = packed.select(F.expr(norm_expr).alias("v")).localCheckpoint(
+            eager=True
+        )
+    return vdf.select(F.posexplode("v").alias("pos", "loading")).select(
+        (F.col("pos") + 1).cast("int").alias("dim"),
+        F.floor(F.col("loading") * 1e9).cast("long").alias("loading_e9"),
+    )
+
+
+def _top_pc_sql() -> str:
+    """Three unrolled power-iteration rounds, column-wise (x1..x64 /
+    w1..w64 flat columns — the k-means oracle's allocator lesson), with
+    the same fold orders: s is a left-associated 64-term double chain
+    (== the zip_with fold from acc 0.0), the per-dim sums and the norm
+    accumulate through DECIMAL(27,12) (exact, order-free)."""
+    d = EMB_DIM
+    xcols = ", ".join(
+        f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
+    )
+    parts = [f"q AS (SELECT {xcols} FROM embeddings)"]
+    prev = None
+    for t in range(PC_ITERS):
+        if prev is None:
+            s_terms = " + ".join(f"x{i} * {PC_V0!r}" for i in range(1, d + 1))
+            src = "q"
+        else:
+            s_terms = " + ".join(f"x{i} * {prev}.v{i}" for i in range(1, d + 1))
+            src = f"q CROSS JOIN {prev}"
+        parts.append(f"s{t} AS (SELECT ({s_terms}) AS s, * FROM {src})")
+        wsums = ", ".join(
+            f"CAST(SUM(CAST(x{i} * s AS DECIMAL(27,12))) AS DOUBLE) AS u{i}"
+            for i in range(1, d + 1)
+        )
+        parts.append(f"w{t} AS (SELECT {wsums} FROM s{t})")
+        nrm = " + ".join(
+            f"CAST(u{i} * u{i} AS DECIMAL(27,12))" for i in range(1, d + 1)
+        )
+        vcols = ", ".join(
+            f"u{i} / sqrt(CAST(({nrm}) AS DOUBLE)) AS v{i}"
+            for i in range(1, d + 1)
+        )
+        parts.append(f"v{t} AS (SELECT {vcols} FROM w{t})")
+        prev = f"v{t}"
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS dim, CAST(floor(v{i} * 1e9) AS BIGINT) AS loading_e9 "
+        f"FROM {prev}"
+        for i in range(1, d + 1)
+    )
+    return "WITH " + ",\n".join(parts) + f"\nSELECT CAST(dim AS INT) AS dim, loading_e9 FROM ({rows})"
+
+
 PROJECTION_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
+        Query(
+            "embedding_top_pc",
+            embedding_top_pc,
+            _top_pc_sql(),
+            "top principal component by matrix-free power iteration (decimal-exact twin)",
+        ),
         Query(
             "embedding_prefix_recall",
             embedding_prefix_recall,

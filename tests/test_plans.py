@@ -292,6 +292,8 @@ def test_no_cartesian_product_anywhere(spark):
         # broadcast bounded-by-construction sides: the (K+1)-row vocab
         # grid and the 1-row corpus token total
         "text_js_divergence",
+        # power iteration: 1-row v vector broadcast into the corpus scan
+        "embedding_top_pc",
     }
     failures = []
     for name, builder in e.queries().items():

@@ -230,3 +230,36 @@ def test_dim_stats_invariants(spark):
         F.greatest(F.abs("min_q6"), F.abs("max_q6")) / 1000 + 1
     )
     assert out.filter(F.col("sumsq_q3") > cap * cap * F.col("n_vecs")).count() == 0
+
+
+def test_top_pc_recovers_planted_dominant_axis(spark, tmp_path):
+    """Power iteration on a corpus with a planted dominant axis must
+    return (up to sign) that axis: vectors are ±[1..3]·e7 plus small
+    off-axis jitter, so the Gram matrix's top eigenvector is ~e7. Also
+    pins the output contract: 64 unit-norm loadings."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_lite_spark.ops.projection import EMB_DIM, embedding_top_pc
+
+    vecs, ids = [], []
+    for i in range(300):
+        v = [0.0] * EMB_DIM
+        v[6] = (1.0 + (i % 5)) * (1.0 if i % 2 == 0 else -1.0)  # dominant dim 7
+        v[(i * 11) % EMB_DIM] += 0.05 + 0.01 * (i % 3)          # jitter
+        ids.append(i)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(ids), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+    rows = {r.dim: r.loading_e9 for r in embedding_top_pc(spark, str(tmp_path)).collect()}
+    assert len(rows) == EMB_DIM
+    assert abs(rows[7]) >= 0.95e9, rows[7]
+    norm2 = sum((v / 1e9) ** 2 for v in rows.values())
+    assert 0.99 <= norm2 <= 1.01
+    assert all(abs(v) < 0.2e9 for d, v in rows.items() if d != 7)
