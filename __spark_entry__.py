@@ -120,14 +120,16 @@ _FRONT_CHANGED = [
     "events_rolling_wau",
     "multimodal_phash_dedup",
     "embedding_top_pc",
+    "text_shingle_novelty",
+    "dedup_rate_by_source",
 ]
 
 # Tier 2 — evidence-freshness rotation, r8 batch: the entire 17-query
 # r4-age batch (all 17 were independently re-verified by the r7 judge,
 # so exposure was already zero — this is the promised hygiene), then
-# the 24 alphabetically-first of the 46-query r5-age batch, sized so
+# the 22 alphabetically-first of the 46-query r5-age batch, sized so
 # tier1+tier2 = 50 = the driver's check window. After this round no
-# live query's driver evidence is older than r5; the remaining 22 r5
+# live query's driver evidence is older than r5; the remaining 24 r5
 # members plus the r6 batch rotate in next.
 _ROTATION_OLDEST = [
     # r4 evidence (all 17)
@@ -148,7 +150,7 @@ _ROTATION_OLDEST = [
     "streaming_rollup_multires",
     "streaming_sessionize",
     "streaming_sessionize_native",
-    # r5 evidence (alphabetically first 24 of 46)
+    # r5 evidence (alphabetically first 22 of 46)
     "curation_mixture_temperature",
     "curation_quality_quantile",
     "curation_token_budget",
@@ -172,8 +174,6 @@ _ROTATION_OLDEST = [
     "pipeline_pretrain_curation",
     "profile_documents",
     "rfm_segment_customers",
-    "sample_bernoulli_docs",
-    "sample_stratified_sources",
 ]
 
 ALL_QUERIES = {

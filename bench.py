@@ -174,6 +174,8 @@ BENCH_QUERIES = [
     "events_rolling_wau",
     "multimodal_phash_dedup",
     "embedding_top_pc",
+    "text_shingle_novelty",
+    "dedup_rate_by_source",
 ]
 
 

@@ -946,6 +946,135 @@ def dedup_survivors_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_survivors(pairs, emb.select("vec_id"), "vec_id")
 
 
+def text_shingle_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document shingle novelty: what fraction of a doc's word-3
+    shingles first appeared in an EARLIER document (doc_id order = the
+    corpus's ingestion order)? The memorization/staleness metric a
+    curation pass tracks alongside near-dup rate — a crawl slice whose
+    novelty collapses is re-crawling what the corpus already has.
+
+    Plan: the shared distinct (doc, shingle) table (one corpus
+    shuffle), a min-doc-per-shingle aggregation (map-side combined —
+    posting lists collapse to one value, so NO df cap is needed: there
+    is no self-join to go quadratic), one join back on the shingle key
+    reusing the same partitioning, and a per-doc count agg. All exact
+    integers; basis points by integer floor."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = shingles(d).cache()
+    first = sh.groupBy("shingle").agg(F.min("doc").alias("first_doc"))
+    per_doc = (
+        sh.join(first, "shingle")
+        .groupBy(F.col("doc").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(
+                F.when(F.col("first_doc") < F.col("doc"), 1).otherwise(0)
+            ).alias("n_seen_before"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        "n_shingles",
+        "n_seen_before",
+        F.floor(
+            F.lit(10000)
+            * (F.col("n_shingles") - F.col("n_seen_before"))
+            / F.col("n_shingles")
+        )
+        .cast("long")
+        .alias("novelty_bps"),
+    )
+
+
+SHINGLE_NOVELTY_SQL = _SHINGLES_CTE + """
+, first AS (
+  SELECT shingle, MIN(doc) AS first_doc FROM sh GROUP BY shingle
+)
+SELECT sh.doc AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       CAST(SUM(CASE WHEN f.first_doc < sh.doc THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_seen_before,
+       CAST(floor(10000 * (COUNT(*) - SUM(CASE WHEN f.first_doc < sh.doc
+                                              THEN 1 ELSE 0 END))
+                  / COUNT(*)) AS BIGINT) AS novelty_bps
+FROM sh JOIN first f ON f.shingle = sh.shingle
+GROUP BY sh.doc
+"""
+
+
+def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup exposure per ingestion source: how many of a source's
+    documents participate in at least one word-3-shingle near-dup pair
+    (the dedup_ngram_jaccard pair set), as exact basis points — the
+    per-source health metric that tells a mixture planner WHICH feed
+    is flooding the corpus with copies.
+
+    Plan: the pair stage is dedup_ngram_jaccard's (DF-capped inverted
+    index, id-only pairs); flagged ids are a distinct union of both
+    pair columns (8-byte rows), attached to sources by one equi-join,
+    and the rate is a |sources|-key aggregation."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d)
+    flagged = (
+        pairs.select(F.col("doc1").alias("doc_id"))
+        .union(pairs.select(F.col("doc2").alias("doc_id")))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(flagged, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.coalesce(F.col("is_dup"), F.lit(0))).alias("n_duped"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            "n_duped",
+            F.floor(F.lit(10000) * F.col("n_duped") / F.col("n_docs"))
+            .cast("long")
+            .alias("dup_rate_bps"),
+        )
+    )
+
+
+DEDUP_RATE_BY_SOURCE_SQL = _SHINGLES_CTE + f"""
+, sizes AS (
+  SELECT doc, COUNT(*) AS n_shingles FROM sh GROUP BY doc
+), capped AS (
+  SELECT sh.doc, sh.shingle FROM sh
+  JOIN (SELECT shingle FROM sh GROUP BY shingle
+        HAVING COUNT(*) <= {SHINGLE_DF_CAP}) keep
+    ON keep.shingle = sh.shingle
+), inter AS (
+  SELECT a.doc AS doc1, b.doc AS doc2, COUNT(*) AS n_inter
+  FROM capped a JOIN capped b ON a.shingle = b.shingle AND a.doc < b.doc
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc1, doc2
+  FROM inter
+  JOIN sizes s1 ON s1.doc = doc1
+  JOIN sizes s2 ON s2.doc = doc2
+  WHERE n_inter / (s1.n_shingles + s2.n_shingles - n_inter) >= 0.5
+), flagged AS (
+  SELECT DISTINCT doc_id FROM (
+    SELECT doc1 AS doc_id FROM pairs UNION ALL SELECT doc2 FROM pairs
+  )
+)
+SELECT d.source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_duped,
+       CAST(floor(10000 * SUM(CASE WHEN f.doc_id IS NOT NULL THEN 1 ELSE 0
+                                   END) / COUNT(*)) AS BIGINT)
+         AS dup_rate_bps
+FROM documents d LEFT JOIN flagged f ON f.doc_id = d.doc_id
+GROUP BY d.source
+"""
+
+
 def _survivors_sql() -> str:
     return (
         _components_reach_cte()
@@ -1003,6 +1132,18 @@ DEDUP_QUERIES: dict[str, Query] = {
             dedup_survivors_docs,
             DEDUP_SURVIVORS_SQL,
             "keep-list after cluster-level near-dup pruning (pairs → components → anti-join)",
+        ),
+        Query(
+            "text_shingle_novelty",
+            text_shingle_novelty,
+            SHINGLE_NOVELTY_SQL,
+            "per-doc fraction of shingles first seen in earlier docs (exact bps)",
+        ),
+        Query(
+            "dedup_rate_by_source",
+            dedup_rate_by_source,
+            DEDUP_RATE_BY_SOURCE_SQL,
+            "per-source near-dup participation rate over the jaccard pair set",
         ),
     ]
 }
