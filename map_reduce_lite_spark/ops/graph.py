@@ -77,6 +77,9 @@ def connected_components(
       round costs the same flat join+agg. (checkpoint_every stays a
       parameter for callers whose per-round state is huge enough that
       materialization, not re-execution, dominates.)"""
+    # reset the diagnostic at entry so a call that fails before its
+    # first round can't leave a previous call's stale value behind
+    connected_components.last_rounds = 0
     ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()

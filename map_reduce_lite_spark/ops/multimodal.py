@@ -349,11 +349,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: one map pass (normalize + hash, constant per-item
     work), one 8-byte-key groupBy with map-side combine, output
-    bounded by the number of distinct GROUPS."""
+    bounded by the number of distinct GROUPS.
+
+    The whitespace class is spelled out explicitly ([ \\t\\n\\r\\f\\x0B])
+    rather than \\s because Java regex (Spark) includes vertical tab in
+    \\s while RE2 (DuckDB) does not — a payload containing \\x0B would
+    hash differently across engines under \\s."""
     d = load_table(spark, sf_dir, "documents")
     media = synthesize_media(d)
     norm = F.trim(
-        F.regexp_replace(F.lower(F.decode(F.col("payload"), "UTF-8")), r"\s+", " ")
+        F.regexp_replace(
+            F.lower(F.decode(F.col("payload"), "UTF-8")), "[ \t\n\r\f\x0B]+", " "
+        )
     )
     return (
         media.select("media_id", md5_60bit(norm).alias("phash"))
@@ -367,7 +374,8 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # synthesize_media's payload is encode(text, 'utf-8'), so decoding it
 # back is exactly `text` — the oracle normalizes the text directly.
-_SQL_NORM = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+# explicit class, not \s: RE2's \s excludes \x0B, Java's includes it
+_SQL_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
 PHASH_DEDUP_SQL = f"""
 WITH hashed AS (
   SELECT doc_id AS media_id,

@@ -689,15 +689,23 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
     centroid-update shape: constant-size Catalyst tree, map-side
     combine, 64-row result), repacked to a 1-row array whose norm is a
     decimal-exact HOF fold. The 1-row v broadcasts into the next round
-    (no driver round-trip, lineage checkpointed per round). Because
-    normalization rescales v, the update's missing 1/n factor cancels;
-    at extreme row counts (Σ terms ≥ 10^15, past DECIMAL(27,12)'s
-    integer headroom) divide s by n first — same direction, same
-    fixpoint. Determinism: every double product and the decimal sums
-    are written in identical operand order in both engines, so three
-    unrolled CTE rounds replay the loadings bit-for-bit."""
+    (no driver round-trip, lineage checkpointed per round). Overflow
+    guard: s is divided by n (the exact row count, a 1-row broadcast)
+    BEFORE the decimal quantization, so the per-dimension sum is
+    bounded by max_row|x·s| at ANY corpus size — DECIMAL(27,12)'s 15
+    integer digits can never be exceeded by row count alone (without
+    the division, Σ terms pass 10^15 around 10⁹ rows × |x·s|~10⁶).
+    Normalization rescales v, so the 1/n factor changes neither the
+    direction nor the fixpoint, and relative precision is unchanged
+    (per-term quantization error and sum magnitude both scale by n).
+    Determinism: every double product and the decimal sums are written
+    in identical operand order in both engines, so three unrolled CTE
+    rounds replay the loadings bit-for-bit."""
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.select("embedding").localCheckpoint(eager=False)
+    nq = q.agg(F.count(F.lit(1)).cast("double").alias("nd")).localCheckpoint(
+        eager=True
+    )
     norm_expr = (
         "transform(warr, w -> w / sqrt(cast(aggregate(warr, "
         "cast(0 as decimal(27,12)), (acc, x) -> cast(acc + "
@@ -711,8 +719,8 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         else:
             qq = q.crossJoin(F.broadcast(vdf))
-        ex = qq.select(
-            _dot(F.col("embedding"), F.col("v")).alias("s"),
+        ex = qq.crossJoin(F.broadcast(nq)).select(
+            (_dot(F.col("embedding"), F.col("v")) / F.col("nd")).alias("s"),
             F.posexplode("embedding").alias("pos", "x"),
         )
         w = (
@@ -744,22 +752,27 @@ def _top_pc_sql() -> str:
     """Three unrolled power-iteration rounds, column-wise (x1..x64 /
     w1..w64 flat columns — the k-means oracle's allocator lesson), with
     the same fold orders: s is a left-associated 64-term double chain
-    (== the zip_with fold from acc 0.0), the per-dim sums and the norm
-    accumulate through DECIMAL(27,12) (exact, order-free)."""
+    (== the zip_with fold from acc 0.0) divided by the exact row count
+    (the overflow guard — the per-dim decimal sums stay bounded by one
+    row's magnitude), the per-dim sums and the norm accumulate through
+    DECIMAL(27,12) (exact, order-free)."""
     d = EMB_DIM
     xcols = ", ".join(
         f"CAST(embedding[{i}] AS DOUBLE) AS x{i}" for i in range(1, d + 1)
     )
-    parts = [f"q AS (SELECT {xcols} FROM embeddings)"]
+    parts = [
+        f"q AS (SELECT {xcols} FROM embeddings)",
+        "nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM embeddings)",
+    ]
     prev = None
     for t in range(PC_ITERS):
         if prev is None:
             s_terms = " + ".join(f"x{i} * {PC_V0!r}" for i in range(1, d + 1))
-            src = "q"
+            src = "q CROSS JOIN nn"
         else:
             s_terms = " + ".join(f"x{i} * {prev}.v{i}" for i in range(1, d + 1))
-            src = f"q CROSS JOIN {prev}"
-        parts.append(f"s{t} AS (SELECT ({s_terms}) AS s, * FROM {src})")
+            src = f"q CROSS JOIN {prev} CROSS JOIN nn"
+        parts.append(f"s{t} AS (SELECT (({s_terms}) / nd) AS s, * FROM {src})")
         wsums = ", ".join(
             f"CAST(SUM(CAST(x{i} * s AS DECIMAL(27,12))) AS DOUBLE) AS u{i}"
             for i in range(1, d + 1)

@@ -1151,13 +1151,18 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     Distributions are over the corpus's top-JSD_TOP_VOCAB tokens plus
     an '<other>' bucket (total order: count DESC, token ASC), so the
     support is closed and identical in both engines. Plan: one
-    tokenize pass; the vocab is a (K+1)-row broadcast; per-source and
-    corpus counts are map-side-combined aggs; the source × vocab grid
-    and the 1-row corpus total are bounded broadcasts (no-cartesian
-    allowlist). Determinism: p and q are single divisions of exact
-    BIGINTs; each p·ln(p/((p+q)/2)) term is written in the identical
-    operand order in both engines and summed through DECIMAL(27,12);
-    the closing (Σtp + Σtq)/2 is one double expression."""
+    tokenize pass; the head terms come from a two-stage top-K
+    (TakeOrderedAndProject — per-partition heaps, never a global sort),
+    so ONLY those K rows are broadcast and every miss of the left join
+    coalesces to '<other>' — no vocabulary-sized table is sorted on one
+    task or shipped to executors at any corpus size; per-source and
+    corpus counts are map-side-combined aggs over the (K+1)-symbol
+    support; the source × vocab grid and the 1-row corpus total are
+    bounded broadcasts (no-cartesian allowlist). Determinism: p and q
+    are single divisions of exact BIGINTs; each p·ln(p/((p+q)/2)) term
+    is written in the identical operand order in both engines and
+    summed through DECIMAL(27,12); the closing (Σtp + Σtq)/2 is one
+    double expression."""
     d = load_table(spark, sf_dir, "documents")
     fanout = max(spark.sparkContext.defaultParallelism, 8)
     toks = (
@@ -1169,16 +1174,16 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("term") > 0)
     )
     corpus = toks.groupBy("term").agg(F.count(F.lit(1)).alias("c"))
-    # vocab-sized input: the single-partition global rank window is
-    # bounded by the distinct-token table, never the corpus
-    wg = Window.orderBy(F.desc("c"), F.asc("term"))
-    vocab = corpus.withColumn("rk", F.row_number().over(wg)).select(
-        "term",
-        F.when(F.col("rk") <= JSD_TOP_VOCAB, F.col("term"))
-        .otherwise(F.lit("<other>"))
-        .alias("mtok"),
+    # two-stage top-K: partial per-partition heaps → one K-row merge;
+    # the broadcast side is exactly K rows regardless of vocabulary size
+    topk = (
+        corpus.orderBy(F.desc("c"), F.asc("term"))
+        .limit(JSD_TOP_VOCAB)
+        .select("term", F.col("term").alias("mtok"))
     )
-    mapped = toks.join(F.broadcast(vocab), "term").select("source", "mtok")
+    mapped = toks.join(F.broadcast(topk), "term", "left").select(
+        "source", F.coalesce("mtok", F.lit("<other>")).alias("mtok")
+    )
     sc_ = mapped.groupBy("source", "mtok").agg(F.count(F.lit(1)).alias("cs"))
     qc = mapped.groupBy("mtok").agg(F.count(F.lit(1)).alias("cq"))
     ns = mapped.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))

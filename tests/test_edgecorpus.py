@@ -114,6 +114,51 @@ def _run_both(spark, duck, sf_dir, name):
     return spark_cols, spark_rows, duck_cols, duck_rows
 
 
+def test_phash_vertical_tab_cross_engine(spark, tmp_path):
+    """Java regex \\s includes vertical tab (\\x0B); RE2's does not.
+    multimodal_phash_dedup spells the whitespace class out explicitly,
+    so a payload containing \\x0B must (a) hash identically in both
+    engines and (b) collide with its space-separated twin — this corpus
+    has three \\x0B-bearing variants of one doc plus a control."""
+    import duckdb
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    import __spark_entry__ as e
+
+    docs = [
+        (1, "hello world", "a"),
+        (2, "hello\x0bworld", "a"),
+        (3, "hello \x0b world", "a"),
+        (4, "\x0bhello world\x0b", "a"),
+        (5, "different text", "b"),
+    ]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([r[2] for r in docs], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{tmp_path}/documents.parquet')"
+    )
+    sdf = e.queries()["multimodal_phash_dedup"](spark, str(tmp_path))
+    spark_rows = sorted(tuple(r) for r in sdf.collect())
+    duck_rows = sorted(
+        tuple(r) for r in con.execute(e.oracle_sql()["multimodal_phash_dedup"]).fetchall()
+    )
+    assert spark_rows == duck_rows
+    # docs 1-4 normalize to 'hello world' in BOTH engines → one group
+    # of 4 keeping media_id 1, plus the control singleton
+    by_keep = {r[2]: r[1] for r in spark_rows}
+    assert by_keep == {1: 4, 5: 1}, spark_rows
+
+
 @pytest.mark.parametrize("name", _EDGE_QUERIES)
 def test_edge_corpus_matches_oracle(spark, edge_duck, edge_dir, name):
     spark_cols, spark_rows, duck_cols, duck_rows = _run_both(

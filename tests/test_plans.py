@@ -307,6 +307,18 @@ def test_no_cartesian_product_anywhere(spark):
     assert not failures, failures
 
 
+def test_jsd_vocab_topk_no_full_broadcast(spark):
+    """text_js_divergence: the term→bucket map must be the K-row
+    TakeOrderedAndProject head, NOT the full distinct-token table — the
+    old form ran an unpartitioned row_number window over the whole
+    vocabulary and broadcast it (executor OOM at crawl-scale
+    vocabularies). No Window node may appear anywhere in the plan."""
+    plan = _plan(_q(spark, "text_js_divergence"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "Window" not in plan, plan
+    assert "BatchEvalPython" not in plan, plan
+
+
 def test_span_queries_tokenize_once(spark):
     """The token array must appear as ONE split() in the optimized plan.
     If the tokenizer expression gets inlined into the span-construction

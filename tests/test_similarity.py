@@ -263,3 +263,79 @@ def test_top_pc_recovers_planted_dominant_axis(spark, tmp_path):
     norm2 = sum((v / 1e9) ** 2 for v in rows.values())
     assert 0.99 <= norm2 <= 1.01
     assert all(abs(v) < 0.2e9 for d, v in rows.items() if d != 7)
+
+
+def test_top_pc_divide_by_n_direction_invariant(spark):
+    """The divide-s-by-n overflow guard must not move the direction:
+    normalization cancels any per-round scalar on the update vector, so
+    the guarded form and the unguarded (pre-r9) form agree on every
+    loading to fp-rounding granularity. Re-derives the unguarded form
+    inline and compares at the e9 quantization on the sf0.001 fixture."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.projection import (
+        EMB_DIM,
+        PC_ITERS,
+        PC_V0,
+        _dot,
+        embedding_top_pc,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    q = load_table(spark, sf, "embeddings").select("embedding").localCheckpoint(
+        eager=False
+    )
+    norm_expr = (
+        "transform(warr, w -> w / sqrt(cast(aggregate(warr, "
+        "cast(0 as decimal(27,12)), (acc, x) -> cast(acc + "
+        "cast(x * x as decimal(27,12)) as decimal(27,12))) as double)))"
+    )
+    vdf = None
+    for _ in range(PC_ITERS):
+        if vdf is None:
+            qq = q.select(
+                "embedding", F.array(*[F.lit(PC_V0)] * EMB_DIM).alias("v")
+            )
+        else:
+            qq = q.crossJoin(F.broadcast(vdf))
+        ex = qq.select(
+            _dot(F.col("embedding"), F.col("v")).alias("s"),
+            F.posexplode("embedding").alias("pos", "x"),
+        )
+        w = (
+            ex.select(
+                "pos",
+                F.expr("cast(cast(x as double) * s as decimal(27,12))").alias("t"),
+            )
+            .groupBy("pos")
+            .agg(F.sum("t").alias("wd"))
+            .select("pos", F.col("wd").cast("double").alias("wd"))
+        )
+        packed = (
+            w.groupBy()
+            .agg(F.collect_list(F.struct("pos", "wd")).alias("ps"))
+            .select(
+                F.transform(F.array_sort("ps"), lambda st: st["wd"]).alias("warr")
+            )
+        )
+        vdf = packed.select(F.expr(norm_expr).alias("v")).localCheckpoint(
+            eager=True
+        )
+    unguarded = {
+        r.dim: r.loading_e9
+        for r in vdf.select(F.posexplode("v").alias("pos", "loading"))
+        .select(
+            (F.col("pos") + 1).cast("int").alias("dim"),
+            F.floor(F.col("loading") * 1e9).cast("long").alias("loading_e9"),
+        )
+        .collect()
+    }
+    guarded = {r.dim: r.loading_e9 for r in embedding_top_pc(spark, sf).collect()}
+    assert set(guarded) == set(unguarded)
+    # same direction (no global sign flip) and every loading within
+    # fp-rounding of the unguarded value at the 1e-9 quantization
+    diffs = {d: abs(guarded[d] - unguarded[d]) for d in guarded}
+    assert max(diffs.values()) <= 2, sorted(
+        diffs.items(), key=lambda kv: -kv[1]
+    )[:5]
