@@ -59,6 +59,44 @@ def test_faster_run_lowers_the_floor():
     assert over == []
 
 
+def test_end_canary_spike_triggers_retry_of_clean_leading_batch():
+    """The r8 blind spot: contention arriving MID-batch sits behind a
+    clean first-position canary. The trailing reading must name that
+    batch for retry — compared against the run's own END-canary median,
+    since end canaries run at deeper JIT warmth than leading ones."""
+    leading = [1.25, 1.30, 1.28, 1.27]   # all healthy
+    ends = [1.05, 1.08, 1.95, 1.06]      # batch 2 went hot mid-batch
+    floor, ratio, over = bench._canary_verdict(leading, 1.2, ends)
+    assert over == [2]
+    # leading stats stay the verdict basis: run still healthy
+    assert ratio < bench.CANARY_TOLERANCE
+    assert floor == 1.2
+
+
+def test_both_canaries_spiking_names_batch_once():
+    leading = [1.25, 1.30, 1.28, 1.80]
+    ends = [1.05, 1.08, 1.06, 1.90]
+    _, _, over = bench._canary_verdict(leading, 1.2, ends)
+    assert over == [3]
+
+
+def test_healthy_end_canaries_add_no_retries():
+    leading = [1.25, 1.30, 1.28, 1.27]
+    ends = [1.05, 1.18, 1.10, 1.06]  # within tolerance of their median
+    _, _, over = bench._canary_verdict(leading, 1.2, ends)
+    assert over == []
+
+
+def test_end_canaries_never_move_floor_or_ratio():
+    """Floor and contamination ratio key ONLY on the first-position
+    statistic the 81-canary calibration was built on — uniformly hot
+    end readings (deep-JIT composition shift) must not flag the run."""
+    leading = [1.25, 1.30, 1.28]
+    f1, r1, _ = bench._canary_verdict(leading, 1.2)
+    f2, r2, _ = bench._canary_verdict(leading, 1.2, [9.0, 9.1, 8.9])
+    assert (f1, r1) == (f2, r2)
+
+
 def test_floor_file_roundtrip_and_mismatch_invalidation(tmp_path, monkeypatch):
     p = tmp_path / "floor.json"
     monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
