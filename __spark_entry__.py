@@ -103,77 +103,79 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — NEW or CHANGED in r8:
-# triangle counting switched to degree-ordered orientation (Spark side
-# only — the oracle keeps id-orientation, so the green hash proves the
-# rewrite is semantically identity), char_entropy folded into the
-# zero-shuffle sorted-run aggregate (bit-identity A/B'd), and the new
-# hierarchical sessionize variant (oracle = the plain form's SQL).
+# Tier 1 — CHANGED in r9:
+# the JSD vocab stage switched from a full-vocab window+broadcast to a
+# two-stage top-K + K-row broadcast + left-join coalesce (bit-identity
+# A/B'd both scales), embedding_top_pc gained the divide-by-n decimal
+# overflow guard (oracle replays the division — direction-invariance
+# property-tested), and phash's whitespace class is now spelled out in
+# both engines (\x0B parity).
 _FRONT_CHANGED = [
-    "graph_triangle_parts",
-    "text_char_entropy",
-    "sessionize_events_stitched",
-    # brand-new in r8
-    "dedup_survivors_docs",
     "text_js_divergence",
-    "graph_kcore_parts",
-    "events_rolling_wau",
-    "multimodal_phash_dedup",
     "embedding_top_pc",
-    "text_shingle_novelty",
-    "dedup_rate_by_source",
+    "multimodal_phash_dedup",
 ]
 
-# Tier 2 — evidence-freshness rotation, r8 batch: the entire 17-query
-# r4-age batch (all 17 were independently re-verified by the r7 judge,
-# so exposure was already zero — this is the promised hygiene), then
-# the 22 alphabetically-first of the 46-query r5-age batch, sized so
-# tier1+tier2 = 50 = the driver's check window. After this round no
-# live query's driver evidence is older than r5; the remaining 24 r5
-# members plus the r6 batch rotate in next.
+# Tier 2 — evidence-freshness rotation, r9 batch: all 23 remaining
+# r5-evidence queries (the r8 judge independently re-verified every one
+# of them, so exposure is already zero — this is the promised hygiene),
+# then the reference's own four parity workloads (wc/grep/vertex-degree/
+# matrix-multiply — fronted first per the r8 verdict since they are the
+# reference's query library), then the 20 alphabetically-first of the
+# remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
+# check window. After this round no live query's driver evidence is
+# older than r6; the leftover 22 r6 members rotate in next round.
 _ROTATION_OLDEST = [
-    # r4 evidence (all 17)
-    "funnel_sessions",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q3_top_orders",
-    "q7_nation_volume",
-    "sessionize_events",
-    "similarity_filtered_topk",
-    "similarity_hard_negatives",
-    "streaming_dedup_events",
-    "streaming_enrich_purchases",
-    "streaming_events_hourly",
-    "streaming_events_sliding",
-    "streaming_purchase_view_join",
-    "streaming_purchase_view_left",
-    "streaming_rollup_multires",
-    "streaming_sessionize",
-    "streaming_sessionize_native",
-    # r5 evidence (alphabetically first 22 of 46)
-    "curation_mixture_temperature",
-    "curation_quality_quantile",
-    "curation_token_budget",
-    "dedup_containment",
-    "dedup_incremental_minhash",
-    "dedup_substring_spans",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_anomaly_zscore",
-    "events_gapfill_hourly",
-    "events_retention_cohorts",
-    "events_user_paths",
-    "fuzzy_link_customer_supplier",
-    "graph_label_propagation",
-    "heavy_hitters_tokens",
-    "multimodal_resize_stub",
-    "pagerank_supplier_part",
-    "pipeline_full_refresh",
-    "pipeline_incremental_refresh",
-    "pipeline_incremental_stats",
-    "pipeline_pretrain_curation",
-    "profile_documents",
+    # r5 evidence (all 23 remaining)
     "rfm_segment_customers",
+    "sample_bernoulli_docs",
+    "sample_stratified_sources",
+    "sample_topk_per_stratum",
+    "similarity_ann_pq",
+    "similarity_ann_rerank",
+    "sketch_cms_merge_shards",
+    "sketch_cms_token_freq",
+    "snapshot_diff_documents",
+    "streaming_distinct_users",
+    "streaming_serving_upsert",
+    "streaming_topk_trending",
+    "text_chunk_documents",
+    "text_collocation_lift",
+    "text_doc_fingerprint",
+    "text_inverted_index",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "vocab_bpe_merges",
+    # the reference's own query library (r6 evidence, fronted)
+    "wc_documents",
+    "grep_documents",
+    "vertex_degree_lineitem",
+    "matrix_multiply_synth",
+    # r6 evidence (alphabetically first 20 of the remaining 42)
+    "agg_stats_by_brand",
+    "anti_join_customers",
+    "asof_join_purchase_view",
+    "assoc_rules_brands",
+    "attribution_last_touch",
+    "case_bucket_acctbal",
+    "cluster_embeddings_kmeans",
+    "cube_flag_status",
+    "curation_ccnet_buckets",
+    "date_funcs_monthly",
+    "distinct_segments",
+    "embedding_dim_stats",
+    "embedding_prefix_recall",
+    "events_hourly",
+    "grouping_sets_priority",
+    "join_nation_region",
+    "json_events",
+    "math_funcs",
+    "outer_join_order_counts",
+    "percentile_quantity",
 ]
 
 ALL_QUERIES = {
