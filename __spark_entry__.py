@@ -114,6 +114,9 @@ _FRONT_CHANGED = [
     "text_js_divergence",
     "embedding_top_pc",
     "multimodal_phash_dedup",
+    # brand-new in r9
+    "embedding_label_drift",
+    "similarity_knn_graph",
 ]
 
 # Tier 2 — evidence-freshness rotation, r9 batch: all 23 remaining
@@ -121,10 +124,10 @@ _FRONT_CHANGED = [
 # of them, so exposure is already zero — this is the promised hygiene),
 # then the reference's own four parity workloads (wc/grep/vertex-degree/
 # matrix-multiply — fronted first per the r8 verdict since they are the
-# reference's query library), then the 20 alphabetically-first of the
+# reference's query library), then the 18 alphabetically-first of the
 # remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
 # check window. After this round no live query's driver evidence is
-# older than r6; the leftover 22 r6 members rotate in next round.
+# older than r6; the leftover 24 r6 members rotate in next round.
 _ROTATION_OLDEST = [
     # r5 evidence (all 23 remaining)
     "rfm_segment_customers",
@@ -155,7 +158,7 @@ _ROTATION_OLDEST = [
     "grep_documents",
     "vertex_degree_lineitem",
     "matrix_multiply_synth",
-    # r6 evidence (alphabetically first 20 of the remaining 42)
+    # r6 evidence (alphabetically first 18 of the remaining 42)
     "agg_stats_by_brand",
     "anti_join_customers",
     "asof_join_purchase_view",
@@ -174,8 +177,6 @@ _ROTATION_OLDEST = [
     "join_nation_region",
     "json_events",
     "math_funcs",
-    "outer_join_order_counts",
-    "percentile_quantity",
 ]
 
 ALL_QUERIES = {

@@ -180,6 +180,8 @@ BENCH_QUERIES = [
     "embedding_top_pc",
     "text_shingle_novelty",
     "dedup_rate_by_source",
+    "embedding_label_drift",
+    "similarity_knn_graph",
 ]
 
 

@@ -795,6 +795,116 @@ def _top_pc_sql() -> str:
     return "WITH " + ",\n".join(parts) + f"\nSELECT CAST(dim AS INT) AS dim, loading_e9 FROM ({rows})"
 
 
+def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid cosine against the corpus centroid — the
+    embedding-space drift monitor (the vector-side twin of
+    ``text_js_divergence``: a label/source whose centroid swings away
+    from the corpus mean is a stratum whose semantics moved, the signal
+    a mixture-curation pipeline alarms on).
+
+    Plan: ONE posexplode pass over the corpus → a (label, pos)-keyed
+    DECIMAL(27,12) partial-agg SUM (map-side combine; state =
+    labels × 64, never corpus-sized) → the corpus centroid is the
+    column-wise sum of the per-label sums (decimal addition is exact,
+    so regrouping is value-free) packed into a 1-row broadcast array →
+    one cosine per label. No per-row joins, no quadratic stage; at
+    100 TB the only corpus-sized work is the explode feeding the
+    partial agg. Determinism: per-dim sums are exact decimals, each
+    mean is ONE double division (identical operand order in both
+    engines), and the cosine folds left-to-right via the engine's
+    ``_dot`` == DuckDB ``list_dot_product`` (verified order-identical);
+    output floor-scaled to e9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "x")).select(
+        "label",
+        "pos",
+        F.expr("cast(cast(x as double) as decimal(27,12))").alias("t"),
+    )
+    per = (
+        ex.groupBy("label", "pos")
+        .agg(F.sum("t").alias("s"), F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    corp_mean = (
+        per.groupBy("pos")
+        .agg(F.sum("s").alias("cs"), F.sum("n").alias("cn"))
+        .select(
+            "pos",
+            (F.col("cs").cast("double") / F.col("cn").cast("double")).alias("m"),
+        )
+        .groupBy()
+        .agg(F.collect_list(F.struct("pos", "m")).alias("ps"))
+        .select(F.transform(F.array_sort("ps"), lambda st: st["m"]).alias("mc"))
+    )
+    lab_mean = (
+        per.select(
+            "label",
+            "pos",
+            (F.col("s").cast("double") / F.col("n").cast("double")).alias("m"),
+            "n",
+        )
+        .groupBy("label")
+        .agg(
+            F.max("n").alias("n_vecs"),
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                lambda st: st["m"],
+            ).alias("ml"),
+        )
+    )
+    return lab_mean.crossJoin(F.broadcast(corp_mean)).select(
+        F.col("label").cast("int").alias("label"),
+        F.col("n_vecs").cast("long").alias("n_vecs"),
+        F.floor(
+            (
+                _dot(F.col("ml"), F.col("mc"))
+                / (
+                    F.sqrt(_dot(F.col("ml"), F.col("ml")))
+                    * F.sqrt(_dot(F.col("mc"), F.col("mc")))
+                )
+            )
+            * 1e9
+        )
+        .cast("long")
+        .alias("cos_to_corpus_e9"),
+    )
+
+
+def _label_drift_sql() -> str:
+    """Column-wise unrolled twin (the kmeans/top_pc allocator lesson):
+    per-label decimal sums, corpus sums as sums-of-sums (exact), means
+    as single double divisions in the same operand order, cosine via
+    ``list_dot_product`` over the mean lists (== the Spark fold)."""
+    d = EMB_DIM
+    ssums = ", ".join(
+        f"SUM(CAST(CAST(embedding[{i}] AS DOUBLE) AS DECIMAL(27,12))) AS s{i}"
+        for i in range(1, d + 1)
+    )
+    csums = ", ".join(f"SUM(s{i}) AS c{i}" for i in range(1, d + 1))
+    ml = ", ".join(
+        f"CAST(s{i} AS DOUBLE) / CAST(n AS DOUBLE)" for i in range(1, d + 1)
+    )
+    mc = ", ".join(f"CAST(c{i} AS DOUBLE) / cn" for i in range(1, d + 1))
+    return f"""
+WITH lab AS (
+  SELECT label, COUNT(*) AS n, {ssums}
+  FROM embeddings GROUP BY label
+), corp AS (
+  SELECT CAST(SUM(n) AS DOUBLE) AS cn, {csums} FROM lab
+), labm AS (
+  SELECT label, n, [{ml}] AS ml FROM lab
+), corpm AS (
+  SELECT [{mc}] AS mc FROM corp
+)
+SELECT CAST(label AS INT) AS label, CAST(n AS BIGINT) AS n_vecs,
+       CAST(floor((list_dot_product(ml, mc)
+                   / (sqrt(list_dot_product(ml, ml))
+                      * sqrt(list_dot_product(mc, mc)))) * 1e9)
+            AS BIGINT) AS cos_to_corpus_e9
+FROM labm CROSS JOIN corpm
+"""
+
+
 PROJECTION_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -809,6 +919,12 @@ PROJECTION_QUERIES: dict[str, Query] = {
             embedding_prefix_recall,
             _prefix_recall_sql(),
             "Matryoshka prefix-dim top-k recall vs full-dim MIPS",
+        ),
+        Query(
+            "embedding_label_drift",
+            embedding_label_drift,
+            _label_drift_sql(),
+            "per-label centroid cosine vs corpus centroid (embedding drift monitor)",
         ),
         Query(
             "embedding_random_projection",

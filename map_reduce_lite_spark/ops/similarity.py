@@ -430,6 +430,107 @@ def ann_lsh_topk(
 
 EMB_DIM = 64  # test-table embedding dimension (pins the oracle's planes)
 LSH_N_BANDS = 4
+KNN_GRAPH_K = 5  # neighbors kept per node in the corpus k-NN graph
+
+
+def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide approximate k-NN graph: every vector's top-K cosine
+    neighbors among its LSH band collisions — the input artifact for
+    graph-based semantic dedup, NN-descent refinement, and
+    cluster-connectivity audits (SemDeDup-family pipelines consume
+    exactly this edge list).
+
+    Reuses the certified ``dedup_embedding_lsh`` blocking (banded
+    random-hyperplane signatures, pairs generated ONLY inside buckets —
+    never all-pairs): the band table self-joins on (band_id, band_hash)
+    with id-only rows, pairs dedup on 8-byte keys before any vector is
+    attached, the exact cosine runs once per candidate, and the
+    per-node top-K is a rank window over candidate-bounded input. At
+    100 TB the band table is written bucket-partitioned at ingest and
+    the self-join becomes bucket-local (no corpus shuffle); hot buckets
+    are bounded by the same cap strategy as the simhash band dedup
+    (tests/test_capcorpus.py precedent). Both directions of each
+    colliding pair are scored, so every node gets its own neighbor
+    list (unlike the dedup pair set, which keeps id-ordered pairs)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    bands = emb.select(
+        "vec_id",
+        F.posexplode(lsh_band_hashes("embedding", planes, LSH_N_BANDS)).alias(
+            "band_id", "band_hash"
+        ),
+    ).localCheckpoint(eager=False)  # both sides of the self-join reuse it
+    cand = _spread(
+        bands.alias("a")
+        .join(bands.alias("b"), ["band_id", "band_hash"])
+        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("dst_id")
+        )
+        .dropDuplicates(["src_id", "dst_id"]),
+        "src_id",
+    )
+    vecs_a = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_vec"),
+        _norm(F.col("embedding")).alias("a_norm"),
+    )
+    vecs_b = emb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("b_vec"),
+        _norm(F.col("embedding")).alias("b_norm"),
+    )
+    scored = (
+        cand.join(vecs_a, "src_id")
+        .join(vecs_b, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def _knn_graph_sql() -> str:
+    planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    return f"""
+WITH bands AS (
+{sql_bands_cte(planes, LSH_N_BANDS)}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
+  FROM bands a JOIN bands b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.vec_id <> b.vec_id
+), scored AS (
+  SELECT cand.src_id, cand.dst_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand
+  JOIN embeddings ea ON ea.vec_id = cand.src_id
+  JOIN embeddings eb ON eb.vec_id = cand.dst_id
+), ranked AS (
+  SELECT src_id, dst_id, sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY sim DESC, dst_id ASC) AS rank
+  FROM scored
+)
+SELECT src_id, dst_id, CAST(rank AS INT) AS rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM ranked WHERE rank <= {KNN_GRAPH_K}
+"""
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -736,6 +837,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_ann_lsh,
             SIMILARITY_LSH_SQL,
             "LSH-bucketed ANN top-k",
+        ),
+        Query(
+            "similarity_knn_graph",
+            similarity_knn_graph,
+            _knn_graph_sql(),
+            "corpus-wide approximate k-NN graph over LSH band collisions",
         ),
         Query(
             "similarity_ann_ivf",

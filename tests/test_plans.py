@@ -294,6 +294,9 @@ def test_no_cartesian_product_anywhere(spark):
         "text_js_divergence",
         # power iteration: 1-row v vector broadcast into the corpus scan
         "embedding_top_pc",
+        # broadcast 1-row corpus-centroid array joined to the per-label
+        # means (labels × 64 state, never corpus-sized)
+        "embedding_label_drift",
     }
     failures = []
     for name, builder in e.queries().items():
