@@ -117,6 +117,11 @@ _FRONT_CHANGED = [
     # brand-new in r9
     "embedding_label_drift",
     "similarity_knn_graph",
+    "text_vocab_coverage",
+    "text_fertility_by_lang",
+    "similarity_nn_descent",
+    "embedding_ood_score",
+    "dedup_cluster_sizes",
 ]
 
 # Tier 2 — evidence-freshness rotation, r9 batch: all 23 remaining
@@ -124,10 +129,10 @@ _FRONT_CHANGED = [
 # of them, so exposure is already zero — this is the promised hygiene),
 # then the reference's own four parity workloads (wc/grep/vertex-degree/
 # matrix-multiply — fronted first per the r8 verdict since they are the
-# reference's query library), then the 18 alphabetically-first of the
+# reference's query library), then the 13 alphabetically-first of the
 # remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
 # check window. After this round no live query's driver evidence is
-# older than r6; the leftover 24 r6 members rotate in next round.
+# older than r6; the leftover 29 r6 members rotate in next round.
 _ROTATION_OLDEST = [
     # r5 evidence (all 23 remaining)
     "rfm_segment_customers",
@@ -172,11 +177,6 @@ _ROTATION_OLDEST = [
     "distinct_segments",
     "embedding_dim_stats",
     "embedding_prefix_recall",
-    "events_hourly",
-    "grouping_sets_priority",
-    "join_nation_region",
-    "json_events",
-    "math_funcs",
 ]
 
 ALL_QUERIES = {

@@ -182,6 +182,12 @@ BENCH_QUERIES = [
     "dedup_rate_by_source",
     "embedding_label_drift",
     "similarity_knn_graph",
+    # r9 additions
+    "text_vocab_coverage",
+    "text_fertility_by_lang",
+    "similarity_nn_descent",
+    "embedding_ood_score",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -1090,6 +1090,50 @@ WHERE e.vec_id NOT IN (
 DEDUP_SURVIVORS_SQL = _survivors_sql()
 
 
+def dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster SIZE HISTOGRAM: how many clusters of each size
+    the LSH-blocked cosine pair graph collapses into — the dedup-QA
+    summary a pipeline tracks per crawl slice (a fat tail of mega-
+    clusters means template boilerplate is exploding; a histogram of
+    pairs means benign near-dups). Consumer stage of
+    ``dedup_components``: component labels → per-component size →
+    per-size cluster count and doc total.
+
+    Scale shape: inherits dedup_components' certified funnel (banded
+    pair join, log-round pointer jumping); the histogram adds two
+    map-side-combined aggregations over (component) then (size) — both
+    key spaces are ≤ the paired-node count, rows are 8-16 bytes.
+    Output is O(max cluster size) rows. Integers end-to-end."""
+    from map_reduce_lite_spark.ops.graph import connected_components
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+    comps = connected_components(pairs, src="keep_id", dst="dup_id")
+    sizes = comps.groupBy("component").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return sizes.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).alias("n_clusters"),
+        F.sum("cluster_size").alias("n_docs"),
+    )
+
+
+DEDUP_CLUSTER_SIZES_SQL = (
+    _components_reach_cte()
+    + """
+, comp AS (
+  SELECT a AS node, LEAST(a, MIN(b)) AS component FROM reach GROUP BY a
+), sizes AS (
+  SELECT component, COUNT(*) AS cluster_size FROM comp GROUP BY component
+)
+SELECT cluster_size, COUNT(*) AS n_clusters,
+       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+FROM sizes GROUP BY cluster_size
+"""
+)
+
+
 DEDUP_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1126,6 +1170,12 @@ DEDUP_QUERIES: dict[str, Query] = {
             dedup_components,
             DEDUP_COMPONENTS_SQL,
             "near-dup clusters via connected components",
+        ),
+        Query(
+            "dedup_cluster_sizes",
+            dedup_cluster_sizes,
+            DEDUP_CLUSTER_SIZES_SQL,
+            "near-dup cluster size histogram over the LSH cosine pair graph",
         ),
         Query(
             "dedup_survivors_docs",

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 N_QUERY_VECS = 8  # vec_id < 8 form the query set in the oracle-checked demo
@@ -453,6 +453,23 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     colliding pair are scored, so every node gets its own neighbor
     list (unlike the dedup pair set, which keeps id-ordered pairs)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    scored = _knn_scored_edges(emb)
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select(
+            "src_id",
+            "dst_id",
+            F.col("rank").cast("int").alias("rank"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("sim_e9"),
+        )
+    )
+
+
+def _knn_scored_edges(emb: DataFrame) -> DataFrame:
+    """(src_id, dst_id, sim) for every directed LSH band collision —
+    the shared candidate-scoring stage of the k-NN graph family."""
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     bands = emb.select(
         "vec_id",
@@ -480,8 +497,36 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("b_vec"),
         _norm(F.col("embedding")).alias("b_norm"),
     )
-    scored = (
+    return (
         cand.join(vecs_a, "src_id")
+        .join(vecs_b, "dst_id")
+        .select(
+            "src_id",
+            "dst_id",
+            (
+                _dot(F.col("a_vec"), F.col("b_vec"))
+                / (F.col("a_norm") * F.col("b_norm"))
+            ).alias("sim"),
+        )
+    )
+
+
+def _rescored_topk(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
+    """Exact-cosine rescore of an id-only candidate edge list, keeping
+    each node's top-``k`` — the shared tail of the k-NN graph family."""
+    vecs_a = emb.select(
+        F.col("vec_id").alias("src_id"),
+        F.col("embedding").alias("a_vec"),
+        _norm(F.col("embedding")).alias("a_norm"),
+    )
+    vecs_b = emb.select(
+        F.col("vec_id").alias("dst_id"),
+        F.col("embedding").alias("b_vec"),
+        _norm(F.col("embedding")).alias("b_norm"),
+    )
+    scored = (
+        _spread(cand, "src_id")
+        .join(vecs_a, "src_id")
         .join(vecs_b, "dst_id")
         .select(
             "src_id",
@@ -495,7 +540,7 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .filter(F.col("rank") <= k)
         .select(
             "src_id",
             "dst_id",
@@ -505,7 +550,49 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_graph_sql() -> str:
+def similarity_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-descent refinement round over the approximate k-NN graph:
+    candidates = each node's current neighbors ∪ its
+    neighbors-of-neighbors, rescored exactly, keeping the new top-K.
+    This is the step that lifts LSH-blocked graph recall toward exact —
+    two vectors missed by every band still meet through a shared
+    neighbor (Dong et al., WWW'11). Because the candidate set is a
+    superset of the current edges, every node's rank-r similarity is
+    monotonically ≥ the input graph's (property-pinned in
+    tests/test_similarity.py).
+
+    Scale shape: the input graph is id-only rows with out-degree ≤ K,
+    so the neighbor-of-neighbor self-join fans out ≤ K² per node —
+    BOUNDED BY THE CONSTANT K, independent of corpus size or bucket
+    skew (unlike the band join it refines, which needs hot-bucket
+    caps). Join key is the 8-byte node id; vectors attach once per
+    distinct surviving candidate; the per-node top-K is the same
+    WindowGroupLimit-bounded rank window as the base graph."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _knn_scored_edges(emb)
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
+    base = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("src_id", "dst_id")
+        .localCheckpoint(eager=False)  # reused by both sides of the NoN join
+    )
+    non = (
+        base.alias("e1")
+        .join(base.alias("e2"), F.col("e1.dst_id") == F.col("e2.src_id"))
+        .select(
+            F.col("e1.src_id").alias("src_id"), F.col("e2.dst_id").alias("dst_id")
+        )
+        .filter(F.col("src_id") != F.col("dst_id"))
+    )
+    cand = base.union(non).dropDuplicates(["src_id", "dst_id"])
+    return _rescored_topk(emb, cand, KNN_GRAPH_K)
+
+
+def _knn_edges_cte() -> str:
+    """Shared WITH chain ending in ``ranked`` — the exact-cosine-scored,
+    per-src ranked LSH band-collision edge list (SQL twin of
+    ``_knn_scored_edges`` + the rank window)."""
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
 WITH bands AS (
@@ -526,11 +613,48 @@ WITH bands AS (
          row_number() OVER (PARTITION BY src_id
                             ORDER BY sim DESC, dst_id ASC) AS rank
   FROM scored
-)
+)"""
+
+
+def _knn_graph_sql() -> str:
+    return (
+        _knn_edges_cte()
+        + f"""
 SELECT src_id, dst_id, CAST(rank AS INT) AS rank,
        CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
 FROM ranked WHERE rank <= {KNN_GRAPH_K}
 """
+    )
+
+
+def _nn_descent_sql() -> str:
+    return (
+        _knn_edges_cte()
+        + f""", knn AS (
+  SELECT src_id, dst_id FROM ranked WHERE rank <= {KNN_GRAPH_K}
+), cand2 AS (
+  SELECT src_id, dst_id FROM knn
+  UNION
+  SELECT e1.src_id, e2.dst_id
+  FROM knn e1 JOIN knn e2 ON e1.dst_id = e2.src_id
+  WHERE e1.src_id <> e2.dst_id
+), scored2 AS (
+  SELECT c.src_id, c.dst_id,
+         {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
+  FROM cand2 c
+  JOIN embeddings ea ON ea.vec_id = c.src_id
+  JOIN embeddings eb ON eb.vec_id = c.dst_id
+), ranked2 AS (
+  SELECT src_id, dst_id, sim,
+         row_number() OVER (PARTITION BY src_id
+                            ORDER BY sim DESC, dst_id ASC) AS rank
+  FROM scored2
+)
+SELECT src_id, dst_id, CAST(rank AS INT) AS rank,
+       CAST(floor(sim * 1e9) AS BIGINT) AS sim_e9
+FROM ranked2 WHERE rank <= {KNN_GRAPH_K}
+"""
+    )
 
 
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -819,6 +943,91 @@ SIMILARITY_IVF_SCALED_SQL = _ivf_sql(
 SIMILARITY_LSH_SQL = _similarity_lsh_sql()
 
 
+OOD_CODEBOOK_K = 32  # fixed-size random codebook — constant at any corpus size
+
+
+def embedding_ood_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector out-of-distribution score: max cosine against a fixed
+    32-vector random codebook (the K corpus vectors with the smallest
+    salted portable hash). A vector far from EVERY codebook direction
+    is an outlier candidate — the cheap first-pass OOD/garbage filter a
+    curation pipeline runs before expensive per-cluster analysis
+    (low maxsim → manual-review queue or drop).
+
+    Scale shape: the codebook is K=OOD_CODEBOOK_K rows BY CONSTRUCTION
+    — a TakeOrdered over the salted hash, constant size at any corpus
+    scale (unlike stride-based centroids, which grow with n) — so the
+    broadcast is genuinely bounded and the scoring pass is one
+    embarrassingly-parallel corpus scan (N×K FLOPs, no shuffle except
+    the K-row broadcast). Deterministic: hash-selected codebook, exact
+    per-row max over K doubles (no accumulation-order hazard), argmax
+    tie → smallest centroid id, score exposed floor-scaled to e9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    h = md5_60bit(F.concat(F.lit("oodcb:"), F.col("vec_id").cast("string")))
+    cb = (
+        emb.select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("embedding").alias("c_vec"),
+            _norm(F.col("embedding")).alias("c_norm"),
+            h.alias("h"),
+        )
+        .orderBy("h", "cent_id")
+        .limit(OOD_CODEBOOK_K)
+        .drop("h")
+    )
+    e = _spread(
+        emb.select("vec_id", "embedding", _norm(F.col("embedding")).alias("e_norm")),
+        "vec_id",
+    )
+    scored = (
+        e.crossJoin(F.broadcast(cb))
+        .filter(F.col("vec_id") != F.col("cent_id"))
+        .select(
+            "vec_id",
+            "cent_id",
+            (
+                _dot(F.col("embedding"), F.col("c_vec"))
+                / (F.col("e_norm") * F.col("c_norm"))
+            ).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("sim"), F.asc("cent_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("best_centroid"),
+            F.floor(F.col("sim") * 1e9).cast("long").alias("maxsim_e9"),
+        )
+    )
+
+
+def _ood_score_sql() -> str:
+    salted = sql_md5_60bit("'oodcb:' || CAST(vec_id AS VARCHAR)")
+    return f"""
+WITH cb AS (
+  SELECT vec_id AS cent_id, embedding AS c_vec
+  FROM embeddings
+  ORDER BY {salted}, vec_id
+  LIMIT {OOD_CODEBOOK_K}
+), scored AS (
+  SELECT e.vec_id, cb.cent_id,
+         {_sql_cos('e.embedding', 'cb.c_vec')} AS sim
+  FROM embeddings e CROSS JOIN cb
+  WHERE e.vec_id <> cb.cent_id
+), best AS (
+  SELECT vec_id, cent_id, sim,
+         row_number() OVER (PARTITION BY vec_id
+                            ORDER BY sim DESC, cent_id ASC) AS rk
+  FROM scored
+)
+SELECT vec_id, cent_id AS best_centroid,
+       CAST(floor(sim * 1e9) AS BIGINT) AS maxsim_e9
+FROM best WHERE rk = 1
+"""
+
+
 SIMILARITY_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -843,6 +1052,18 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_knn_graph,
             _knn_graph_sql(),
             "corpus-wide approximate k-NN graph over LSH band collisions",
+        ),
+        Query(
+            "similarity_nn_descent",
+            similarity_nn_descent,
+            _nn_descent_sql(),
+            "one NN-descent round: neighbor-of-neighbor expansion of the k-NN graph",
+        ),
+        Query(
+            "embedding_ood_score",
+            embedding_ood_score,
+            _ood_score_sql(),
+            "max-cosine OOD score against a fixed 32-vector random codebook",
         ),
         Query(
             "similarity_ann_ivf",

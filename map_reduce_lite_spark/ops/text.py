@@ -1280,6 +1280,190 @@ FROM terms GROUP BY source
 """
 
 
+COVERAGE_KS = [10, 50, 100, 500]  # vocabulary sizes on the coverage curve
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage curve: for each K in COVERAGE_KS, the share
+    of all corpus token occurrences covered by the K most frequent
+    tokens — the curve a tokenizer-budget / vocab-size decision reads
+    (how much of the stream does a 10k-type vocab actually explain?).
+    Reference parity: composition of the wordcount tokenizer (SURVEY §2
+    W1-W2) with a bounded top-K; the reference's wc pipeline feeds the
+    same decision in its docs.
+
+    Scale shape: tokenize → ONE map-side-combined hash aggregation
+    (state = vocabulary, not tokens) → TakeOrderedAndProject for the
+    top max(K) rows. The rank window that follows orders max(K)=500
+    rows — bounded by the CONSTANT K, not the corpus, so the
+    single-partition window is not a scale hazard (same argument as
+    heavy_hitters_tokens' limit). Coverage per K is conditional
+    aggregation over those 500 rows; the corpus total is a 1-row
+    broadcast. Integer division (DIV) end-to-end — no float path."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+    ).filter(F.length("token") > 0)
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("total_tokens"))
+    kmax = max(COVERAGE_KS)
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(kmax)
+    # bounded window: exactly kmax rows reach it, whatever the corpus size
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("n"), F.asc("token")))
+    )
+    cov_wide = ranked.agg(
+        *[
+            F.sum(F.when(F.col("rk") <= k, F.col("n")).otherwise(F.lit(0))).alias(
+                f"cov_{k}"
+            )
+            for k in COVERAGE_KS
+        ]
+    )
+    curve = cov_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.col(f"cov_{k}").cast("long").alias("covered_tokens"),
+                    )
+                    for k in COVERAGE_KS
+                ]
+            )
+        ).alias("s")
+    ).select("s.k", "s.covered_tokens")
+    return curve.crossJoin(F.broadcast(total)).select(
+        "k",
+        "covered_tokens",
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.expr("(10000 * covered_tokens) div total_tokens").alias("coverage_bps"),
+    )
+
+
+VOCAB_COVERAGE_SQL = rf"""
+WITH counts AS (
+  SELECT token, COUNT(*) AS n
+  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+        FROM documents)
+  WHERE length(token) > 0
+  GROUP BY token
+), ranked AS (
+  SELECT n, row_number() OVER (ORDER BY n DESC, token ASC) AS rk
+  FROM counts
+  ORDER BY n DESC, token ASC
+  LIMIT {max(COVERAGE_KS)}
+), total AS (
+  SELECT CAST(SUM(n) AS BIGINT) AS total_tokens FROM counts
+), ks(k) AS (
+  VALUES {', '.join(f'({k})' for k in COVERAGE_KS)}
+), cov AS (
+  SELECT CAST(ks.k AS INT) AS k,
+         CAST(SUM(CASE WHEN rk <= ks.k THEN n ELSE 0 END) AS BIGINT)
+           AS covered_tokens
+  FROM ranked CROSS JOIN ks
+  GROUP BY ks.k
+)
+SELECT k, covered_tokens, total_tokens,
+       (10000 * covered_tokens) // total_tokens AS coverage_bps
+FROM cov CROSS JOIN total
+"""
+
+
+def fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per predicted language: BPE-ish regex tokens
+    per whitespace word and chars per BPE token, stratified by the
+    stopword language-ID — the multilingual-tokenizer health metric
+    (a language whose fertility balloons is being byte-fragmented, and
+    its effective context window shrinks proportionally).
+
+    Composition of the certified lang_id argmax and token_stats
+    counters: one scan computes per-doc (pred_lang, ws, bpe, chars)
+    entirely in JVM codegen, then ONE map-side-combined aggregation on
+    the (≤5-value) language key. Ratios in integer basis points via
+    exact DIV — no float path, hash-deterministic at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    hit_cols = {
+        lang: _stopword_hits(F.col("text"), ws).alias(f"hits_{lang}")
+        for lang, ws in STOPWORDS.items()
+    }
+    scored = d.select(
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("ws_toks"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_TOKEN_RE), F.lit(0)))
+        .cast("long")
+        .alias("bpe_toks"),
+        F.length("text").cast("long").alias("n_chars"),
+        *hit_cols.values(),
+    )
+    best = F.greatest(*[F.col(f"hits_{l}") for l in STOPWORDS])
+    pred = F.when(best == 0, F.lit("und"))
+    for l in STOPWORDS:  # first language reaching the max wins (dict order)
+        pred = pred.when(F.col(f"hits_{l}") == best, F.lit(l))
+    return (
+        scored.select(pred.alias("pred_lang"), "ws_toks", "bpe_toks", "n_chars")
+        .groupBy("pred_lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws_toks").alias("total_ws_tokens"),
+            F.sum("bpe_toks").alias("total_bpe_tokens"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+        .select(
+            "pred_lang",
+            "n_docs",
+            "total_ws_tokens",
+            "total_bpe_tokens",
+            "total_chars",
+            F.expr("(10000 * total_bpe_tokens) div total_ws_tokens").alias(
+                "fertility_bps"
+            ),
+            F.expr("(10000 * total_chars) div total_bpe_tokens").alias(
+                "chars_per_bpe_bps"
+            ),
+        )
+    )
+
+
+def _fertility_sql() -> str:
+    hit_cols = ",\n         ".join(
+        f"{_sql_stopword_hits('text', ws)} AS hits_{l}"
+        for l, ws in STOPWORDS.items()
+    )
+    langs = list(STOPWORDS)
+    best = "greatest(" + ", ".join(f"hits_{l}" for l in langs) + ")"
+    case = (
+        "CASE WHEN " + best + " = 0 THEN 'und' "
+        + " ".join(f"WHEN hits_{l} = {best} THEN '{l}'" for l in langs)
+        + " END"
+    )
+    return rf"""
+WITH scored AS (
+  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_toks,
+         CAST(len(regexp_extract_all(text,
+              '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]')) AS BIGINT) AS bpe_toks,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         {hit_cols}
+  FROM documents
+), labeled AS (
+  SELECT {case} AS pred_lang, ws_toks, bpe_toks, n_chars FROM scored
+)
+SELECT pred_lang,
+       COUNT(*) AS n_docs,
+       CAST(SUM(ws_toks) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(bpe_toks) AS BIGINT) AS total_bpe_tokens,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       (10000 * CAST(SUM(bpe_toks) AS BIGINT)) // CAST(SUM(ws_toks) AS BIGINT)
+         AS fertility_bps,
+       (10000 * CAST(SUM(n_chars) AS BIGINT)) // CAST(SUM(bpe_toks) AS BIGINT)
+         AS chars_per_bpe_bps
+FROM labeled
+GROUP BY pred_lang
+"""
+
+
+FERTILITY_SQL = _fertility_sql()
+
+
 TEXT_QUERIES: dict[str, Query] = {
     q.name: q
     for q in [
@@ -1307,6 +1491,18 @@ TEXT_QUERIES: dict[str, Query] = {
             zipf_slope,
             ZIPF_SLOPE_SQL,
             "per-source Zipf slope of ln(freq) on ln(rank) over top-K tokens",
+        ),
+        Query(
+            "text_vocab_coverage",
+            vocab_coverage,
+            VOCAB_COVERAGE_SQL,
+            "corpus token-occurrence coverage of the top-K vocabulary, K in {10,50,100,500}",
+        ),
+        Query(
+            "text_fertility_by_lang",
+            fertility_by_lang,
+            FERTILITY_SQL,
+            "BPE-per-word fertility and chars-per-token by predicted language",
         ),
         Query("text_quality_score", quality_score, QUALITY_SQL, "quality features"),
         Query("text_token_stats", token_stats, TOKEN_STATS_SQL, "token counting"),

@@ -297,6 +297,11 @@ def test_no_cartesian_product_anywhere(spark):
         # broadcast 1-row corpus-centroid array joined to the per-label
         # means (labels × 64 state, never corpus-sized)
         "embedding_label_drift",
+        # broadcast 1-row corpus token total under the K-row curve
+        "text_vocab_coverage",
+        # broadcast CONSTANT-K codebook (TakeOrdered 32 rows by salted
+        # hash — fixed size at any corpus scale, unlike stride centroids)
+        "embedding_ood_score",
     }
     failures = []
     for name, builder in e.queries().items():
