@@ -431,6 +431,7 @@ def ann_lsh_topk(
 EMB_DIM = 64  # test-table embedding dimension (pins the oracle's planes)
 LSH_N_BANDS = 4
 KNN_GRAPH_K = 5  # neighbors kept per node in the corpus k-NN graph
+KNN_BUCKET_CAP = 512  # max members per LSH band bucket before salted split
 
 
 def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -467,19 +468,62 @@ def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _knn_scored_edges(emb: DataFrame) -> DataFrame:
+def _knn_scored_edges(emb: DataFrame, cap: int = KNN_BUCKET_CAP) -> DataFrame:
     """(src_id, dst_id, sim) for every directed LSH band collision —
-    the shared candidate-scoring stage of the k-NN graph family."""
+    the shared candidate-scoring stage of the k-NN graph family.
+
+    Hot-bucket cap (the simhash_pairs mechanism, ops/dedup.py): when
+    any (band_id, band_hash) bucket exceeds ``cap`` members, every
+    oversized bucket is salted-split into ceil(size/cap) sub-buckets
+    and pairs form only within a sub-bucket — bounding the self-join's
+    per-bucket work at cap² however adversarial the corpus's collision
+    density (random/unclustered vectors collide at a constant fraction
+    of n² per band; real corpora cluster, but the bound must not
+    depend on that). Each node still sees ~cap co-bucketed candidates
+    per band — far more than the K=5 it keeps. A sizing probe skips
+    the split machinery entirely when no bucket is oversized (the
+    driver fixtures), where the plain join is provably identical; the
+    SQL oracle replays sizes+salt unconditionally (n_sub=1 → sub=0 is
+    an identity), so both branches hash-match it."""
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     bands = emb.select(
         "vec_id",
         F.posexplode(lsh_band_hashes("embedding", planes, LSH_N_BANDS)).alias(
             "band_id", "band_hash"
         ),
-    ).localCheckpoint(eager=False)  # both sides of the self-join reuse it
+    ).localCheckpoint(eager=True)  # probe + both self-join sides reuse it
+    max_bucket = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    if max_bucket is not None and max_bucket > cap:
+        # bucket sizes: ≤ n_bands·2^bits rows however big the corpus
+        sizes = bands.groupBy("band_id", "band_hash").agg(
+            ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
+            .cast("long")
+            .alias("n_sub")
+        )
+        sp = bands.join(F.broadcast(sizes), ["band_id", "band_hash"]).withColumn(
+            "sub",
+            F.pmod(
+                md5_60bit(
+                    F.concat_ws(
+                        "|",
+                        F.lit("knb"),
+                        F.col("band_id").cast("string"),
+                        F.col("vec_id").cast("string"),
+                    )
+                ),
+                F.col("n_sub"),
+            ),
+        )
+    else:
+        sp = bands.withColumn("sub", F.lit(0).cast("long"))
     cand = _spread(
-        bands.alias("a")
-        .join(bands.alias("b"), ["band_id", "band_hash"])
+        sp.alias("a")
+        .join(sp.alias("b"), ["band_id", "band_hash", "sub"])
         .filter(F.col("a.vec_id") != F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("dst_id")
@@ -589,18 +633,32 @@ def similarity_nn_descent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _rescored_topk(emb, cand, KNN_GRAPH_K)
 
 
-def _knn_edges_cte() -> str:
+def _knn_edges_cte(cap: int = KNN_BUCKET_CAP) -> str:
     """Shared WITH chain ending in ``ranked`` — the exact-cosine-scored,
     per-src ranked LSH band-collision edge list (SQL twin of
-    ``_knn_scored_edges`` + the rank window)."""
+    ``_knn_scored_edges`` + the rank window). The hot-bucket salted
+    split is replayed UNCONDITIONALLY: when no bucket exceeds ``cap``,
+    n_sub = 1 and sub ≡ 0, an identity matching Spark's probe-skipped
+    plain branch bit-for-bit."""
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    salt = sql_md5_60bit(
+        "'knb|' || CAST(b.band_id AS VARCHAR) || '|' || CAST(b.vec_id AS VARCHAR)"
+    )
     return f"""
 WITH bands AS (
 {sql_bands_cte(planes, LSH_N_BANDS)}
+), sizes AS (
+  SELECT band_id, band_hash, (COUNT(*) + {cap - 1}) // {cap} AS n_sub
+  FROM bands GROUP BY 1, 2
+), sp AS (
+  SELECT b.vec_id, b.band_id, b.band_hash, ({salt} % s.n_sub) AS sub
+  FROM bands b JOIN sizes s
+    ON s.band_id = b.band_id AND s.band_hash = b.band_hash
 ), cand AS (
   SELECT DISTINCT a.vec_id AS src_id, b.vec_id AS dst_id
-  FROM bands a JOIN bands b
+  FROM sp a JOIN sp b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.sub = b.sub
   WHERE a.vec_id <> b.vec_id
 ), scored AS (
   SELECT cand.src_id, cand.dst_id,

@@ -272,3 +272,74 @@ def test_semdedup_default_cap_engagement_is_semantic(spark, semcap_dir):
     capped = _semdedup_pairs(emb, assign).count()
     uncapped = _semdedup_pairs(emb, assign, cap=1 << 30).count()
     assert 0 < capped < uncapped
+
+
+# --------------------------------------------------------------------------
+# KNN_BUCKET_CAP — one 520-vector band bucket, full multiset parity
+# --------------------------------------------------------------------------
+
+_KNN_N = 520  # > KNN_BUCKET_CAP 512 -> n_sub = 2 in every band
+
+
+@pytest.fixture(scope="module")
+def knncap_dir(tmp_path_factory):
+    # All vectors share a dominant +10·e0 component with deterministic
+    # sub-unit jitter on one other axis each — every hyperplane
+    # projection's sign is decided by the e0 term, so all 520 vectors
+    # land in ONE (band_id, band_hash) bucket per band (4 buckets of
+    # 520 > the 512 default cap -> salted split live). Pairwise cosines
+    # stay ~1 but distinct (different jitter axes/magnitudes), so the
+    # top-K rank order is decided by real arithmetic in both engines.
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("knncap")
+    vecs = []
+    for i in range(_KNN_N):
+        v = [0.0] * _EMB_DIM
+        v[0] = 10.0
+        v[1 + (i % 60)] = 0.001 * (1 + i % 7)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(_KNN_N), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * _KNN_N, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return d
+
+
+def test_knn_default_cap_engaged_value_parity(spark, knncap_dir):
+    """The registered k-NN graph query (and its NN-descent consumer) on
+    a corpus whose band buckets exceed the default cap: the salted
+    sub-split is live in BOTH engines and the full output multisets
+    still match."""
+    for name in ("similarity_knn_graph", "similarity_nn_descent"):
+        sdf, oracle = _run_registered(spark, knncap_dir, name)
+        duck = _duck_for(knncap_dir, tables=("embeddings",))
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        duck_rows = duck.execute(oracle).fetchall()
+        assert len(spark_rows) == len(duck_rows) > 0, name
+        assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(
+            duck_rows, [0, 1, 2, 3]
+        ), name
+
+
+def test_knn_default_cap_engagement_is_semantic(spark, knncap_dir):
+    """Every band bucket holds all 520 vectors (> the 512 default), and
+    the uncapped candidate set is strictly larger than the capped one —
+    the parity sweep above ran with the split live."""
+    from map_reduce_lite_spark.ops.similarity import (
+        KNN_BUCKET_CAP,
+        _knn_scored_edges,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, str(knncap_dir), "embeddings")
+    capped = _knn_scored_edges(emb).count()
+    uncapped = _knn_scored_edges(emb, cap=1 << 30).count()
+    assert _KNN_N > KNN_BUCKET_CAP
+    assert uncapped == _KNN_N * (_KNN_N - 1)  # one bucket per band, all collide
+    assert 0 < capped < uncapped
