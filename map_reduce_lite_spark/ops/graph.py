@@ -50,6 +50,7 @@ def connected_components(
     max_iter: int = 25,
     checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
+    hard_barrier_every: int = 8,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
     node id reachable. Undirected: both directions are added.
@@ -76,10 +77,38 @@ def connected_components(
       0.40 s after the checkpoint. With per-round truncation every
       round costs the same flat join+agg. (checkpoint_every stays a
       parameter for callers whose per-round state is huge enough that
-      materialization, not re-execution, dominates.)"""
+      materialization, not re-execution, dominates.)
+
+    HARD PARQUET BARRIER every ``hard_barrier_every`` rounds (r9): a
+    per-round ``localCheckpoint`` truncates the visible logical plan
+    and RDD debug lineage, but something generation-linked still leaks
+    through checkpoint boundaries in Spark 4.1 when the checkpointed
+    frame feeds the next round's TWO self-join references — measured
+    directly on a 4.5k-node near-percolation pair graph (23 rounds):
+    per-round wall time DOUBLES from ~round 18 (0.4 s → 3 → 6 → 40 →
+    70 s) with the Spark jobs themselves finishing in ~45 ms, no GC
+    pressure, and an interleaved control query staying at 0.1 s — the
+    cost is driver-side, single-threaded, exponential in checkpoint
+    GENERATIONS (×2 per round = one factor per self-join reference),
+    and identical under disk ``checkpoint()``, AQE off, and a
+    flattening ``repartition``. Rewriting the label table through a
+    parquet write+read every 8 rounds gives every generation a truly
+    fresh scan lineage: the same graph converges in 9.0 s flat-per-
+    round vs 95-147 s without the barrier (and r8's 39-42 s "components
+    at s030" measurements were this pathology's early onset, not
+    operator cost). 2^8 = 256 generations of headroom between barriers
+    keeps the leak unmeasurable while amortizing the write to noise.
+    Barrier files go under ``checkpoint_dir`` when given (the shared-FS
+    path a real cluster must use — executor-local /tmp is not shared),
+    else a driver-temp directory (correct in local mode)."""
     # reset the diagnostic at entry so a call that fails before its
     # first round can't leave a previous call's stale value behind
     connected_components.last_rounds = 0
+    import tempfile
+    import uuid
+
+    barrier_root = checkpoint_dir or tempfile.mkdtemp(prefix="mrl_cc_barrier_")
+    barrier_ns = uuid.uuid4().hex  # concurrent callers must not collide
     ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -129,6 +158,11 @@ def connected_components(
         connected_components.last_rounds = it + 1
         if n_changed == 0:
             break
+        if hard_barrier_every and (it + 1) % hard_barrier_every == 0:
+            # fresh scan lineage: see the hard-barrier note in the docstring
+            path = f"{barrier_root}/{barrier_ns}_r{it + 1}"
+            labels.write.mode("overwrite").parquet(path)
+            labels = labels.sparkSession.read.parquet(path)
     return labels.select("node", F.col("label").alias("component"))
 
 
