@@ -595,24 +595,24 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_split_sql() -> str:
-    from map_reduce_lite_spark.ops.dedup import NEAR_DUP_COS
+    from map_reduce_lite_spark.ops.dedup import EMB_BUCKET_CAP, NEAR_DUP_COS
     from map_reduce_lite_spark.ops.similarity import (
         EMB_DIM,
         LSH_N_BANDS,
         LSH_PLANES,
         _hyperplanes,
         _sql_cos,
-        sql_bands_cte,
+        sql_capped_bands_chain,
     )
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
-WITH RECURSIVE bands AS (
-{sql_bands_cte(planes, LSH_N_BANDS)}
-), cands AS (
+WITH RECURSIVE {sql_capped_bands_chain(planes, LSH_N_BANDS, EMB_BUCKET_CAP, "emb")}
+, cands AS (
   SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.sub = b.sub
   WHERE a.vec_id < b.vec_id
 ), scored AS (
   SELECT c.keep_id, c.dup_id,

@@ -701,6 +701,9 @@ DEDUP_SIMHASH_SQL = _simhash_sql()
 NEAR_DUP_COS = 0.40  # demo threshold; corpus max pairwise cosine is ~0.51
 
 
+EMB_BUCKET_CAP = 512  # max members per LSH band bucket before salted split
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = NEAR_DUP_COS,
@@ -710,6 +713,7 @@ def embedding_near_dup_pairs(
     n_planes: int = 16,
     n_bands: int = 4,
     dim: int | None = None,
+    cap: int = EMB_BUCKET_CAP,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
 
@@ -719,7 +723,20 @@ def embedding_near_dup_pairs(
     buckets (similarity.lsh_band_hashes) and exact-verifies cosine only
     on colliding pairs — the 100 TB path: the shuffle key is the band
     hash, pair work is quadratic only within a bucket, and recall vs
-    exact is property-tested (tests/test_dedup.py)."""
+    exact is property-tested (tests/test_dedup.py).
+
+    Hot-bucket cap (r9, the simhash_pairs mechanism): on an unclustered
+    corpus, band collisions are a constant fraction of n² — measured
+    66 s at 20k random unit vectors with the pair scoring dominating
+    the whole components family. When any (band_id, band_hash) bucket
+    exceeds ``cap``, oversized buckets are salted-split into
+    ceil(size/cap) sub-buckets and pairs form only within a sub-bucket,
+    bounding per-bucket work at cap² regardless of collision density;
+    a sizing probe skips the machinery entirely when no bucket is
+    oversized (the driver fixtures), where the plain join is provably
+    identical. The SQL twins replay sizes+salt unconditionally
+    (n_sub=1 → sub ≡ 0 identity), so both branches hash-match them;
+    cap-ENGAGED parity is pinned in tests/test_capcorpus.py."""
     from map_reduce_lite_spark.ops.similarity import (
         _dot,
         _hyperplanes,
@@ -759,12 +776,43 @@ def embedding_near_dup_pairs(
                 "band_id", "band_hash"
             ),
         ).localCheckpoint(eager=True)  # hyperplane projections run once,
-        # not once per self-join side (ids + band hashes only — tiny)
+        # not once per self-join side (ids + band hashes only — tiny);
+        # the materialized table also feeds the cap's sizing probe
+        max_bucket = (
+            bands.groupBy("band_id", "band_hash")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n"))
+            .first()[0]
+        )
+        if max_bucket is not None and max_bucket > cap:
+            sizes = bands.groupBy("band_id", "band_hash").agg(
+                ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
+                .cast("long")
+                .alias("n_sub")
+            )
+            bands = bands.join(F.broadcast(sizes), ["band_id", "band_hash"]).withColumn(
+                "sub",
+                F.pmod(
+                    md5_60bit(
+                        F.concat_ws(
+                            "|",
+                            F.lit("emb"),
+                            F.col("band_id").cast("string"),
+                            F.col("bid").cast("string"),
+                        )
+                    ),
+                    F.col("n_sub"),
+                ),
+            )
+        else:
+            bands = bands.withColumn("sub", F.lit(0).cast("long"))
         ids = _spread(
-            bands.select(F.col("bid").alias("keep_id"), "band_id", "band_hash")
+            bands.select(F.col("bid").alias("keep_id"), "band_id", "band_hash", "sub")
             .join(
-                bands.select(F.col("bid").alias("dup_id"), "band_id", "band_hash"),
-                ["band_id", "band_hash"],
+                bands.select(
+                    F.col("bid").alias("dup_id"), "band_id", "band_hash", "sub"
+                ),
+                ["band_id", "band_hash", "sub"],
             )
             .filter(F.col("keep_id") < F.col("dup_id"))
             .dropDuplicates(["keep_id", "dup_id"])
@@ -824,17 +872,17 @@ def _embedding_lsh_sql() -> str:
         LSH_PLANES,
         _hyperplanes,
         _sql_cos,
-        sql_bands_cte,
+        sql_capped_bands_chain,
     )
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
-WITH bands AS (
-{sql_bands_cte(planes, LSH_N_BANDS)}
-), pairs AS (
+WITH {sql_capped_bands_chain(planes, LSH_N_BANDS, EMB_BUCKET_CAP, "emb")}
+, pairs AS (
   SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.sub = b.sub
   WHERE a.vec_id < b.vec_id
 ), scored AS (
   SELECT p.keep_id, p.dup_id,
@@ -879,17 +927,17 @@ def _components_reach_cte() -> str:
         LSH_PLANES,
         _hyperplanes,
         _sql_cos,
-        sql_bands_cte,
+        sql_capped_bands_chain,
     )
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
-WITH RECURSIVE bands AS (
-{sql_bands_cte(planes, LSH_N_BANDS)}
-), cands AS (
+WITH RECURSIVE {sql_capped_bands_chain(planes, LSH_N_BANDS, EMB_BUCKET_CAP, "emb")}
+, cands AS (
   SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
   FROM bands a JOIN bands b
     ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+   AND a.sub = b.sub
   WHERE a.vec_id < b.vec_id
 ), scored AS (
   SELECT c.keep_id, c.dup_id,

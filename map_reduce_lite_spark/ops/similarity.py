@@ -726,6 +726,31 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ann_lsh_topk(emb, queries, dim, n_planes=LSH_PLANES, n_bands=LSH_N_BANDS)
 
 
+def sql_capped_bands_chain(
+    planes: list[list[float]], n_bands: int, cap: int, salt_prefix: str
+) -> str:
+    """CTE chain (to place right after WITH) ending in ``bands`` with
+    columns (vec_id, band_id, band_hash, sub) — the hot-bucket-capped
+    band table. The salted split is replayed UNCONDITIONALLY: when no
+    bucket exceeds ``cap``, n_sub = 1 and sub ≡ 0, an identity matching
+    the Spark side's probe-skipped plain branch bit-for-bit. Consumers
+    must add ``a.sub = b.sub`` to their self-join condition."""
+    salt = sql_md5_60bit(
+        f"'{salt_prefix}|' || CAST(b.band_id AS VARCHAR) || '|' "
+        "|| CAST(b.vec_id AS VARCHAR)"
+    )
+    return f"""rawbands AS (
+{sql_bands_cte(planes, n_bands)}
+), bsizes AS (
+  SELECT band_id, band_hash, (COUNT(*) + {cap - 1}) // {cap} AS n_sub
+  FROM rawbands GROUP BY 1, 2
+), bands AS (
+  SELECT b.vec_id, b.band_id, b.band_hash, ({salt} % s.n_sub) AS sub
+  FROM rawbands b JOIN bsizes s
+    ON s.band_id = b.band_id AND s.band_hash = b.band_hash
+)"""
+
+
 def sql_bands_cte(planes: list[list[float]], n_bands: int) -> str:
     """UNION-ALL body producing (vec_id, band_id, band_hash) — the SQL
     twin of posexplode(lsh_band_hashes(...)). Plane literals round-trip

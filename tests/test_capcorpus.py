@@ -343,3 +343,43 @@ def test_knn_default_cap_engagement_is_semantic(spark, knncap_dir):
     assert _KNN_N > KNN_BUCKET_CAP
     assert uncapped == _KNN_N * (_KNN_N - 1)  # one bucket per band, all collide
     assert 0 < capped < uncapped
+
+
+def test_embedding_band_default_cap_engaged_value_parity(spark, knncap_dir):
+    """The embedding-LSH pair family on the 520-vector single-bucket
+    corpus: the salted sub-split is live in both engines for the pair
+    query AND its components/histogram consumers, and the full output
+    multisets still match."""
+    duck = _duck_for(knncap_dir, tables=("embeddings",))
+    for name, ncols in (
+        ("dedup_embedding_lsh", 3),
+        ("dedup_cluster_sizes", 3),
+    ):
+        sdf, oracle = _run_registered(spark, knncap_dir, name)
+        spark_rows = [tuple(r) for r in sdf.collect()]
+        duck_rows = duck.execute(oracle).fetchall()
+        assert len(spark_rows) == len(duck_rows) > 0, name
+        cols = list(range(ncols))
+        assert _multiset(spark_rows, cols) == _multiset(duck_rows, cols), name
+
+
+def test_embedding_band_default_cap_engagement_is_semantic(spark, knncap_dir):
+    """All 520 vectors share every band bucket (> the 512 default), and
+    the uncapped pair set is strictly larger — the parity above ran
+    with the split live."""
+    from map_reduce_lite_spark.ops.dedup import (
+        EMB_BUCKET_CAP,
+        embedding_near_dup_pairs,
+    )
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, str(knncap_dir), "embeddings")
+    capped = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM).count()
+    uncapped = embedding_near_dup_pairs(
+        emb, method="lsh", dim=EMB_DIM, cap=1 << 30
+    ).count()
+    assert _KNN_N > EMB_BUCKET_CAP
+    # every pair clears the cosine threshold here (all vectors ~parallel)
+    assert uncapped == _KNN_N * (_KNN_N - 1) // 2
+    assert 0 < capped < uncapped
