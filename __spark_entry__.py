@@ -122,6 +122,12 @@ _FRONT_CHANGED = [
     "similarity_nn_descent",
     "embedding_ood_score",
     "dedup_cluster_sizes",
+    # changed in r9 (knn/embedding band-bucket caps + the components
+    # hard parquet barrier — oracles and loop both touched)
+    "dedup_embedding_lsh",
+    "dedup_components",
+    "dedup_survivors_docs",
+    "curation_leakage_safe_split",
 ]
 
 # Tier 2 — evidence-freshness rotation, r9 batch: all 23 remaining
@@ -129,10 +135,10 @@ _FRONT_CHANGED = [
 # of them, so exposure is already zero — this is the promised hygiene),
 # then the reference's own four parity workloads (wc/grep/vertex-degree/
 # matrix-multiply — fronted first per the r8 verdict since they are the
-# reference's query library), then the 13 alphabetically-first of the
+# reference's query library), then the 9 alphabetically-first of the
 # remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
 # check window. After this round no live query's driver evidence is
-# older than r6; the leftover 29 r6 members rotate in next round.
+# older than r6; the leftover 33 r6 members rotate in next round.
 _ROTATION_OLDEST = [
     # r5 evidence (all 23 remaining)
     "rfm_segment_customers",
@@ -173,10 +179,6 @@ _ROTATION_OLDEST = [
     "cluster_embeddings_kmeans",
     "cube_flag_status",
     "curation_ccnet_buckets",
-    "date_funcs_monthly",
-    "distinct_segments",
-    "embedding_dim_stats",
-    "embedding_prefix_recall",
 ]
 
 ALL_QUERIES = {
