@@ -122,6 +122,7 @@ _FRONT_CHANGED = [
     "similarity_nn_descent",
     "embedding_ood_score",
     "dedup_cluster_sizes",
+    "similarity_graph_hubness",
     # changed in r9 (knn/embedding band-bucket caps + the components
     # hard parquet barrier — oracles and loop both touched)
     "dedup_embedding_lsh",
@@ -135,10 +136,10 @@ _FRONT_CHANGED = [
 # of them, so exposure is already zero — this is the promised hygiene),
 # then the reference's own four parity workloads (wc/grep/vertex-degree/
 # matrix-multiply — fronted first per the r8 verdict since they are the
-# reference's query library), then the 9 alphabetically-first of the
+# reference's query library), then the 8 alphabetically-first of the
 # remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
 # check window. After this round no live query's driver evidence is
-# older than r6; the leftover 33 r6 members rotate in next round.
+# older than r6; the leftover 34 r6 members rotate in next round.
 _ROTATION_OLDEST = [
     # r5 evidence (all 23 remaining)
     "rfm_segment_customers",
@@ -178,7 +179,6 @@ _ROTATION_OLDEST = [
     "case_bucket_acctbal",
     "cluster_embeddings_kmeans",
     "cube_flag_status",
-    "curation_ccnet_buckets",
 ]
 
 ALL_QUERIES = {

@@ -188,6 +188,7 @@ BENCH_QUERIES = [
     "similarity_nn_descent",
     "embedding_ood_score",
     "dedup_cluster_sizes",
+    "similarity_graph_hubness",
 ]
 
 

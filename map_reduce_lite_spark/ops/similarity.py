@@ -715,6 +715,57 @@ FROM ranked2 WHERE rank <= {KNN_GRAPH_K}
     )
 
 
+def similarity_graph_hubness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-degree histogram of the approximate k-NN graph: for each
+    in-degree d, how many vectors are the chosen neighbor of exactly d
+    others — including d=0. High-dimensional spaces concentrate
+    neighbor lists onto HUB vectors while ANTI-HUBS (in-degree 0)
+    vanish from every list (Radovanović et al., JMLR'10); a fat hub
+    tail means graph-based dedup/retrieval over-weights a few vectors
+    and the d=0 mass is unreachable by graph traversal — the QA
+    histogram to check before trusting NN-descent or graph-ANN serving.
+
+    Scale shape: consumes the capped k-NN edge list (out-degree ≤ K by
+    construction, hot buckets salt-split), aggregates the 8-byte dst
+    ids (map-side combined, state ≤ corpus), one id-only left join to
+    restore zero-in-degree vectors, and a ≤(max-degree+1)-row final
+    histogram. Integers end-to-end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scored = _knn_scored_edges(emb)
+    w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
+    edges = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= KNN_GRAPH_K)
+        .select("dst_id")
+    )
+    indeg = edges.groupBy("dst_id").agg(F.count(F.lit(1)).alias("in_degree"))
+    per_node = (
+        emb.select("vec_id")
+        .join(indeg, emb.vec_id == indeg.dst_id, "left")
+        .select(F.coalesce(F.col("in_degree"), F.lit(0)).alias("in_degree"))
+    )
+    return per_node.groupBy("in_degree").agg(
+        F.count(F.lit(1)).alias("n_nodes")
+    )
+
+
+def _graph_hubness_sql() -> str:
+    return (
+        _knn_edges_cte()
+        + f""", knn AS (
+  SELECT dst_id FROM ranked WHERE rank <= {KNN_GRAPH_K}
+), indeg AS (
+  SELECT dst_id, COUNT(*) AS in_degree FROM knn GROUP BY dst_id
+), per_node AS (
+  SELECT COALESCE(i.in_degree, 0) AS in_degree
+  FROM embeddings e LEFT JOIN indeg i ON i.dst_id = e.vec_id
+)
+SELECT in_degree, COUNT(*) AS n_nodes
+FROM per_node GROUP BY in_degree
+"""
+    )
+
+
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     # EMB_DIM is pinned by the oracle's plane literals — probing the data
@@ -1135,6 +1186,12 @@ SIMILARITY_QUERIES: dict[str, Query] = {
             similarity_knn_graph,
             _knn_graph_sql(),
             "corpus-wide approximate k-NN graph over LSH band collisions",
+        ),
+        Query(
+            "similarity_graph_hubness",
+            similarity_graph_hubness,
+            _graph_hubness_sql(),
+            "in-degree histogram (hub/anti-hub audit) of the k-NN graph",
         ),
         Query(
             "similarity_nn_descent",

@@ -100,3 +100,19 @@ def test_cluster_sizes_reconcile_with_components(spark):
     for r in hist:
         assert r["cluster_size"] >= 2  # components only contain paired nodes
         assert r["n_docs"] == r["cluster_size"] * r["n_clusters"]
+
+
+def test_hubness_histogram_reconciles_with_graph(spark):
+    """Node mass must equal the corpus and edge mass must equal the
+    k-NN graph's edge count — including the in-degree-0 (anti-hub) row."""
+    from map_reduce_lite_spark.ops.similarity import (
+        similarity_graph_hubness,
+        similarity_knn_graph,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    hist = similarity_graph_hubness(spark, SF_SMALL).collect()
+    n_vecs = load_table(spark, SF_SMALL, "embeddings").count()
+    n_edges = similarity_knn_graph(spark, SF_SMALL).count()
+    assert sum(r["n_nodes"] for r in hist) == n_vecs
+    assert sum(r["in_degree"] * r["n_nodes"] for r in hist) == n_edges
