@@ -517,10 +517,16 @@ FROM staged GROUP BY source
 # Leakage-safe (cluster-level) split
 # --------------------------------------------------------------------------
 
+# Effectively-infinite hot-bucket cap: the safety operator must never
+# drop a detected pair (see leakage_safe_split's GUARANTEE SCOPE note).
+# 2^62 keeps (COUNT(*) + cap - 1) // cap == 1 without BIGINT overflow.
+LEAKAGE_SPLIT_CAP = 1 << 62
+
 
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Train/val/test routing that cannot leak near-duplicates across
-    splits: route whole near-dup CLUSTERS, not documents.
+    """Train/val/test routing that routes whole near-dup CLUSTERS, not
+    documents, so no LSH-DETECTED near-duplicate pair ever straddles a
+    split boundary.
 
     A doc-level hash split puts ~19% of each near-dup pair's mass in a
     different split than its twin — the classic eval-contamination bug.
@@ -529,7 +535,22 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     machinery), so every member of a cluster lands together. The output
     audits itself: n_cross_pairs counts near-dup pairs whose ends fall
     in different splits, keyed by the keep-end's split — zero by
-    construction, and the oracle proves both engines agree it is.
+    construction over the detected pair graph, and the oracle proves
+    both engines agree it is.
+
+    GUARANTEE SCOPE: "zero leakage" is relative to the LSH pair graph.
+    Because this is a SAFETY operator, it is EXEMPT from the hot-bucket
+    salted cap the throughput dedup queries use (cap engaged = pairs
+    inside an oversized bucket silently dropped, which here would mean
+    undetected cross-split leakage that the self-audit — computed from
+    the same pair set — could not see). Both the Spark path and the SQL
+    twin pass an effectively-infinite cap, so every band collision is
+    verified. The residual recall limit is LSH banding itself (a true
+    near-dup pair missed by all bands can still split) — inherent to
+    any sub-quadratic detector. The price of exemption is that one
+    adversarial mega-bucket costs size² candidate pairs in THIS
+    operator; if that bucket exists, the right fix is more selective
+    banding (more planes/bands), not silently dropping pairs.
 
     Output: (split, n_vecs, n_clusters, n_cross_pairs).
 
@@ -546,7 +567,9 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = (
-        embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+        embedding_near_dup_pairs(
+            emb, method="lsh", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
+        )
         .select("keep_id", "dup_id")
         .localCheckpoint(eager=True)
     )
@@ -595,7 +618,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _leakage_split_sql() -> str:
-    from map_reduce_lite_spark.ops.dedup import EMB_BUCKET_CAP, NEAR_DUP_COS
+    from map_reduce_lite_spark.ops.dedup import NEAR_DUP_COS
     from map_reduce_lite_spark.ops.similarity import (
         EMB_DIM,
         LSH_N_BANDS,
@@ -607,7 +630,7 @@ def _leakage_split_sql() -> str:
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     return f"""
-WITH RECURSIVE {sql_capped_bands_chain(planes, LSH_N_BANDS, EMB_BUCKET_CAP, "emb")}
+WITH RECURSIVE {sql_capped_bands_chain(planes, LSH_N_BANDS, LEAKAGE_SPLIT_CAP, "emb")}
 , cands AS (
   SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
   FROM bands a JOIN bands b

@@ -35,12 +35,107 @@ def _checkpointer(
     mid-loop kills the job because truncated lineage can't be recomputed.
     Passing ``checkpoint_dir`` (an HDFS/S3 path in production) switches
     to reliable ``checkpoint()`` — the 100×-scale answer for long
-    iterative jobs where executor loss is routine."""
+    iterative jobs where executor loss is routine.
+
+    ``eager=False`` marks the frame for truncation WITHOUT spending a
+    job on it — the very next action that touches it (e.g. the loop's
+    convergence count) materializes and truncates as a side effect.
+    One job per round instead of two: driver-side per-action overhead
+    is the dominant cost of iterative ops on small state (the r10
+    dedup_cluster_sizes attribution — per-action cost varies ~4× with
+    JVM C2 warmth, so halving actions halves the cold-driver tax)."""
     if checkpoint_dir is None:
-        return lambda df: df.localCheckpoint()
+        return lambda df, eager=True: df.localCheckpoint(eager=eager)
     sc = df_sample.sparkSession.sparkContext
     sc.setCheckpointDir(checkpoint_dir)
-    return lambda df: df.checkpoint()
+    return lambda df, eager=True: df.checkpoint(eager=eager)
+
+
+class _HardBarrier:
+    """Parquet write+read lineage barrier for iterative loops, with a
+    leak-free lifecycle (r10 — previously every ``connected_components``
+    call mkdtemp'd a directory even when the barrier never fired, and
+    barrier files were never deleted, accumulating across a 176-query
+    bench and any long-lived driver):
+
+    - the barrier directory is created LAZILY on the first actual
+      barrier write — the common converge-in-<8-rounds call touches
+      the filesystem zero times;
+    - each barrier write deletes the PREVIOUS barrier file (safe: the
+      new parquet fully materializes the state before the delete, and
+      the only frames alive across rounds are the checkpointed inputs
+      and the new file's scan);
+    - ``finalize`` re-materializes the final frame off the last file
+      (via the caller's checkpointer, so a reliable-``checkpoint``
+      caller keeps cluster resilience) and then removes the whole
+      barrier directory; ``abort`` removes it on the error path.
+
+    Deletion goes through the Hadoop FileSystem API so a production
+    ``checkpoint_dir`` on HDFS/S3 cleans up the same way a local temp
+    dir does (Python's shutil can't reach scheme'd paths)."""
+
+    def __init__(self, spark, checkpoint_dir: str | None, prefix: str):
+        self._spark = spark
+        self._checkpoint_dir = checkpoint_dir
+        self._prefix = prefix
+        self._root: str | None = None
+        self._last_path: str | None = None
+
+    def _ensure_root(self) -> str:
+        if self._root is None:
+            import uuid
+
+            ns = uuid.uuid4().hex  # concurrent callers must not collide
+            if self._checkpoint_dir is not None:
+                self._root = f"{self._checkpoint_dir.rstrip('/')}/{self._prefix}_{ns}"
+            else:
+                import tempfile
+
+                self._root = tempfile.mkdtemp(prefix=f"{self._prefix}_")
+        return self._root
+
+    def _rm(self, path: str) -> None:
+        # best-effort: never fail the query over cleanup
+        try:
+            jvm = self._spark._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path(path)
+            fs = hpath.getFileSystem(
+                self._spark._jsc.hadoopConfiguration()
+            )
+            fs.delete(hpath, True)
+        except Exception:
+            pass
+
+    def barrier(self, df: DataFrame, tag: str) -> DataFrame:
+        """Write ``df`` to parquet, return a fresh scan of it, and drop
+        the previous barrier file."""
+        path = f"{self._ensure_root()}/{tag}"
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        if self._last_path is not None:
+            self._rm(self._last_path)
+        self._last_path = path
+        return out
+
+    def finalize(
+        self, df: DataFrame, ckpt: Callable[[DataFrame], DataFrame]
+    ) -> DataFrame:
+        """Detach ``df`` from the last barrier file (if any barrier ever
+        fired) and remove all barrier storage."""
+        if self._root is None:
+            return df  # barrier never fired: nothing on disk
+        df = ckpt(df)  # eager: materializes off the parquet scan
+        self._rm(self._root)
+        self._root = None
+        self._last_path = None
+        return df
+
+    def abort(self) -> None:
+        """Error-path cleanup: remove barrier storage unconditionally."""
+        if self._root is not None:
+            self._rm(self._root)
+            self._root = None
+            self._last_path = None
 
 
 def connected_components(
@@ -100,15 +195,13 @@ def connected_components(
     keeps the leak unmeasurable while amortizing the write to noise.
     Barrier files go under ``checkpoint_dir`` when given (the shared-FS
     path a real cluster must use — executor-local /tmp is not shared),
-    else a driver-temp directory (correct in local mode)."""
+    else a driver-temp directory (correct in local mode); lifecycle —
+    lazy creation, previous-file deletion, finalize/abort cleanup — is
+    ``_HardBarrier``'s."""
     # reset the diagnostic at entry so a call that fails before its
     # first round can't leave a previous call's stale value behind
     connected_components.last_rounds = 0
-    import tempfile
-    import uuid
-
-    barrier_root = checkpoint_dir or tempfile.mkdtemp(prefix="mrl_cc_barrier_")
-    barrier_ns = uuid.uuid4().hex  # concurrent callers must not collide
+    hb = _HardBarrier(edges.sparkSession, checkpoint_dir, "mrl_cc_barrier")
     ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
@@ -118,6 +211,28 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
+    try:
+        labels = _cc_loop(
+            e, labels, ckpt, hb, max_iter, checkpoint_every, hard_barrier_every
+        )
+    except BaseException:
+        hb.abort()
+        raise
+    labels = hb.finalize(labels, ckpt)
+    return labels.select("node", F.col("label").alias("component"))
+
+
+def _cc_loop(
+    e: DataFrame,
+    labels: DataFrame,
+    ckpt: Callable[[DataFrame], DataFrame],
+    hb: _HardBarrier,
+    max_iter: int,
+    checkpoint_every: int,
+    hard_barrier_every: int,
+) -> DataFrame:
+    """The pointer-jumping iteration of ``connected_components`` — split
+    out so the barrier lifecycle (try/abort/finalize) reads linearly."""
     for it in range(max_iter):
         # smallest label among each node's neighbors this round
         neigh_min = (
@@ -150,7 +265,9 @@ def connected_components(
             )
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            new_labels = ckpt(new_labels)
+            # lazy: the convergence count right below materializes (and
+            # truncates) it — one driver action per round, not two
+            new_labels = ckpt(new_labels, eager=False)
         n_changed = new_labels.filter(F.col("changed")).count()
         labels = new_labels.select("node", "label")
         # diagnostics only (stress harness + convergence tests read it):
@@ -160,10 +277,8 @@ def connected_components(
             break
         if hard_barrier_every and (it + 1) % hard_barrier_every == 0:
             # fresh scan lineage: see the hard-barrier note in the docstring
-            path = f"{barrier_root}/{barrier_ns}_r{it + 1}"
-            labels.write.mode("overwrite").parquet(path)
-            labels = labels.sparkSession.read.parquet(path)
-    return labels.select("node", F.col("label").alias("component"))
+            labels = hb.barrier(labels, f"r{it + 1}")
+    return labels
 
 
 def pagerank(
@@ -173,6 +288,8 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
+    checkpoint_every: int = 1,
+    hard_barrier_every: int = 8,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -186,9 +303,22 @@ def pagerank(
     division (identical in both engines), summed exactly as
     DECIMAL(28,12), and the damping update is arithmetic on identical
     doubles — so a DuckDB oracle can replay the SAME fixed number of
-    iterations bit-for-bit (unusual for an iterative algorithm).
-    """
+    iterations bit-for-bit (unusual for an iterative algorithm —
+    localCheckpoint and the parquet barrier both round-trip doubles
+    exactly, so truncation points don't perturb the hash).
+
+    Lineage bounding (r10): the loop previously built one unbroken lazy
+    plan — fine at the registered iterations=3, but ``iterations`` is a
+    caller parameter, and at 30+ rounds the plan is exactly the
+    unbounded-growth shape connected_components root-caused in r9
+    (driver-side cost exponential in generations). Same remedy, shared
+    machinery: per-round ``ckpt`` (eager, so every round costs one flat
+    join+agg) and the ``_HardBarrier`` parquet rewrite every
+    ``hard_barrier_every`` rounds, with the barrier's lazy-create /
+    delete-previous / finalize lifecycle. Measured flat-per-round at
+    iterations=30 on the percolation slice (SCALE.md r10)."""
     ckpt = _checkpointer(edges, checkpoint_dir)
+    hb = _HardBarrier(edges.sparkSession, checkpoint_dir, "mrl_pr_barrier")
     e = ckpt(
         edges.select(F.col(src).alias("esrc"), F.col(dst).alias("edst")).distinct()
     )  # reused every iteration; truncate lineage once
@@ -199,24 +329,38 @@ def pagerank(
     )
     outdeg = e.groupBy("esrc").agg(F.count(F.lit(1)).alias("d"))
     ranks = nodes.withColumn("pr", F.lit(1.0))
-    for _ in range(iterations):
-        contribs = (
-            e.join(ranks, e.esrc == ranks.node)
-            .join(outdeg, "esrc")
-            .select(
-                "edst",
-                (F.col("pr") / F.col("d")).cast("decimal(28,12)").alias("c"),
+    try:
+        for it in range(iterations):
+            contribs = (
+                e.join(ranks, e.esrc == ranks.node)
+                .join(outdeg, "esrc")
+                .select(
+                    "edst",
+                    (F.col("pr") / F.col("d")).cast("decimal(28,12)").alias("c"),
+                )
             )
-        )
-        mass = contribs.groupBy("edst").agg(F.sum("c").cast("double").alias("mass"))
-        ranks = nodes.join(mass, nodes.node == mass.edst, "left").select(
-            "node",
-            (
-                F.lit(1.0 - damping)
-                + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
-            ).alias("pr"),
-        )
-    return ranks
+            mass = contribs.groupBy("edst").agg(
+                F.sum("c").cast("double").alias("mass")
+            )
+            ranks = nodes.join(mass, nodes.node == mass.edst, "left").select(
+                "node",
+                (
+                    F.lit(1.0 - damping)
+                    + F.lit(damping) * F.coalesce(F.col("mass"), F.lit(0.0))
+                ).alias("pr"),
+            )
+            if (it + 1) % checkpoint_every == 0 and it != iterations - 1:
+                ranks = ckpt(ranks)
+            if (
+                hard_barrier_every
+                and (it + 1) % hard_barrier_every == 0
+                and it != iterations - 1
+            ):
+                ranks = hb.barrier(ranks, f"r{it + 1}")
+    except BaseException:
+        hb.abort()
+        raise
+    return hb.finalize(ranks, ckpt)
 
 
 def dedup_survivors(pairs: DataFrame, all_ids: DataFrame, id_col: str) -> DataFrame:

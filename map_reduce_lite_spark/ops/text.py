@@ -1337,7 +1337,11 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         "k",
         "covered_tokens",
         F.col("total_tokens").cast("long").alias("total_tokens"),
-        F.expr("(10000 * covered_tokens) div total_tokens").alias("coverage_bps"),
+        # nullif: an empty corpus sums to total_tokens=0 — ANSI Spark
+        # throws on the div while DuckDB's // yields NULL; agree on NULL
+        F.expr("(10000 * covered_tokens) div nullif(total_tokens, 0)").alias(
+            "coverage_bps"
+        ),
     )
 
 
@@ -1365,7 +1369,7 @@ WITH counts AS (
   GROUP BY ks.k
 )
 SELECT k, covered_tokens, total_tokens,
-       (10000 * covered_tokens) // total_tokens AS coverage_bps
+       (10000 * covered_tokens) // NULLIF(total_tokens, 0) AS coverage_bps
 FROM cov CROSS JOIN total
 """
 
@@ -1417,9 +1421,14 @@ def fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("(10000 * total_bpe_tokens) div total_ws_tokens").alias(
                 "fertility_bps"
             ),
-            F.expr("(10000 * total_chars) div total_bpe_tokens").alias(
-                "chars_per_bpe_bps"
-            ),
+            # nullif: a stratum of whitespace-only/empty docs (all 'und')
+            # has bpe_toks=0, and Spark 4.1 runs ANSI mode — a bare div
+            # throws DIVIDE_BY_ZERO while DuckDB's // returns NULL; NULL
+            # on both sides keeps the engines agreeing on degenerate
+            # corpora instead of crash-vs-NULL diverging
+            F.expr(
+                "(10000 * total_chars) div nullif(total_bpe_tokens, 0)"
+            ).alias("chars_per_bpe_bps"),
         )
     )
 
@@ -1454,8 +1463,8 @@ SELECT pred_lang,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        (10000 * CAST(SUM(bpe_toks) AS BIGINT)) // CAST(SUM(ws_toks) AS BIGINT)
          AS fertility_bps,
-       (10000 * CAST(SUM(n_chars) AS BIGINT)) // CAST(SUM(bpe_toks) AS BIGINT)
-         AS chars_per_bpe_bps
+       (10000 * CAST(SUM(n_chars) AS BIGINT))
+         // NULLIF(CAST(SUM(bpe_toks) AS BIGINT), 0) AS chars_per_bpe_bps
 FROM labeled
 GROUP BY pred_lang
 """

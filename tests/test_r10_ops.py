@@ -1,0 +1,304 @@
+"""Round-10 regressions: iterative-loop barrier lifecycle (leak-free),
+pagerank lineage bounding, and ANSI-mode div-by-zero guards on
+degenerate corpora.
+
+The barrier-leak shape (r10 ADVICE): connected_components mkdtemp'd a
+directory on EVERY call — even when the 8-round barrier never fired —
+and never deleted barrier parquet files, accumulating across the
+176-query bench and any long-lived driver. The fix (_HardBarrier) is
+lazy-create / delete-previous / finalize-cleanup; these tests pin each
+leg of that lifecycle plus the error path.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _barrier_leftovers(root) -> list[str]:
+    return [p.name for p in root.iterdir() if p.name.startswith("mrl_")]
+
+
+# --------------------------------------------------------------------------
+# _HardBarrier lifecycle
+# --------------------------------------------------------------------------
+
+
+def test_cc_no_tempdir_when_barrier_unfired(spark, monkeypatch):
+    """A graph that converges inside hard_barrier_every rounds must not
+    touch the filesystem at all (the pre-r10 code mkdtemp'd per call)."""
+    import tempfile
+
+    from map_reduce_lite_spark.ops import graph
+
+    calls = []
+    real = tempfile.mkdtemp
+
+    def counting(*a, **k):
+        calls.append(k.get("prefix") or (a[0] if a else None))
+        return real(*a, **k)
+
+    monkeypatch.setattr(tempfile, "mkdtemp", counting)
+    edges = spark.createDataFrame([(1, 2), (2, 3), (10, 11)], ["src", "dst"])
+    out = {r["node"]: r["component"] for r in graph.connected_components(edges).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    assert calls == [], "barrier dir must be created lazily, on first fire only"
+
+
+def test_cc_barrier_files_cleaned_after_fire(spark, tmp_path):
+    """Force the barrier to fire (chain graph, hard_barrier_every=2):
+    the result must survive cleanup — finalize re-materializes off the
+    last parquet file before deleting the whole barrier subtree."""
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    n = 40
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], ["src", "dst"]
+    )
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    out = connected_components(
+        edges,
+        checkpoint_dir=str(ckdir),
+        hard_barrier_every=2,
+    )
+    rows = {r["node"]: r["component"] for r in out.collect()}
+    assert rows == {i: 0 for i in range(n + 1)}
+    # Spark's own reliable-checkpoint dirs remain (Spark convention,
+    # cleaned by spark.cleaner); OUR barrier subtrees must be gone.
+    assert connected_components.last_rounds >= 3, "barrier must have fired"
+    assert _barrier_leftovers(ckdir) == []
+
+
+def test_cc_barrier_tempdir_removed(spark, tmp_path, monkeypatch):
+    """Default (no checkpoint_dir) path: the lazily-created temp dir is
+    removed once the result is detached."""
+    import tempfile
+
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    made = []
+    real = tempfile.mkdtemp
+
+    def recording(*a, **k):
+        d = real(*a, **k)
+        made.append(d)
+        return d
+
+    monkeypatch.setattr(tempfile, "mkdtemp", recording)
+    edges = spark.createDataFrame([(i, i + 1) for i in range(40)], ["src", "dst"])
+    out = connected_components(edges, hard_barrier_every=2)
+    assert out.count() == 41
+    import os
+
+    barrier_dirs = [d for d in made if "mrl_cc_barrier" in d]
+    assert barrier_dirs, "barrier must have fired on the 40-chain"
+    assert all(not os.path.exists(d) for d in barrier_dirs)
+
+
+def test_barrier_abort_on_error(spark, tmp_path):
+    """Error path: abort() removes the barrier subtree."""
+    from map_reduce_lite_spark.ops.graph import _HardBarrier
+
+    hb = _HardBarrier(spark, str(tmp_path), "mrl_test_barrier")
+    df = spark.range(10)
+    df2 = hb.barrier(df, "r1")
+    assert df2.count() == 10
+    assert _barrier_leftovers(tmp_path) != []
+    hb.abort()
+    assert _barrier_leftovers(tmp_path) == []
+
+
+def test_barrier_keeps_only_last_file(spark, tmp_path):
+    """Each barrier write deletes the previous round's file."""
+    import os
+
+    from map_reduce_lite_spark.ops.graph import _HardBarrier
+
+    hb = _HardBarrier(spark, str(tmp_path), "mrl_test_barrier")
+    d1 = hb.barrier(spark.range(5), "r1")
+    d2 = hb.barrier(d1, "r2")
+    root = tmp_path / _barrier_leftovers(tmp_path)[0]
+    assert sorted(os.listdir(root)) == ["r2"]
+    d3 = hb.finalize(d2, lambda df, eager=True: df.localCheckpoint(eager=eager))
+    assert d3.count() == 5
+    assert _barrier_leftovers(tmp_path) == []
+
+
+# --------------------------------------------------------------------------
+# pagerank lineage bounding
+# --------------------------------------------------------------------------
+
+
+def _numpy_pagerank(edges: list[tuple[int, int]], iterations: int) -> dict[int, float]:
+    """Driver-side replay of the exact formulation (dangling nodes keep
+    base rank; DECIMAL mass sum replayed in float — exact on this tiny
+    graph's dyadic-ish values is NOT assumed, so comparisons use a
+    tolerance)."""
+    nodes = sorted({x for e in edges for x in e})
+    out: dict[int, list[int]] = {}
+    for s, d in set(edges):
+        out.setdefault(s, []).append(d)
+    pr = {n: 1.0 for n in nodes}
+    for _ in range(iterations):
+        mass = {n: 0.0 for n in nodes}
+        for s, ds in out.items():
+            for d in ds:
+                mass[d] += pr[s] / len(ds)
+        pr = {n: 0.15 + 0.85 * mass[n] for n in nodes}
+    return pr
+
+
+def test_pagerank_deep_iterations_bounded(spark, tmp_path):
+    """iterations=12 with hard_barrier_every=4: values match the
+    driver-side replay and no barrier storage survives — the lineage
+    class connected_components root-caused in r9, now bounded here."""
+    from map_reduce_lite_spark.ops.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 1), (5, 1)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    got = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=12, checkpoint_dir=str(ckdir), hard_barrier_every=4
+        ).collect()
+    }
+    want = _numpy_pagerank(raw, 12)
+    assert got.keys() == want.keys()
+    for n in want:
+        assert got[n] == pytest.approx(want[n], rel=1e-9), n
+    assert _barrier_leftovers(ckdir) == []
+
+
+def test_pagerank_iter3_unchanged_by_truncation(spark):
+    """The registered query's semantics are invariant to the new
+    truncation points (localCheckpoint/parquet round-trip doubles
+    exactly): iterations=3 with and without per-round ckpt agree
+    bit-for-bit."""
+    from map_reduce_lite_spark.ops.graph import pagerank
+
+    raw = [(1, 2), (2, 3), (3, 1), (4, 2)]
+    edges = spark.createDataFrame(raw, ["src", "dst"])
+    plain = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=3, checkpoint_every=10**9, hard_barrier_every=0
+        ).collect()
+    }
+    bounded = {
+        r["node"]: r["pr"]
+        for r in pagerank(
+            edges, iterations=3, checkpoint_every=1, hard_barrier_every=2
+        ).collect()
+    }
+    assert plain == bounded  # exact float equality, deliberately
+
+
+# --------------------------------------------------------------------------
+# ANSI div-by-zero guards (degenerate corpora)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def tokenless_dir(tmp_path_factory):
+    """A corpus made ONLY of empty / whitespace-only documents: every
+    doc lands in the 'und' stratum with bpe_toks = 0."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("tokenless")
+    docs = [(1, "", "bulk"), (2, "   ", "bulk"), (3, "\t\n", "bulk")]
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in docs], pa.int64()),
+            "text": pa.array([r[1] for r in docs], pa.string()),
+            "lang": pa.array(["en"] * len(docs), pa.string()),
+            "source": pa.array([r[2] for r in docs], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in docs], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_fertility_tokenless_stratum_null_both_engines(spark, tokenless_dir):
+    """ADVICE r10: SUM(bpe_toks)=0 for the whitespace-only 'und' stratum
+    — ANSI Spark threw DIVIDE_BY_ZERO while DuckDB's // returned NULL.
+    Both engines must now agree on NULL."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    sdf = e.queries()["text_fertility_by_lang"](spark, tokenless_dir)
+    srows = sdf.collect()  # must not raise
+    assert len(srows) == 1 and srows[0]["pred_lang"] == "und"
+    assert srows[0]["chars_per_bpe_bps"] is None
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{tokenless_dir}/documents.parquet')"
+    )
+    drows = con.execute(e.oracle_sql()["text_fertility_by_lang"]).fetchall()
+    dcols = [c[0] for c in con.execute(
+        e.oracle_sql()["text_fertility_by_lang"]
+    ).description]
+    d = dict(zip(dcols, drows[0]))
+    s = srows[0].asDict()
+    assert {k: d[k] for k in s} == s
+
+
+# --------------------------------------------------------------------------
+# staged k-NN edge list (build once, consume many)
+# --------------------------------------------------------------------------
+
+
+def test_knn_staged_edges_parity(spark, tmp_path):
+    """build_knn_edges → consumers must equal the inline registered
+    forms, full multiset, for all three family members."""
+    from map_reduce_lite_spark.ops.similarity import (
+        build_knn_edges,
+        hubness_from_edges,
+        knn_topk_edges,
+        nn_descent_from_edges,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    staged = build_knn_edges(emb, str(tmp_path / "knn_edges"))
+
+    def ms(df):
+        from collections import Counter
+
+        return Counter(tuple(r) for r in df.collect())
+
+    assert ms(staged) == ms(knn_topk_edges(emb))
+    assert ms(nn_descent_from_edges(emb, staged)) == ms(
+        nn_descent_from_edges(emb, knn_topk_edges(emb))
+    )
+    assert ms(hubness_from_edges(emb, staged)) == ms(
+        hubness_from_edges(emb, knn_topk_edges(emb))
+    )
+
+
+def test_knn_edges_reliable_checkpoint(spark, tmp_path):
+    """checkpoint_dir switches the band-table truncation to reliable
+    checkpoint() (survives executor loss) — mirrors
+    test_connected_components_reliable_checkpoint."""
+    from map_reduce_lite_spark.ops.similarity import knn_topk_edges
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    plain = {tuple(r) for r in knn_topk_edges(emb).collect()}
+    ck = {
+        tuple(r)
+        for r in knn_topk_edges(emb, checkpoint_dir=str(ckdir)).collect()
+    }
+    assert plain == ck
+    assert any(ckdir.rglob("*")), "reliable checkpoint dir must be written"
