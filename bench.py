@@ -189,6 +189,8 @@ BENCH_QUERIES = [
     "embedding_ood_score",
     "dedup_cluster_sizes",
     "similarity_graph_hubness",
+    # r10 additions
+    "multimodal_ppm_decode",
 ]
 
 

@@ -302,3 +302,81 @@ def test_knn_edges_reliable_checkpoint(spark, tmp_path):
     }
     assert plain == ck
     assert any(ckdir.rglob("*")), "reliable checkpoint dir must be written"
+
+
+# --------------------------------------------------------------------------
+# real PPM (P6) decoder
+# --------------------------------------------------------------------------
+
+
+def _decode_payloads(spark, payloads: list[bytes | None]):
+    from map_reduce_lite_spark.ops.multimodal import decode_ppm
+
+    media = spark.createDataFrame(
+        [(i, p) for i, p in enumerate(payloads)], "media_id long, payload binary"
+    )
+    return {r["media_id"]: r.asDict() for r in decode_ppm(media).collect()}
+
+
+def test_ppm_decoder_spec_corners(spark):
+    """Header comments, multi-whitespace, 16-bit maxval (big-endian),
+    and the exactly-one-whitespace-before-raster rule — the parser is a
+    real netpbm P6 parser, not a fixed-offset slice."""
+    import numpy as np
+
+    # 2x1 8-bit image, comments + odd whitespace inside the header
+    px8 = bytes([10, 20, 30, 40, 50, 60])
+    good8 = b"P6 # a comment\n  2\t# another\n 1 \t\n255\n" + px8
+    # 1x1 16-bit image (maxval 65535): samples are big-endian u16
+    px16 = np.array([256, 512, 1024], dtype=">u2").tobytes()
+    good16 = b"P6\n1 1\n65535\n" + px16
+    out = _decode_payloads(spark, [good8, good16])
+    assert out[0]["ok"] and (out[0]["width"], out[0]["height"]) == (2, 1)
+    assert out[0]["n_px"] == 6
+    assert out[0]["mean_pixel_e6"] == int((sum(px8) / 6) * 1e6)
+    assert out[1]["ok"] and out[1]["maxval"] == 65535
+    assert out[1]["mean_pixel_e6"] == int(((256 + 512 + 1024) / 3) * 1e6)
+
+
+def test_ppm_decoder_flags_malformed_never_raises(spark):
+    """bad magic / truncated header / short raster / zero dims /
+    maxval out of range / NULL payload — all ok=false with NULL
+    metrics, no exceptions (one corrupt image must not kill a 100 TB
+    decode stage)."""
+    cases = [
+        b"P5\n1 1\n255\n" + bytes(3),        # wrong magic (P5 is not P6)
+        b"P6",                                # truncated at magic
+        b"P6\n2 2\n255\n" + bytes(5),         # raster short (needs 12)
+        b"P6\n0 1\n255\n",                    # zero width
+        b"P6\n1 1\n0\n" + bytes(3),           # maxval 0
+        b"P6\n1 1\n70000\n" + bytes(6),       # maxval >= 65536
+        None,                                  # NULL payload
+        b"P6\n1 1\n255" + bytes(4),           # no whitespace after maxval
+    ]
+    out = _decode_payloads(spark, cases)
+    for i in range(len(cases)):
+        assert out[i]["ok"] is False, i
+        assert out[i]["width"] is None and out[i]["mean_pixel_e6"] is None, i
+
+
+def test_ppm_roundtrip_matches_synthesis_rule(spark):
+    """synthesize → decode must reproduce the closed-form dims/mean the
+    oracle computes (the actual driver-gate contract, pinned here at
+    unit scale with explicit expected values)."""
+    from map_reduce_lite_spark.ops.multimodal import (
+        decode_ppm,
+        synthesize_ppm_media,
+    )
+
+    docs = spark.createDataFrame([(7,), (50,)], "doc_id long")
+    out = {
+        r["media_id"]: r.asDict()
+        for r in decode_ppm(synthesize_ppm_media(docs)).collect()
+    }
+    # doc 7: w = 4 + 7%13 = 11, h = 3 + 7%7 = 3, n = 99 samples
+    n = 11 * 3 * 3
+    s = sum((7 * 31 + i * 7) % 256 for i in range(n))
+    assert out[7]["ok"] and (out[7]["width"], out[7]["height"]) == (11, 3)
+    assert out[7]["mean_pixel_e6"] == int((s / n) * 1e6)
+    # doc 50: corrupted by the every-50th rule
+    assert out[50]["ok"] is False and out[50]["width"] is None
