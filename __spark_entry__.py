@@ -103,82 +103,74 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — CHANGED in r9:
-# the JSD vocab stage switched from a full-vocab window+broadcast to a
-# two-stage top-K + K-row broadcast + left-join coalesce (bit-identity
-# A/B'd both scales), embedding_top_pc gained the divide-by-n decimal
-# overflow guard (oracle replays the division — direction-invariance
-# property-tested), and phash's whitespace class is now spelled out in
-# both engines (\x0B parity).
+# Tier 1 — CHANGED/NEW in r10:
+# multimodal_ppm_decode is new (real pure-numpy P6 decode round-trip);
+# the k-NN trio was refactored onto the staged knn_topk_edges +
+# sql_capped_bands_chain oracle CTE; leakage_safe_split is now
+# cap-EXEMPT in both engines; fertility/coverage gained NULLIF div
+# guards in both engines; pagerank and every connected_components
+# consumer run the r10 lazy per-round checkpoint + leak-free
+# _HardBarrier loop.
 _FRONT_CHANGED = [
-    "text_js_divergence",
-    "embedding_top_pc",
-    "multimodal_phash_dedup",
-    # brand-new in r9
-    "embedding_label_drift",
-    "similarity_knn_graph",
-    "text_vocab_coverage",
-    "text_fertility_by_lang",
-    "similarity_nn_descent",
-    "embedding_ood_score",
-    "dedup_cluster_sizes",
-    "similarity_graph_hubness",
-    # changed in r9 (knn/embedding band-bucket caps + the components
-    # hard parquet barrier — oracles and loop both touched)
-    "dedup_embedding_lsh",
-    "dedup_components",
-    "dedup_survivors_docs",
+    "multimodal_ppm_decode",
     "curation_leakage_safe_split",
+    "similarity_knn_graph",
+    "similarity_nn_descent",
+    "similarity_graph_hubness",
+    "text_fertility_by_lang",
+    "text_vocab_coverage",
+    "pagerank_supplier_part",
+    "dedup_components",
+    "dedup_cluster_sizes",
+    "dedup_survivors_docs",
 ]
 
-# Tier 2 — evidence-freshness rotation, r9 batch: all 23 remaining
-# r5-evidence queries (the r8 judge independently re-verified every one
-# of them, so exposure is already zero — this is the promised hygiene),
-# then the reference's own four parity workloads (wc/grep/vertex-degree/
-# matrix-multiply — fronted first per the r8 verdict since they are the
-# reference's query library), then the 8 alphabetically-first of the
-# remaining 42 r6-age queries, sized so tier1+tier2 = 50 = the driver's
-# check window. After this round no live query's driver evidence is
-# older than r6; the leftover 34 r6 members rotate in next round.
+# Tier 2 — evidence-freshness rotation, r10 batch: ALL 34 remaining
+# r6-evidence queries (the exact set the r9 verdict enumerated — after
+# this round no live query's driver evidence is older than r7), then
+# the 5 alphabetically-first r7-age queries to fill the 50-slot window.
 _ROTATION_OLDEST = [
-    # r5 evidence (all 23 remaining)
-    "rfm_segment_customers",
-    "sample_bernoulli_docs",
-    "sample_stratified_sources",
-    "sample_topk_per_stratum",
-    "similarity_ann_pq",
-    "similarity_ann_rerank",
-    "sketch_cms_merge_shards",
-    "sketch_cms_token_freq",
-    "snapshot_diff_documents",
-    "streaming_distinct_users",
-    "streaming_serving_upsert",
-    "streaming_topk_trending",
-    "text_chunk_documents",
-    "text_collocation_lift",
-    "text_doc_fingerprint",
-    "text_inverted_index",
-    "text_lang_id",
-    "text_oov_rate",
-    "text_quality_score",
-    "text_tfidf_top_terms",
-    "text_token_stats",
-    "text_unigram_logprob",
-    "vocab_bpe_merges",
-    # the reference's own query library (r6 evidence, fronted)
-    "wc_documents",
-    "grep_documents",
-    "vertex_degree_lineitem",
-    "matrix_multiply_synth",
-    # r6 evidence (alphabetically first 18 of the remaining 42)
-    "agg_stats_by_brand",
-    "anti_join_customers",
-    "asof_join_purchase_view",
-    "assoc_rules_brands",
-    "attribution_last_touch",
-    "case_bucket_acctbal",
-    "cluster_embeddings_kmeans",
-    "cube_flag_status",
+    # r6 evidence (all 34 remaining)
+    "curation_ccnet_buckets",
+    "date_funcs_monthly",
+    "distinct_segments",
+    "embedding_dim_stats",
+    "embedding_prefix_recall",
+    "events_hourly",
+    "grouping_sets_priority",
+    "join_nation_region",
+    "json_events",
+    "math_funcs",
+    "outer_join_order_counts",
+    "percentile_quantity",
+    "pipeline_semdedup_prune",
+    "pivot_qty_by_status",
+    "q12_priority_class",
+    "q14_promo_revenue",
+    "q19_disjunctive_revenue",
+    "q1_pricing_summary",
+    "q4_late_orders",
+    "q5_region_revenue",
+    "q6_forecast_revenue",
+    "range_join_qty_bands",
+    "rollup_returnflag",
+    "salted_join_segments",
+    "scd2_user_state",
+    "semdedup_embeddings",
+    "semi_join_customers",
+    "setop_all_variants",
+    "setop_nations",
+    "similarity_ann_ivf_scaled",
+    "string_funcs",
+    "text_bigram_logprob",
+    "text_bm25_search",
+    "two_stage_agg_supplier",
+    # r7 evidence (alphabetically first 5): window fill to 50
+    "array_agg_priorities",
+    "curation_contamination",
+    "curation_dsir_weights",
+    "curation_mixture_plan",
+    "curation_pii_redact",
 ]
 
 ALL_QUERIES = {

@@ -82,6 +82,8 @@ BATCH_SIZE = int(os.environ.get("SPARK_GRAFT_BENCH_BATCH", "6"))
 # makes every batch's reading positionally identical.
 CANARY_QUERIES = ["join_nation_region", "q1_pricing_summary", "wc_documents"]
 CANARY_TOLERANCE = 1.3
+# --full re-probes every query at/above this batched reading in ISOLATION
+ISOLATE_THRESHOLD_SEC = 4.0
 CANARY_FLOOR_PATH = Path(__file__).resolve().parent / ".bench_canary_floor.json"
 
 # headline set: the reference workloads + the heavy relational shapes +
@@ -528,10 +530,33 @@ def main() -> None:
         "retries": retried,
         "contaminated": ratio > CANARY_TOLERANCE,
     }
-    payload = _emit(timings, canary)
     if full:
+        # r10 (the r8 ask, completed): annotate the expensive class with
+        # ISOLATED probes IN the artifact — every query whose batched
+        # reading is ≥ ISOLATE_THRESHOLD_SEC re-runs alone in a fresh
+        # process (canary-guarded like any batch), so a reader can
+        # separate the query's own cost from in-batch neighbor effects
+        # without hunting through SCALE.md prose.
+        isolated = {}
+        for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
+            if t < ISOLATE_THRESHOLD_SEC:
+                break
+            r = _run_batch([name])
+            isolated[name] = {
+                "batched_sec": t,
+                "isolated_sec": r[name],
+                "canary_sec": round(sum(r[c] for c in CANARY_QUERIES), 3),
+                "end_canary_sec": round(
+                    sum(r.get(f"__end__:{c}", 0.0) for c in CANARY_QUERIES), 3
+                ),
+            }
+        canary["isolated_threshold_sec"] = ISOLATE_THRESHOLD_SEC
+        payload = _emit(timings, canary)
+        payload["isolated"] = isolated
         out = Path(__file__).resolve().parent / "BENCH_FULL.json"
         out.write_text(json.dumps(payload, indent=1) + "\n")
+    else:
+        _emit(timings, canary)
 
 
 if __name__ == "__main__":

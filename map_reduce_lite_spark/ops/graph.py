@@ -288,8 +288,8 @@ def pagerank(
     iterations: int = 3,
     damping: float = 0.85,
     checkpoint_dir: str | None = None,
-    checkpoint_every: int = 1,
-    hard_barrier_every: int = 8,
+    checkpoint_every: int = 20,
+    hard_barrier_every: int = 80,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list.
 
@@ -307,16 +307,24 @@ def pagerank(
     localCheckpoint and the parquet barrier both round-trip doubles
     exactly, so truncation points don't perturb the hash).
 
-    Lineage bounding (r10): the loop previously built one unbroken lazy
-    plan — fine at the registered iterations=3, but ``iterations`` is a
-    caller parameter, and at 30+ rounds the plan is exactly the
-    unbounded-growth shape connected_components root-caused in r9
-    (driver-side cost exponential in generations). Same remedy, shared
-    machinery: per-round ``ckpt`` (eager, so every round costs one flat
-    join+agg) and the ``_HardBarrier`` parquet rewrite every
-    ``hard_barrier_every`` rounds, with the barrier's lazy-create /
-    delete-previous / finalize lifecycle. Measured flat-per-round at
-    iterations=30 on the percolation slice (SCALE.md r10)."""
+    Lineage bounding (r10): ``iterations`` is a caller parameter, so
+    the loop carries the same truncation machinery as
+    connected_components (``ckpt`` every ``checkpoint_every`` rounds +
+    the leak-free ``_HardBarrier`` parquet rewrite every
+    ``hard_barrier_every``) — but with deliberately COARSE defaults,
+    because the measurement came out differently here (SCALE.md r10):
+    each round references the previous ranks table exactly ONCE, so
+    the lazy plan grows LINEARLY, not exponentially like cc's
+    two-self-join shape — measured linear to 200 iterations on the
+    6k-node percolation slice (30/60/100/200 rounds → 2.6/4.4/7.3/
+    21.2 s, ~0.07 s/round marginal, no blow-up), and on KB-scale
+    state every eager truncation costs MORE (a driver action + a
+    materialization) than the re-analysis it saves. The defaults are
+    therefore a CLUSTER posture, not a local-speed one: a bounded
+    recompute window after executor loss (20 rounds max, vs replaying
+    the whole run) and a bounded plan for the 1000-iteration caller.
+    At the registered iterations=3 nothing fires and the loop is
+    bit-identical to the plain form (pinned by test)."""
     ckpt = _checkpointer(edges, checkpoint_dir)
     hb = _HardBarrier(edges.sparkSession, checkpoint_dir, "mrl_pr_barrier")
     e = ckpt(
