@@ -17,10 +17,12 @@ queries inflate later ones (measured: dedup_minhash_lsh 2.2 s mid-sweep
 vs 1.2 s in a clean process; GC-settle + min-of-3 shrinks but does not
 eliminate it). The default mode therefore runs BATCHES of queries in
 fresh subprocesses (~11 s session bootstrap per batch, amortized over
-BATCH_SIZE queries) — each batch warms up, GC-settles between queries,
-and reports min-of-2 per query (the warm pass makes run 1
-steady-state already). Full run ≈ 9 min at sf0.1 with the 70-query
-headline set (~40% of that is the 12 session bootstraps). A batch=10
+BATCH_SIZE queries) — each batch warms up (TWO untimed passes since
+r10: per-action driver cost drops ~4× with HotSpot C2 warmth and one
+pass left action-heavy iterative queries reading 2-4× their steady
+state depending on batch composition — see the warm-pass comment in
+_time_queries), GC-settles between queries, and reports min-of-2 per
+query. A batch=10
 variant was measured and REJECTED: it saved under a minute end-to-end
 (execution, not bootstrap, dominates) while the alloc-heavy
 similarity family read 2-3× worse at depth 7-10 within a batch — the

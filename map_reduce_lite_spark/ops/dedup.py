@@ -714,8 +714,14 @@ def embedding_near_dup_pairs(
     n_bands: int = 4,
     dim: int | None = None,
     cap: int = EMB_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    ``checkpoint_dir`` (r10): switches the band-table materialization
+    from localCheckpoint (dies with an executor) to reliable
+    checkpoint() on a shared-FS path — the same option
+    connected_components and knn_topk_edges carry.
 
     ``method="exact"`` scores the full triangular self-join — the oracle
     path, quadratic in corpus size, fine for verification corpora.
@@ -770,12 +776,17 @@ def embedding_near_dup_pairs(
         # join the vectors back for scoring — shuffling 64-float vectors
         # through the ×n_bands explode and the dedup would cost ~64× the
         # bytes for nothing
-        bands = corpus.select(
-            F.col(id_col).alias("bid"),
-            F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
-                "band_id", "band_hash"
-            ),
-        ).localCheckpoint(eager=True)  # hyperplane projections run once,
+        from map_reduce_lite_spark.ops.graph import _checkpointer
+
+        ckpt = _checkpointer(corpus, checkpoint_dir)
+        bands = ckpt(
+            corpus.select(
+                F.col(id_col).alias("bid"),
+                F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
+                    "band_id", "band_hash"
+                ),
+            )
+        )  # hyperplane projections run once,
         # not once per self-join side (ids + band hashes only — tiny);
         # the materialized table also feeds the cap's sizing probe
         max_bucket = (

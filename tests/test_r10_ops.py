@@ -380,3 +380,32 @@ def test_ppm_roundtrip_matches_synthesis_rule(spark):
     assert out[7]["mean_pixel_e6"] == int((s / n) * 1e6)
     # doc 50: corrupted by the every-50th rule
     assert out[50]["ok"] is False and out[50]["width"] is None
+
+
+def test_embedding_pairs_reliable_checkpoint(spark, tmp_path):
+    """embedding_near_dup_pairs' band table honors checkpoint_dir, same
+    contract as knn_topk_edges."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    ckdir = tmp_path / "ck"
+    ckdir.mkdir()
+    plain = {
+        tuple(r)
+        for r in embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+        .select("keep_id", "dup_id")
+        .collect()
+    }
+    ck = {
+        tuple(r)
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh", dim=EMB_DIM, checkpoint_dir=str(ckdir)
+        )
+        .select("keep_id", "dup_id")
+        .collect()
+    }
+    assert plain == ck
+    assert any(ckdir.rglob("*")), "reliable checkpoint dir must be written"
