@@ -843,6 +843,42 @@ def embedding_near_dup_pairs(
     )
 
 
+def build_near_dup_pairs(
+    corpus: DataFrame,
+    path: str,
+    threshold: float = NEAR_DUP_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    cap: int = EMB_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """STAGE the LSH-verified near-dup pair set as a parquet artifact
+    and return its scan — the production shape for the whole components
+    family (r10, the build_knn_edges pattern): the banded pair join +
+    cosine verify is the family's dominant cost, and the registered
+    single-query forms of dedup_components / dedup_cluster_sizes /
+    dedup_survivors_docs / curation_leakage_safe_split each rebuild it
+    (required by the driver contract's independent calls). At 100 TB
+    the pair set is built once per corpus snapshot and every consumer —
+    ``connected_components(pairs)``, ``dedup_survivors(pairs, ...)``,
+    the split router — reads the artifact; a parquet file also
+    survives executor loss, unlike in-memory checkpoints. Staged vs
+    inline full-multiset parity is pinned in
+    test_near_dup_pairs_staged_parity."""
+    embedding_near_dup_pairs(
+        corpus,
+        threshold=threshold,
+        method="lsh",
+        id_col=id_col,
+        vec_col=vec_col,
+        dim=dim,
+        cap=cap,
+        checkpoint_dir=checkpoint_dir,
+    ).write.mode("overwrite").parquet(path)
+    return corpus.sparkSession.read.parquet(path)
+
+
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_dup_pairs(emb)

@@ -409,3 +409,35 @@ def test_embedding_pairs_reliable_checkpoint(spark, tmp_path):
     }
     assert plain == ck
     assert any(ckdir.rglob("*")), "reliable checkpoint dir must be written"
+
+
+def test_near_dup_pairs_staged_parity(spark, tmp_path):
+    """build_near_dup_pairs -> components/survivors consumers must equal
+    the inline forms, full multiset (the components-family staged
+    artifact, mirroring the k-NN one)."""
+    from collections import Counter
+
+    from map_reduce_lite_spark.ops.dedup import (
+        build_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+    from map_reduce_lite_spark.ops.graph import connected_components, dedup_survivors
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+    from tests.conftest import SF_SMALL
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    staged = build_near_dup_pairs(emb, str(tmp_path / "pairs"), dim=EMB_DIM)
+    inline = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM)
+
+    def ms(df):
+        return Counter(tuple(r) for r in df.collect())
+
+    assert ms(staged) == ms(inline)
+    assert ms(
+        connected_components(staged, src="keep_id", dst="dup_id")
+    ) == ms(connected_components(inline, src="keep_id", dst="dup_id"))
+    ids = emb.select("vec_id")
+    assert ms(dedup_survivors(staged, ids, "vec_id")) == ms(
+        dedup_survivors(inline, ids, "vec_id")
+    )
