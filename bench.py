@@ -536,22 +536,44 @@ def main() -> None:
         # r10 (the r8 ask, completed): annotate the expensive class with
         # ISOLATED probes IN the artifact — every query whose batched
         # reading is ≥ ISOLATE_THRESHOLD_SEC re-runs alone in a fresh
-        # process (canary-guarded like any batch), so a reader can
-        # separate the query's own cost from in-batch neighbor effects
-        # without hunting through SCALE.md prose.
+        # process, so a reader can separate the query's own cost from
+        # in-batch neighbor effects without hunting through SCALE.md
+        # prose. Probes are canary-guarded against the RUN's
+        # first-position median (same tolerance as batch retries — a
+        # contaminated draw on exactly the number this block exists to
+        # clean must not be published as the isolated truth), and a
+        # probe child dying records an error entry instead of
+        # discarding the completed sweep (the probed class is the
+        # heavy OOM/timeout-prone one).
+        run_median = _median(canaries)
         isolated = {}
         for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
             if t < ISOLATE_THRESHOLD_SEC:
                 break
-            r = _run_batch([name])
-            isolated[name] = {
-                "batched_sec": t,
-                "isolated_sec": r[name],
-                "canary_sec": round(sum(r[c] for c in CANARY_QUERIES), 3),
-                "end_canary_sec": round(
-                    sum(r.get(f"__end__:{c}", 0.0) for c in CANARY_QUERIES), 3
-                ),
-            }
+            try:
+                r = _run_batch([name])
+                probe_canary = sum(r[c] for c in CANARY_QUERIES)
+                probe_retried = False
+                if probe_canary > CANARY_TOLERANCE * run_median:
+                    retry = _run_batch([name])
+                    retry_canary = sum(retry[c] for c in CANARY_QUERIES)
+                    probe_retried = True
+                    if retry_canary < probe_canary:
+                        r, probe_canary = retry, retry_canary
+                isolated[name] = {
+                    "batched_sec": t,
+                    "isolated_sec": r[name],
+                    "canary_sec": round(probe_canary, 3),
+                    "end_canary_sec": round(
+                        sum(r.get(f"__end__:{c}", 0.0) for c in CANARY_QUERIES),
+                        3,
+                    ),
+                    "retried": probe_retried,
+                    "canary_clean": probe_canary
+                    <= CANARY_TOLERANCE * run_median,
+                }
+            except Exception as exc:  # noqa: BLE001 — record, don't abort
+                isolated[name] = {"batched_sec": t, "error": str(exc)[:500]}
         canary["isolated_threshold_sec"] = ISOLATE_THRESHOLD_SEC
         payload = _emit(timings, canary)
         payload["isolated"] = isolated

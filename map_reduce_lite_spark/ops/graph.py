@@ -121,10 +121,18 @@ class _HardBarrier:
         self, df: DataFrame, ckpt: Callable[[DataFrame], DataFrame]
     ) -> DataFrame:
         """Detach ``df`` from the last barrier file (if any barrier ever
-        fired) and remove all barrier storage."""
+        fired) and remove all barrier storage. If the detaching
+        materialization itself fails, the barrier subtree is still
+        removed before the exception propagates — the frame is dead
+        either way, and the error path must not reintroduce the
+        accumulation leak this class exists to prevent."""
         if self._root is None:
             return df  # barrier never fired: nothing on disk
-        df = ckpt(df)  # eager: materializes off the parquet scan
+        try:
+            df = ckpt(df)  # eager: materializes off the parquet scan
+        except BaseException:
+            self.abort()
+            raise
         self._rm(self._root)
         self._root = None
         self._last_path = None

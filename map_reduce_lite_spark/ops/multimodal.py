@@ -367,6 +367,13 @@ def synthesize_ppm_media(documents: DataFrame) -> DataFrame:
     self-contained closure (executors don't have the repo on
     sys.path)."""
 
+    # bind the module constants to locals so the closure serializes
+    # them BY VALUE (executors never import this module) while the
+    # Spark side and the SQL oracle still share one definition
+    w_base, w_mod = PPM_W_BASE, PPM_W_MOD
+    h_base, h_mod = PPM_H_BASE, PPM_H_MOD
+    corrupt_every = PPM_CORRUPT_EVERY
+
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as _np
         import pandas as _pd
@@ -375,14 +382,14 @@ def synthesize_ppm_media(documents: DataFrame) -> DataFrame:
             ids, payloads = [], []
             for mid in pdf["doc_id"]:
                 mid = int(mid)
-                w = 4 + mid % 13
-                h = 3 + mid % 7
+                w = w_base + mid % w_mod
+                h = h_base + mid % h_mod
                 n = w * h * 3
                 px = (
                     (mid * 31 + _np.arange(n, dtype=_np.int64) * 7) % 256
                 ).astype(_np.uint8)
                 payload = b"P6\n%d %d\n255\n" % (w, h) + px.tobytes()
-                if mid % 50 == 0:
+                if mid % corrupt_every == 0:
                     payload = payload[:2]  # corrupt: magic only
                 ids.append(mid)
                 payloads.append(payload)
