@@ -383,3 +383,35 @@ def test_embedding_band_default_cap_engagement_is_semantic(spark, knncap_dir):
     # every pair clears the cosine threshold here (all vectors ~parallel)
     assert uncapped == _KNN_N * (_KNN_N - 1) // 2
     assert 0 < capped < uncapped
+
+
+def test_leakage_split_cap_exempt_on_hot_bucket(spark, knncap_dir):
+    """r10: leakage_safe_split is EXEMPT from the hot-bucket cap in
+    BOTH engines — on the 520-vector single-bucket corpus (where the
+    capped dedup family provably drops pairs, see the engagement test
+    above) its pair graph is the FULL uncapped one, so the whole
+    520-clique routes as ONE cluster and zero detected pairs cross a
+    split boundary; the registered oracle agrees on the exact values."""
+    from map_reduce_lite_spark.ops.curation import LEAKAGE_SPLIT_CAP
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, str(knncap_dir), "embeddings")
+    # the exempt cap sees every pair the banding detects: the full clique
+    n_pairs = embedding_near_dup_pairs(
+        emb, method="lsh", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
+    ).count()
+    assert n_pairs == _KNN_N * (_KNN_N - 1) // 2
+
+    sdf, oracle = _run_registered(spark, knncap_dir, "curation_leakage_safe_split")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck = _duck_for(knncap_dir, tables=("embeddings",))
+    duck_rows = duck.execute(oracle).fetchall()
+    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(
+        duck_rows, [0, 1, 2, 3]
+    )
+    # one component -> one split holds all 520 vectors, zero crossings
+    assert sum(r[1] for r in spark_rows) == _KNN_N
+    assert max(r[1] for r in spark_rows) == _KNN_N
+    assert all(r[3] == 0 for r in spark_rows)

@@ -99,6 +99,13 @@ _EDGE_QUERIES = [
     # exercise phash grouping on degenerate payloads
     "text_js_divergence",
     "multimodal_phash_dedup",
+    # r10 additions — the empty/whitespace-only docs land in 'und' with
+    # real token mass elsewhere (the NULLIF guards' mixed regime), the
+    # tiny vocabulary keeps every COVERAGE_KS tier live, and the PPM
+    # round-trip runs its corrupt-every-50th rule over adversarial ids
+    "text_fertility_by_lang",
+    "text_vocab_coverage",
+    "multimodal_ppm_decode",
 ]
 
 
