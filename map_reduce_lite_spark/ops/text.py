@@ -1333,15 +1333,25 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s")
     ).select("s.k", "s.covered_tokens")
-    return curve.crossJoin(F.broadcast(total)).select(
-        "k",
-        "covered_tokens",
-        F.col("total_tokens").cast("long").alias("total_tokens"),
-        # nullif: an empty corpus sums to total_tokens=0 — ANSI Spark
-        # throws on the div while DuckDB's // yields NULL; agree on NULL
-        F.expr("(10000 * covered_tokens) div nullif(total_tokens, 0)").alias(
-            "coverage_bps"
-        ),
+    return (
+        curve.crossJoin(F.broadcast(total))
+        # token-less corpus: the groupless aggregates above still emit
+        # one all-NULL row each (Spark semantics), which would fan out
+        # into K rows of NULLs — DuckDB's GROUP BY over the empty
+        # ranked×ks join yields ZERO rows instead. Agree on zero rows:
+        # an empty vocabulary has no coverage curve.
+        .filter(F.col("covered_tokens").isNotNull())
+        .select(
+            "k",
+            "covered_tokens",
+            F.col("total_tokens").cast("long").alias("total_tokens"),
+            # nullif: kept as a second guard (a zero-token corpus that
+            # somehow reaches the div must yield NULL like DuckDB's //,
+            # not an ANSI DIVIDE_BY_ZERO)
+            F.expr("(10000 * covered_tokens) div nullif(total_tokens, 0)").alias(
+                "coverage_bps"
+            ),
+        )
     )
 
 

@@ -441,3 +441,46 @@ def test_near_dup_pairs_staged_parity(spark, tmp_path):
     assert ms(dedup_survivors(staged, ids, "vec_id")) == ms(
         dedup_survivors(inline, ids, "vec_id")
     )
+
+
+@pytest.fixture(scope="module")
+def empty_docs_dir(tmp_path_factory):
+    """A documents table with ZERO rows — the new-crawl-slice edge."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("emptycorpus")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([], pa.int64()),
+            "text": pa.array([], pa.string()),
+            "lang": pa.array([], pa.string()),
+            "source": pa.array([], pa.string()),
+            "n_chars": pa.array([], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+def test_vocab_coverage_empty_corpus_zero_rows_both_engines(
+    spark, empty_docs_dir
+):
+    """On an empty corpus Spark's groupless aggregates emit an all-NULL
+    row that fanned out into K NULL rows while DuckDB emitted zero —
+    found r10, both engines must now agree on ZERO rows (an empty
+    vocabulary has no coverage curve)."""
+    import duckdb
+
+    import __spark_entry__ as e
+
+    assert e.queries()["text_vocab_coverage"](spark, empty_docs_dir).count() == 0
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{empty_docs_dir}/documents.parquet')"
+    )
+    assert con.execute(e.oracle_sql()["text_vocab_coverage"]).fetchall() == []
+    # fertility on the same empty corpus: zero strata in both engines
+    assert e.queries()["text_fertility_by_lang"](spark, empty_docs_dir).count() == 0
+    assert con.execute(e.oracle_sql()["text_fertility_by_lang"]).fetchall() == []
