@@ -792,7 +792,16 @@ def _top_pc_sql() -> str:
         f"FROM {prev}"
         for i in range(1, d + 1)
     )
-    return "WITH " + ",\n".join(parts) + f"\nSELECT CAST(dim AS INT) AS dim, loading_e9 FROM ({rows})"
+    # EXISTS guard: v2 is a 1-row global-agg CTE, so the 64-way unpivot
+    # would emit 64 NULL rows on an EMPTY corpus while the Spark side's
+    # collect_list packs an empty array and explodes to zero rows —
+    # agree on zero rows (no corpus, no principal component)
+    return (
+        "WITH "
+        + ",\n".join(parts)
+        + f"\nSELECT CAST(dim AS INT) AS dim, loading_e9 FROM ({rows})"
+        + "\nWHERE EXISTS (SELECT 1 FROM embeddings)"
+    )
 
 
 def embedding_label_drift(spark: SparkSession, sf_dir: str) -> DataFrame:

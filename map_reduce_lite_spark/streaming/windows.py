@@ -496,7 +496,15 @@ def streaming_purchase_view_left(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     staged = _stage_events(spark, sf_dir)
     maxts = spark.read.parquet(staged).agg(F.max("ts")).collect()[0][0]
-    cutoff = maxts - timedelta(hours=3, seconds=1)  # watermark 2h + lag 1h + 1s
+    if maxts is None:
+        # empty staged input (a fresh/empty slice): there is no purchase
+        # row for the cutoff to filter, so any constant keeps the plan
+        # shape identical — epoch, for a well-typed literal
+        from datetime import datetime
+
+        cutoff = datetime(1970, 1, 1)
+    else:
+        cutoff = maxts - timedelta(hours=3, seconds=1)  # watermark 2h + lag 1h + 1s
     p = (
         spark.readStream.schema(EVENTS_SCHEMA)
         .parquet(staged)

@@ -1,0 +1,133 @@
+"""Empty-corpus sweep (r10): every table with ZERO rows — the slice a
+100 TB crawl guarantees (a brand-new source, a fully-filtered shard, a
+day with no events). Found by running the FULL 177-query driver-sim
+against schema-faithful empty parquet: 172/177 matched outright; the
+five divergences split into
+
+- two real defects, both fixed this round and pinned here:
+  streaming_purchase_view_left crashed (None - timedelta on the empty
+  cutoff probe) and embedding_top_pc's oracle emitted 64 NULL rows
+  against Spark's zero (the 1-row global-agg CTE fans out through the
+  unpivot; EXISTS-guarded now);
+- one ENGINE-SEMANTICS class, documented and pinned as a divergence:
+  Spark's Expand operator emits ZERO rows for rollup / cube / GROUPING
+  SETS over an empty relation, while DuckDB (per the SQL standard)
+  emits the grand-total () grouping row. Making Spark standard-
+  compliant here would cost a second full scan per query (union an
+  explicitly-computed global row) — wrong trade at 100 TB for an
+  empty-TABLE edge, so the divergence is pinned instead: if Spark ever
+  changes this behavior, test_rollup_family_empty_table_divergence
+  fails and the note gets retired.
+
+A representative per-family subset re-runs cross-engine here so the
+regression stays covered inside pytest (the full 177-query empty sweep
+is a driver-sim protocol, ~7 min).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.test_oracle_parity import _multiset
+
+
+@pytest.fixture(scope="module")
+def empty_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    import os
+
+    d = tmp_path_factory.mktemp("emptyall")
+    for f in sorted(os.listdir(src)):
+        if not f.endswith(".parquet"):
+            continue
+        schema = pq.read_schema(os.path.join(src, f))
+        empty = pa.table(
+            {n: pa.array([], schema.field(n).type) for n in schema.names}
+        )
+        pq.write_table(empty, str(d / f))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def empty_duck(empty_dir):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for f in sorted(os.listdir(empty_dir)):
+        if f.endswith(".parquet"):
+            t = f[: -len(".parquet")]
+            con.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{empty_dir}/{f}')"
+            )
+    return con
+
+
+# One per family + the two queries fixed by this sweep + the heaviest
+# degenerate-input machinery (iterative components, streaming join).
+_EMPTY_SUBSET = [
+    "q1_pricing_summary",          # relational agg
+    "join_nation_region",          # join
+    "wc_documents",                # parity workload
+    "dedup_components",            # iterative graph over zero pairs
+    "dedup_cluster_sizes",         # components consumer
+    "similarity_knn_graph",        # banded ANN over zero vectors
+    "text_vocab_coverage",         # the r10 NULL fan-out fix
+    "text_fertility_by_lang",      # NULLIF strata
+    "curation_leakage_safe_split", # router over zero clusters
+    "multimodal_ppm_decode",       # mapInPandas over zero batches
+    "embedding_top_pc",            # the EXISTS-guard fix
+    "events_hourly",               # time windows over zero events
+    "streaming_events_hourly",     # streaming drain of an empty source
+    "streaming_purchase_view_left",  # the None-cutoff crash fix
+    "sample_stratified_sources",   # sampling plan over zero strata
+    "pagerank_supplier_part",      # iterative over zero edges
+]
+
+
+@pytest.mark.parametrize("name", _EMPTY_SUBSET)
+def test_empty_corpus_matches_oracle(spark, empty_duck, empty_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, empty_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = empty_duck.execute(e.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order), name
+
+
+def test_rollup_family_empty_table_divergence(spark, empty_duck, empty_dir):
+    """The PINNED engine-semantics divergence (see module doc): Spark
+    emits zero rows for the rollup family over an empty relation,
+    DuckDB emits the standard grand-total row. If either side changes,
+    this fails and the documented note must be revisited."""
+    import __spark_entry__ as e
+
+    for name in ("rollup_returnflag", "cube_flag_status", "grouping_sets_priority"):
+        assert e.queries()[name](spark, empty_dir).count() == 0, name
+        duck_rows = empty_duck.execute(e.oracle_sql()[name]).fetchall()
+        assert len(duck_rows) >= 1, name  # the () grouping-set row
+
+
+def test_spark_rollup_empty_semantics_probe(spark):
+    """Root cause pin: it's Spark's Expand operator, not our query
+    shape — a bare rollup over an empty frame yields zero rows while
+    the global aggregate yields one."""
+    df = spark.createDataFrame([], "a string, x long")
+    assert df.rollup("a").agg(F.count(F.lit(1))).count() == 0
+    assert df.agg(F.count(F.lit(1))).count() == 1
