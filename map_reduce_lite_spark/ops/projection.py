@@ -387,11 +387,17 @@ def similarity_ann_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     def _sub(vec, m):
         return F.slice(vec, m * D_SUB + 1, D_SUB)
 
+    # the inner argmin scans size(cb) codes, not the K_CODES literal: a
+    # corpus smaller than K_CODES trains a short codebook, and indexing
+    # cb[j] past its end throws INVALID_ARRAY_INDEX under ANSI (found by
+    # the r10 single-row corpus sweep — DuckDB's argmin is naturally
+    # bounded by the seed rows present). On a full corpus size(cb) ==
+    # K_CODES and the plan is value-identical.
     codes_col = F.transform(
         F.sequence(F.lit(0), F.lit(M_SUB - 1)),
         lambda m: F.array_min(
             F.transform(
-                F.sequence(F.lit(0), F.lit(K_CODES - 1)),
+                F.sequence(F.lit(0), F.size(F.col("cb")) - F.lit(1)),
                 lambda j: F.struct(
                     _sqdist(
                         F.slice(F.col("qv"), m * D_SUB + 1, D_SUB),

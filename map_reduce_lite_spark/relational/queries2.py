@@ -684,9 +684,17 @@ def stats_corr_qty_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         m(y * y).alias("syy"),
     )
     cov = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / F.col("n")
-    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
-        F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
-        * F.sqrt(F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+    # nullif on the denominator: a single-row (or constant-valued) group
+    # has exactly zero variance — the moments are exact decimals, so the
+    # double denominator is exactly 0.0 in BOTH engines — and corr is
+    # undefined there. Without the guard the double division yields NaN
+    # and ANSI Spark throws casting floor(NaN) to long (found by the r10
+    # single-row corpus sweep); NULL agrees with the oracle's NULLIF.
+    den = F.sqrt(F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * F.sqrt(
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    corr = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / F.nullif(
+        den, F.lit(0.0)
     )
     # corr's a*b - c*d shape invites FMA contraction in one engine but not
     # the other (observed 1-ulp drift); quantize to 12 decimals like the
@@ -717,7 +725,7 @@ WITH moments AS (
 SELECT l_returnflag, CAST(n AS BIGINT) AS n_items,
        (sxy - sx * sy / n) / n AS covar_pop,
        CAST(floor((n * sxy - sx * sy)
-         / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) * 1e12)
+         / NULLIF(sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy), 0) * 1e12)
          AS BIGINT) AS corr_e12
 FROM moments
 """

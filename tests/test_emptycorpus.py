@@ -131,3 +131,86 @@ def test_spark_rollup_empty_semantics_probe(spark):
     df = spark.createDataFrame([], "a string, x long")
     assert df.rollup("a").agg(F.count(F.lit(1))).count() == 0
     assert df.agg(F.count(F.lit(1))).count() == 1
+
+
+# --------------------------------------------------------------------------
+# single-row corpus (the n=1 degenerate: zero variances, short codebooks)
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def one_row_dir(tmp_path_factory):
+    """Head-1 slice of every table — one doc, one vector, one lineitem:
+    the n=1 edge where variances are exactly zero and trained structures
+    (PQ codebooks, centroid seeds) are shorter than their K literals."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("onerow")
+    for f in sorted(os.listdir(src)):
+        if f.endswith(".parquet"):
+            pq.write_table(
+                pq.read_table(os.path.join(src, f)).slice(0, 1), str(d / f)
+            )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def one_row_duck(one_row_dir):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for f in sorted(os.listdir(one_row_dir)):
+        if f.endswith(".parquet"):
+            con.execute(
+                f"CREATE VIEW {f[:-8]} AS SELECT * FROM "
+                f"read_parquet('{one_row_dir}/{f}')"
+            )
+    return con
+
+
+# the two r10 single-row-sweep crashes, plus the zero-variance/short-
+# codebook neighborhoods most likely to regress
+_ONE_ROW_SUBSET = [
+    "stats_corr_qty_price",   # was: NaN -> ANSI long-cast ArithmeticException
+    "similarity_ann_pq",      # was: cb[j] INVALID_ARRAY_INDEX (1-entry codebook)
+    "similarity_ann_ivf",     # centroid seeds shorter than K
+    "cluster_embeddings_kmeans",
+    "text_zipf_slope",        # one rank -> no slope
+    "q1_pricing_summary",
+]
+
+
+@pytest.mark.parametrize("name", _ONE_ROW_SUBSET)
+def test_one_row_corpus_matches_oracle(spark, one_row_duck, one_row_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, one_row_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = one_row_duck.execute(e.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order), name
+
+
+def test_corr_single_row_group_is_null(spark, one_row_dir):
+    """corr over a 1-row group: denominator exactly 0 -> NULL (not NaN,
+    not an ANSI cast crash), n_items and covar still emitted."""
+    import __spark_entry__ as e
+
+    rows = e.queries()["stats_corr_qty_price"](spark, one_row_dir).collect()
+    assert len(rows) == 1 and rows[0]["n_items"] == 1
+    assert rows[0]["corr_e12"] is None
+    assert rows[0]["covar_pop"] == 0.0
