@@ -214,3 +214,93 @@ def test_corr_single_row_group_is_null(spark, one_row_dir):
     assert len(rows) == 1 and rows[0]["n_items"] == 1
     assert rows[0]["corr_e12"] is None
     assert rows[0]["covar_pop"] == 0.0
+
+
+# --------------------------------------------------------------------------
+# tie corpus (100 copies of one row, unique ids): full-collision dedup +
+# timestamp-tie determinism — the sweep that PASSED 177/177 with no fixes
+# --------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def ties_dir(tmp_path_factory):
+    """100 verbatim copies of each table's first row with only the id
+    column bumped: every document/vector is a full-collision duplicate
+    and every event shares one timestamp — the tie regime a real crawl
+    guarantees. The r10 full-surface sweep on this corpus read 177/177
+    with NO fixes needed (id tiebreaks hold everywhere); this subset
+    keeps that determinism guarded in pytest."""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    idcols = {
+        "customer.parquet": "c_custkey", "documents.parquet": "doc_id",
+        "embeddings.parquet": "vec_id", "events.parquet": "event_id",
+        "lineitem.parquet": "l_orderkey", "nation.parquet": "n_nationkey",
+        "orders.parquet": "o_orderkey", "part.parquet": "p_partkey",
+        "region.parquet": "r_regionkey", "supplier.parquet": "s_suppkey",
+    }
+    src = "/root/testdata/sf0.001"
+    d = tmp_path_factory.mktemp("ties")
+    for f, idc in idcols.items():
+        base = pq.read_table(os.path.join(src, f)).slice(0, 1).to_pylist()[0]
+        rows = [dict(base, **{idc: base[idc] + i}) for i in range(100)]
+        schema = pq.read_schema(os.path.join(src, f))
+        pq.write_table(
+            pa.table(
+                {n: pa.array([r[n] for r in rows], schema.field(n).type)
+                 for n in schema.names}
+            ),
+            str(d / f),
+        )
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def ties_duck(ties_dir):
+    import os
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    for f in sorted(os.listdir(ties_dir)):
+        if f.endswith(".parquet"):
+            con.execute(
+                f"CREATE VIEW {f[:-8]} AS SELECT * FROM "
+                f"read_parquet('{ties_dir}/{f}')"
+            )
+    return con
+
+
+# the tiebreak-sensitive shapes: rank windows over identical order keys,
+# full-collision dedup groups, sessionization over one shared timestamp
+_TIES_SUBSET = [
+    "dedup_exact",            # 100-way content-hash collision, min-id keep
+    "dedup_minhash_lsh",      # every band bucket fully collides
+    "window_top3_orders",     # rank over 100 identical totalprice values
+    "sessionize_events",      # 100 events, one user, one timestamp
+    "events_user_paths",      # transition paths under total ts ties
+    "heavy_hitters_tokens",   # one token with count 100x
+]
+
+
+@pytest.mark.parametrize("name", _TIES_SUBSET)
+def test_ties_corpus_matches_oracle(spark, ties_duck, ties_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, ties_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = ties_duck.execute(e.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order), name
