@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from map_reduce_lite_spark.ops.dedup import shingles
-from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.registry import Query, md5_60bit, mrl_lower, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 # --------------------------------------------------------------------------
@@ -166,8 +166,8 @@ def contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTAMINATION_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS doc, token, pos FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token,
-           unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS pos
+    SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS token,
+           unnest(generate_series(1, len(string_split_regex(trim(text, ' '), '\s+')))) AS pos
     FROM documents
   ) WHERE token <> ''
 ), sh AS (
@@ -244,8 +244,8 @@ def repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPETITION_SQL = rf"""
 WITH toks AS (
   SELECT doc_id AS doc, token, pos FROM (
-    SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS token,
-           unnest(generate_series(1, len(string_split_regex(trim(text), '\s+')))) AS pos
+    SELECT doc_id, unnest(string_split_regex(trim(text, ' '), '\s+')) AS token,
+           unnest(generate_series(1, len(string_split_regex(trim(text, ' '), '\s+')))) AS pos
     FROM documents
   ) WHERE token <> ''
 ), bg AS (
@@ -316,7 +316,7 @@ WITH routed AS (
            ELSE 'test'
          END AS split,
          source,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT split, COUNT(*) AS n_docs,
@@ -386,7 +386,7 @@ def mixture_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_TEMP_SQL = r"""
 WITH per_src AS (
   SELECT source,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         CAST(SUM(len(string_split_regex(trim(text, ' '), '\s+'))) AS BIGINT)
            AS n_tokens
   FROM documents GROUP BY source
 ), scaled AS (
@@ -418,7 +418,13 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     df.sample() — a doc's membership never changes when the corpus
     grows, so incremental ingests don't churn the mixture."""
     d = load_table(spark, sf_dir, "documents")
-    src_num = F.substring("source", 4, 10).cast("long")
+    # try_cast, not cast: the weight table is keyed by the fixtures'
+    # "srcN" convention, and a source named outside it ("cjk", "wiki")
+    # must fall to the default LO rate — ANSI cast('' as long) instead
+    # throws CAST_INVALID_INPUT (found by the r10 Unicode-corpus sweep).
+    # NULL % 2 = NULL, which is not 0, so the otherwise() branch fires —
+    # the same NULL path DuckDB's TRY_CAST takes.
+    src_num = F.substring("source", 4, 10).try_cast("long")
     rate = F.when(src_num % 2 == 0, F.lit(MIX_RATE_HI)).otherwise(F.lit(MIX_RATE_LO))
     keep = (md5_60bit(F.col("doc_id").cast("string")) % 100) < rate
     n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
@@ -443,13 +449,13 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 MIXTURE_SQL = rf"""
 WITH flagged AS (
   SELECT source,
-         CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+         CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
               THEN {MIX_RATE_HI} ELSE {MIX_RATE_LO} END AS rate_pct,
          CASE WHEN {sql_md5_60bit("CAST(doc_id AS VARCHAR)")} % 100 <
-              CASE WHEN CAST(substr(source, 4) AS BIGINT) % 2 = 0
+              CASE WHEN TRY_CAST(substr(source, 4) AS BIGINT) % 2 = 0
                    THEN {MIX_RATE_HI} ELSE {MIX_RATE_LO} END
               THEN 1 ELSE 0 END AS kept,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens
   FROM documents
 )
 SELECT source, CAST(rate_pct AS BIGINT) AS rate_pct, COUNT(*) AS n_total,
@@ -497,8 +503,8 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 SEQUENCE_PACKING_SQL = rf"""
 WITH staged AS (
   SELECT source, doc_id,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
-         SUM(CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT))
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens,
+         SUM(CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT))
            OVER (PARTITION BY source ORDER BY doc_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
   FROM documents
@@ -732,7 +738,7 @@ def _quality_quantile_sql() -> str:
     from map_reduce_lite_spark.ops.text import STOPWORDS, _sql_stopword_hits
 
     hits = _sql_stopword_hits("text", STOPWORDS["en"])
-    ntok = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    ntok = r"CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT)"
     return f"""
 WITH scored AS (
   SELECT doc_id, source,
@@ -825,7 +831,7 @@ def _token_budget_sql() -> str:
     from map_reduce_lite_spark.ops.text import STOPWORDS, _sql_stopword_hits
 
     hits = _sql_stopword_hits("text", STOPWORDS["en"])
-    ntok = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    ntok = r"CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT)"
     return f"""
 WITH scored AS (
   SELECT doc_id, source,
@@ -891,7 +897,7 @@ def dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     fanout = max(spark.sparkContext.defaultParallelism, 8)
     arr = F.filter(
-        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(mrl_lower("text")), r"\s+"), lambda t: F.length(t) > 0
     )
     docs = d.repartition(fanout, "doc_id").select(
         "doc_id",
@@ -962,7 +968,7 @@ def _dsir_sql() -> str:
 WITH tok_lists AS (
   SELECT doc_id,
          CASE WHEN source IN ({targets}) THEN 1 ELSE 0 END AS is_t,
-         string_split_regex(trim(lower(text)), '\s+') AS l
+         string_split_regex(trim(lower(text), ' '), '\s+') AS l
   FROM documents
 ), toks AS (
   SELECT doc_id, is_t, term, pos FROM (
@@ -1034,7 +1040,7 @@ def ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "lang",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
         # two consumers: the vocabulary agg and the scoring join
@@ -1093,7 +1099,7 @@ CCNET_BUCKETS_SQL = r"""
 WITH toks AS (
   SELECT doc_id, lang, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), cnt AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY 1

@@ -182,7 +182,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SHINGLES_CTE = r"""
 WITH tok_lists AS (
-  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks
+  SELECT doc_id AS doc, string_split_regex(trim(text, ' '), '\s+') AS toks
   FROM documents
 ), toks AS (
   SELECT doc, token, pos FROM (
@@ -656,7 +656,7 @@ def _simhash_sql(cap: int = SIMHASH_BUCKET_CAP) -> str:
 WITH toks AS (
   SELECT DISTINCT doc_id AS doc, t.tok AS token
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(text), '\s+')) AS t(tok)
+       LATERAL unnest(string_split_regex(trim(text, ' '), '\s+')) AS t(tok)
   WHERE t.tok <> ''
 ), hashed AS (
   SELECT doc, {sql_md5_60bit('token')} AS h FROM toks

@@ -23,13 +23,13 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.registry import Query, mrl_lower
 from map_reduce_lite_spark.relational.tables import load_table
 
 POSTINGS_CAP = 8   # ids materialized per token (head block)
 MIN_DF = 2         # drop hapax tokens from the index
 
-_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text), ' '), '\s+'), x -> x <> '')"
 
 
 def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -41,7 +41,7 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     d = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(
-        F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")
+        F.filter(F.split(F.trim(mrl_lower("text")), r"\s+"), lambda x: x != "")
     )
     pairs = d.select("doc_id", F.explode(toks).alias("token"))
     rn = F.row_number().over(Window.partitionBy("token").orderBy("doc_id"))
@@ -99,7 +99,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token"),
     ).filter(F.length("token") > 0)
     vocab = (
         toks.groupBy("token")
@@ -128,7 +128,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 OOV_RATE_SQL = f"""
 WITH toks AS (
-  SELECT source, unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  SELECT source, unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS token
   FROM documents
 ),
 t2 AS (SELECT * FROM toks WHERE length(token) > 0),
@@ -194,7 +194,7 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
     )
@@ -251,7 +251,7 @@ BM25_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2

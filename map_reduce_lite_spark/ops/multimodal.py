@@ -24,7 +24,7 @@ import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F, types as T
 
-from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.registry import Query, md5_60bit, mrl_lower, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 MEDIA_SCHEMA = T.StructType(
@@ -85,15 +85,20 @@ def decode_image_stub(media: DataFrame, batch_hint: int = 0) -> DataFrame:
 
         def fake_decode(payload):
             # deterministic stand-in for a real decoder: 4 moments of
-            # the byte histogram; swap for PIL/librosa + model features
+            # the CODEPOINT histogram of the utf-8 payload (r10:
+            # codepoints, not bytes, so the SQL oracle's per-char ord()
+            # replay holds on ANY text — identical on ASCII, where
+            # char code == byte value); swap for PIL/librosa + model
+            # features. The byte-true decode path is decode_ppm.
             if payload is None:
                 return []
-            n = len(payload)
+            cps = [ord(c) for c in bytes(payload).decode("utf-8")]
+            n = len(cps)
             if n == 0:
                 return [0.0, 0.0, 0.0, 0.0]
-            s = sum(payload)
+            s = sum(cps)
             mean = s / n
-            var = sum((b - mean) ** 2 for b in payload) / n
+            var = sum((b - mean) ** 2 for b in cps) / n
             return [float(n), float(s), mean, var]
 
         for pdf in batches:
@@ -117,7 +122,7 @@ def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         "media_id",
         "n_bytes",
         "mime",
-        F.floor(F.element_at("feature", 3) * 1e6).cast("long").alias("mean_byte_e6"),
+        F.floor(F.element_at("feature", 3) * 1e6).cast("long").alias("mean_cp_e6"),
     )
 
 
@@ -248,10 +253,16 @@ def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
             w = max(1, int(math.isqrt(n)))
             h = (n + w - 1) // w
             scale = min(1.0, side / max(w, h))
+            # thumb hash over the first 64 CHARS of the decoded
+            # payload, re-encoded — matches DuckDB's md5(substr(text,
+            # 1, 64)) on ANY text (r10; on ASCII identical to the old
+            # first-64-BYTES slice). Dims stay byte-true (octet math).
             return (
                 max(1, int(w * scale)),
                 max(1, int(h * scale)),
-                hashlib.md5(bytes(payload[:64])).hexdigest(),
+                hashlib.md5(
+                    bytes(payload).decode("utf-8")[:64].encode("utf-8")
+                ).hexdigest(),
             )
 
         for pdf in batches:
@@ -281,8 +292,10 @@ def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
 # floor(sqrt(CAST(n AS DOUBLE))) for n ≤ 2^52 (doc payloads are KB);
 # Python's int(w * scale) truncates toward zero == floor for positive
 # doubles, and w*scale is the same IEEE double product both sides; the
-# corpus is ASCII so md5 of the first 64 payload BYTES == md5 of the
-# first 64 CHARS of text.
+# thumb hash covers the first 64 CHARS of the decoded payload (r10 —
+# md5 of a VARCHAR hashes its UTF-8 bytes in DuckDB, so the replay
+# holds on ANY text, not just ASCII), while the dims stay byte-true
+# (octet_length on both sides).
 RESIZE_STUB_SQL = """
 WITH b AS (
   SELECT doc_id AS media_id,
@@ -312,23 +325,25 @@ FROM scaled
 """
 
 
-# The fake decoder's features are pure byte math over the UTF-8 payload,
-# so DuckDB can replay it with per-char ord() sums (corpus is ASCII, so
-# char code == byte value and octet_length == length): the Python
-# mapInPandas path gets a FULL value oracle, not just a rows-only check.
-# Python's s/n and the SQL CAST(s AS DOUBLE)/n are the same IEEE
-# division → floor(mean*1e6) is bit-identical.
+# The fake decoder's features are CODEPOINT math over the decoded
+# payload (r10 — previously byte math with a documented ASCII-only
+# oracle domain; codepoints make DuckDB's per-char ord() replay hold on
+# ANY text, found by the Unicode-corpus sweep). n_bytes stays byte-true
+# (octet_length both sides). Python's s/n_cp and the SQL
+# CAST(s AS DOUBLE)/n_cp are the same IEEE division → floor(mean*1e6)
+# is bit-identical.
 DECODE_STUB_SQL = """
 WITH b AS (
   SELECT doc_id AS media_id,
          octet_length(encode(text)) AS n,
+         length(text) AS n_cp,
          list_sum(list_transform(range(1, length(text) + 1),
                                  i -> ord(substr(text, i, 1)))) AS s
   FROM documents
 )
 SELECT media_id, CAST(n AS BIGINT) AS n_bytes,
        'application/octet-stream' AS mime,
-       CAST(floor((CAST(s AS DOUBLE) / n) * 1e6) AS BIGINT) AS mean_byte_e6
+       CAST(floor((CAST(s AS DOUBLE) / n_cp) * 1e6) AS BIGINT) AS mean_cp_e6
 FROM b
 """
 
@@ -562,7 +577,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synthesize_media(d)
     norm = F.trim(
         F.regexp_replace(
-            F.lower(F.decode(F.col("payload"), "UTF-8")), "[ \t\n\r\f\x0B]+", " "
+            mrl_lower(F.decode(F.col("payload"), "UTF-8")), "[ \t\n\r\f\x0B]+", " "
         )
     )
     return (
@@ -578,7 +593,7 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # synthesize_media's payload is encode(text, 'utf-8'), so decoding it
 # back is exactly `text` — the oracle normalizes the text directly.
 # explicit class, not \s: RE2's \s excludes \x0B, Java's includes it
-_SQL_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'))"
+_SQL_NORM = r"trim(regexp_replace(lower(text), '[ \t\n\r\f\x0B]+', ' ', 'g'), ' ')"
 PHASH_DEDUP_SQL = f"""
 WITH hashed AS (
   SELECT doc_id AS media_id,

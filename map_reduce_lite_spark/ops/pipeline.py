@@ -126,7 +126,7 @@ def _curation_sql() -> str:
     return rf"""
 WITH feats AS (
   SELECT doc_id, source, text,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          {hit_cols}
   FROM documents
@@ -139,7 +139,7 @@ WITH feats AS (
 ), cur AS (
   SELECT doc_id, source, text, n_tokens FROM flagged WHERE q_ok AND pred = 'en'
 ), tok_lists AS (
-  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks FROM cur
+  SELECT doc_id AS doc, string_split_regex(trim(text, ' '), '\s+') AS toks FROM cur
 ), toks AS (
   SELECT doc, token, pos FROM (
     SELECT doc, unnest(toks) AS token,
@@ -272,7 +272,7 @@ WITH prev AS (
   WHERE dk.status IN ('added', 'changed')
 ), feats AS (
   SELECT doc_id, source, status,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          {hit_cols}
   FROM delta
@@ -403,7 +403,7 @@ WITH prev AS (
   WHERE dk.status IN ('added', 'changed')
 ), feats AS (
   SELECT doc_id, source, status, text,
-         CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+         CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens,
          CAST(length(text) AS BIGINT) AS n_chars,
          {hit_cols}
   FROM delta

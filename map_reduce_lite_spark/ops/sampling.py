@@ -29,6 +29,7 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 from map_reduce_lite_spark.registry import (
     Query,
     md5_60bit,
+    mrl_lower,
     sql_md5_60bit,
 )
 from map_reduce_lite_spark.relational.tables import load_table
@@ -145,7 +146,7 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     count-min refinement — here the exact form IS the scale path."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token")
     ).filter(F.length("token") > 0)
     return (
         toks.groupBy("token")
@@ -158,7 +159,7 @@ def heavy_hitters_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 HEAVY_HITTERS_SQL = f"""
 SELECT token, COUNT(*) AS n
 FROM (
-  SELECT unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+  SELECT unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS token
   FROM documents
 )
 WHERE length(token) > 0

@@ -220,7 +220,7 @@ def _filtered_topk_sql() -> str:
 WITH quality AS (
   SELECT doc_id AS vec_id
   FROM documents
-  WHERE CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) >= {MIN_TOKENS}
+  WHERE CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) >= {MIN_TOKENS}
 ), corpus AS (
   SELECT e.vec_id, e.embedding FROM embeddings e JOIN quality USING (vec_id)
 ), scored AS (

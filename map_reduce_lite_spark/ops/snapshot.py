@@ -203,7 +203,7 @@ def _band_sig_cte(src: str, p: str) -> str:
         for b in range(MINHASH_BANDS)
     )
     return rf"""{p}tok_lists AS (
-  SELECT doc_id AS doc, string_split_regex(trim(text), '\s+') AS toks FROM {src}
+  SELECT doc_id AS doc, string_split_regex(trim(text, ' '), '\s+') AS toks FROM {src}
 ), {p}toks AS (
   SELECT doc, token, pos FROM (
     SELECT doc, unnest(toks) AS token,
@@ -362,8 +362,8 @@ WITH prev AS (
          CAST(SUM(CASE d.status WHEN 'added' THEN 1
                                 WHEN 'removed' THEN -1 ELSE 0 END) AS BIGINT)
            AS d_docs,
-         CAST(SUM(COALESCE(len(string_split_regex(trim(cv.text), '\s+')), 0)
-                - COALESCE(len(string_split_regex(trim(pv.text), '\s+')), 0))
+         CAST(SUM(COALESCE(len(string_split_regex(trim(cv.text, ' '), '\s+')), 0)
+                - COALESCE(len(string_split_regex(trim(pv.text, ' '), '\s+')), 0))
               AS BIGINT) AS d_toks
   FROM delta d
   LEFT JOIN prev pv ON pv.doc_id = d.doc_id
@@ -372,7 +372,7 @@ WITH prev AS (
   GROUP BY d.source
 ), standing AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS p_docs,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS p_toks
+         CAST(SUM(len(string_split_regex(trim(text, ' '), '\s+'))) AS BIGINT) AS p_toks
   FROM prev GROUP BY source
 ), maintained AS (
   SELECT st.source,
@@ -381,7 +381,7 @@ WITH prev AS (
   FROM standing st LEFT JOIN signed s ON s.source = st.source
 ), direct AS (
   SELECT source, CAST(COUNT(*) AS BIGINT) AS docs_direct,
-         CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+         CAST(SUM(len(string_split_regex(trim(text, ' '), '\s+'))) AS BIGINT)
            AS toks_direct
   FROM cur GROUP BY source
 )

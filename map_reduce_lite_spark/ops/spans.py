@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.registry import Query, md5_60bit, mrl_lower, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 SPAN_TOKENS = 8   # window length in tokens (Lee et al. use 50; corpus docs here are ~60 tokens)
@@ -47,7 +47,7 @@ CHUNK_STRIDE = 120  # overlap = CHUNK_CHARS - CHUNK_STRIDE = 40 chars
 def _tok_array(text_col):
     """Lowercased whitespace tokens with empties dropped (matches the
     tokenization used across ops/text.py and ops/dedup.py)."""
-    toks = F.split(F.trim(F.lower(text_col)), r"\s+")
+    toks = F.split(F.trim(mrl_lower(text_col)), r"\s+")
     return F.filter(toks, lambda t: F.length(t) > 0)
 
 
@@ -62,7 +62,7 @@ def _tokens_col(d: DataFrame) -> DataFrame:
     return d.select("doc_id", _tok_array(F.col("text")).alias("toks"))
 
 
-_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text)), '\s+'), x -> x <> '')"
+_SQL_TOKS = r"list_filter(string_split_regex(trim(lower(text), ' '), '\s+'), x -> x <> '')"
 
 
 def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -377,7 +377,7 @@ def vocab_bpe_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     toks = F.filter(
-        F.split(F.trim(F.lower("text")), r"\s+"), lambda t: F.length(t) > 0
+        F.split(F.trim(mrl_lower("text")), r"\s+"), lambda t: F.length(t) > 0
     )
     body = F.concat(F.lit("\n"), F.array_join(toks, "\n\n"), F.lit("\n"))
     applied = body

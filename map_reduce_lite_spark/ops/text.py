@@ -15,7 +15,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
-from map_reduce_lite_spark.registry import Query, md5_60bit, sql_md5_60bit
+from map_reduce_lite_spark.registry import Query, md5_60bit, mrl_lower, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
 # Small fixed stopword lists (public, common words). Order of the dict is
@@ -34,7 +34,7 @@ BPE_TOKEN_RE = r"\p{L}+|\p{N}+|[^\p{L}\p{N}\s]"
 def _stopword_hits(text_col: Column, words: list[str]) -> Column:
     """Count of stopword occurrences (word-boundary regex, integer)."""
     pattern = r"\b(" + "|".join(words) + r")\b"
-    return F.size(F.regexp_extract_all(F.lower(text_col), F.lit(pattern), F.lit(0))).cast("long")
+    return F.size(F.regexp_extract_all(mrl_lower(text_col), F.lit(pattern), F.lit(0))).cast("long")
 
 
 def _sql_stopword_hits(expr: str, words: list[str]) -> str:
@@ -104,12 +104,12 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SQL = rf"""
 SELECT doc_id,
        CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+       CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS n_tokens,
        {_sql_stopword_hits('text', STOPWORDS['en'])} AS n_stopwords,
        {_sql_stopword_hits('text', STOPWORDS['en'])}
-         / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS stopword_ratio,
-       (CAST(length(text) AS BIGINT) - len(string_split_regex(trim(text), '\s+')) + 1)
-         / CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS mean_token_len
+         / CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS stopword_ratio,
+       (CAST(length(text) AS BIGINT) - len(string_split_regex(trim(text, ' '), '\s+')) + 1)
+         / CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS mean_token_len
 FROM documents
 """
 
@@ -130,7 +130,7 @@ def token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TOKEN_STATS_SQL = rf"""
 SELECT source, COUNT(*) AS n_docs,
-       CAST(SUM(len(string_split_regex(trim(text), '\s+'))) AS BIGINT) AS total_ws_tokens,
+       CAST(SUM(len(string_split_regex(trim(text, ' '), '\s+'))) AS BIGINT) AS total_ws_tokens,
        CAST(SUM(len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]'))) AS BIGINT) AS total_bpe_tokens,
        CAST(MAX(len(regexp_extract_all(text, '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]'))) AS BIGINT) AS max_bpe_tokens
 FROM documents
@@ -142,7 +142,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content fingerprints: md5 hex of whitespace-normalized text plus the
     portable 60-bit integer form (shuffle-friendly dedup key)."""
     d = load_table(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim("text")), r"\s+", " ")
+    norm = F.regexp_replace(mrl_lower(F.trim("text")), r"\s+", " ")
     return d.select(
         "doc_id",
         F.md5(norm).alias("fp_md5"),
@@ -150,7 +150,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_NORM_EXPR = r"regexp_replace(lower(trim(text)), '\s+', ' ', 'g')"
+_NORM_EXPR = r"regexp_replace(lower(trim(text, ' ')), '\s+', ' ', 'g')"
 FINGERPRINT_SQL = f"""
 SELECT doc_id,
        md5({_NORM_EXPR}) AS fp_md5,
@@ -177,7 +177,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
     )
@@ -211,7 +211,7 @@ TFIDF_SQL = rf"""
 WITH toks AS (
   SELECT doc_id, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), tf AS (
   SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2
@@ -279,7 +279,7 @@ def sketch_distinct_raw(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token"),
     ).filter(F.length("token") > 0)
     return toks.groupBy("source").agg(
         F.approx_count_distinct("token", rsd=SKETCH_RSD).alias("approx_distinct"),
@@ -320,7 +320,7 @@ SELECT source,
        TRUE AS within_tolerance
 FROM (
   SELECT source,
-         unnest(string_split_regex(trim(lower(text)), '\\s+')) AS token
+         unnest(string_split_regex(trim(lower(text), ' '), '\\s+')) AS token
   FROM documents
 )
 WHERE length(token) > 0
@@ -413,7 +413,7 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
     )
@@ -443,7 +443,7 @@ UNIGRAM_LOGPROB_SQL = r"""
 WITH toks AS (
   SELECT doc_id, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), cnt AS (
   SELECT term, COUNT(*) AS c FROM toks GROUP BY 1
@@ -488,7 +488,7 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast cell tables and take the min."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token")
     ).filter(F.length("token") > 0)
     cells = (
         toks.select(
@@ -547,7 +547,7 @@ def _cms_sql() -> str:
     return rf"""
 WITH toks AS (
   SELECT token FROM (
-    SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+    SELECT unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS token
     FROM documents
   ) WHERE length(token) > 0
 ), cells AS (
@@ -589,7 +589,7 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "source",
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token"),
     ).filter(F.length("token") > 0)
     rb = F.explode(
         F.array(
@@ -661,7 +661,7 @@ def _cms_merge_sql() -> str:
 WITH toks AS (
   SELECT source, token FROM (
     SELECT source,
-           unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+           unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS token
     FROM documents
   ) WHERE length(token) > 0
 ), shard_cells AS (
@@ -725,7 +725,7 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         d.select(
             "doc_id",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token"),
         )
         .filter(F.length("token") > 0)
         .distinct()
@@ -775,7 +775,7 @@ COLLOCATION_SQL = rf"""
 WITH toks AS (
   SELECT DISTINCT doc_id, t.term AS token
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), topm AS (
   SELECT token, COUNT(*) AS df FROM toks GROUP BY 1
@@ -836,7 +836,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "doc_id",
-            F.posexplode(F.split(F.trim(F.lower("text")), r"\s+")).alias(
+            F.posexplode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias(
                 "pos", "term"
             ),
         )
@@ -892,7 +892,7 @@ def bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BIGRAM_LOGPROB_SQL = rf"""
 WITH tok_lists AS (
-  SELECT doc_id, string_split_regex(trim(lower(text)), '\s+') AS l
+  SELECT doc_id, string_split_regex(trim(lower(text), ' '), '\s+') AS l
   FROM documents
 ), toks AS (
   SELECT doc_id, term, pos FROM (
@@ -947,7 +947,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document Shannon entropy of the character distribution — the
     classic cheap garbage detector (binary blobs and repeated-char spam
     sit at the extremes; natural language clusters ~2.5-4.2 nats). Works
-    on trim(lower(text)) like the rest of the text family.
+    on trim(lower(text), ' ') like the rest of the text family.
 
     Plan (r8 rewrite, the simhash-HOF precedent): a ZERO-SHUFFLE pure
     map — per row, sort the characters and run-length-encode them in
@@ -985,7 +985,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
       st -> named_struct('nd', st.nd, 'acc', {close_run}))
     """
     return (
-        d.select("doc_id", F.trim(F.lower("text")).alias("s"))
+        d.select("doc_id", F.trim(mrl_lower("text")).alias("s"))
         .filter(F.length("s") > 0)
         .select(
             "doc_id",
@@ -1013,7 +1013,7 @@ def char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 CHAR_ENTROPY_SQL = r"""
 WITH chars AS (
   SELECT doc_id, substring(s, i, 1) AS ch
-  FROM (SELECT doc_id, trim(lower(text)) AS s FROM documents),
+  FROM (SELECT doc_id, trim(lower(text), ' ') AS s FROM documents),
        LATERAL (SELECT unnest(range(1, length(s) + 1)) AS i) p
 ), cc AS (
   SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
@@ -1057,7 +1057,7 @@ def zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "source",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
     )
@@ -1100,7 +1100,7 @@ ZIPF_SLOPE_SQL = rf"""
 WITH toks AS (
   SELECT source, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), cnt AS (
   SELECT source, term, CAST(COUNT(*) AS BIGINT) AS c
@@ -1169,7 +1169,7 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.repartition(fanout, "doc_id")
         .select(
             "source",
-            F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("term"),
+            F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("term"),
         )
         .filter(F.length("term") > 0)
     )
@@ -1231,7 +1231,7 @@ JSD_SQL = rf"""
 WITH toks AS (
   SELECT source, t.term AS term
   FROM documents,
-       LATERAL unnest(string_split_regex(trim(lower(text)), '\s+')) AS t(term)
+       LATERAL unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS t(term)
   WHERE t.term <> ''
 ), corpus AS (
   SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY term
@@ -1302,7 +1302,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Integer division (DIV) end-to-end — no float path."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
-        F.explode(F.split(F.trim(F.lower("text")), r"\s+")).alias("token")
+        F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token")
     ).filter(F.length("token") > 0)
     counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("n"))
     total = counts.agg(F.sum("n").alias("total_tokens"))
@@ -1358,7 +1358,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_COVERAGE_SQL = rf"""
 WITH counts AS (
   SELECT token, COUNT(*) AS n
-  FROM (SELECT unnest(string_split_regex(trim(lower(text)), '\s+')) AS token
+  FROM (SELECT unnest(string_split_regex(trim(lower(text), ' '), '\s+')) AS token
         FROM documents)
   WHERE length(token) > 0
   GROUP BY token
@@ -1457,7 +1457,7 @@ def _fertility_sql() -> str:
     )
     return rf"""
 WITH scored AS (
-  SELECT CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS ws_toks,
+  SELECT CAST(len(string_split_regex(trim(text, ' '), '\s+')) AS BIGINT) AS ws_toks,
          CAST(len(regexp_extract_all(text,
               '\p{{L}}+|\p{{N}}+|[^\p{{L}}\p{{N}}\s]')) AS BIGINT) AS bpe_toks,
          CAST(length(text) AS BIGINT) AS n_chars,

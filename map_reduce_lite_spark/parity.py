@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
-from map_reduce_lite_spark.registry import Query
+from map_reduce_lite_spark.registry import Query, mrl_lower
 from map_reduce_lite_spark.relational.tables import load_table
 from map_reduce_lite_spark.workloads.wordcount import TOKEN_SPLIT_RE
 from map_reduce_lite_spark.workloads.matrix_multiply import matrix_multiply
@@ -27,7 +27,7 @@ def wc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     fanout = max(spark.sparkContext.defaultParallelism, 8)
     words = (
         d.repartition(fanout)
-        .select(F.explode(F.split(F.lower("text"), TOKEN_SPLIT_RE)).alias("word"))
+        .select(F.explode(F.split(mrl_lower("text"), TOKEN_SPLIT_RE)).alias("word"))
         .filter(F.length("word") > 0)
     )
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))

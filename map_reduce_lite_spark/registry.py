@@ -61,3 +61,22 @@ def md5_60bit(col: Column) -> Column:
 
 def sql_md5_60bit(expr: str) -> str:
     return f"CAST('0x' || substr(md5({expr}), 1, 15) AS BIGINT)"
+
+
+def mrl_lower(col: Column | str) -> Column:
+    """Cross-engine lowercase (r10): Java's FULL Unicode case mapping
+    diverges from DuckDB/utf8proc's SIMPLE mapping on exactly two
+    non-locale points — U+0130 'İ' lowers to 'i'+U+0307 (TWO
+    codepoints, whose combining dot then splits \\p{L}+ tokens) vs
+    plain 'i' in DuckDB, and Java applies the contextual final-sigma
+    rule (Σ → ς at word end) while utf8proc maps Σ → σ
+    unconditionally. Pre-translating those two characters before
+    lower() makes Java's mapping coincide with the simple one —
+    identity on any text not containing İ/Σ (all ASCII fixtures), so
+    every standing hash is unchanged. Found by the r10 Unicode-corpus
+    sweep: wc_documents tokenized 'DİYARBAKIR' into four Java-side
+    tokens via the combining dot. Every tokenizing/normalizing
+    operator lowercases through this helper; the DuckDB twins keep
+    plain lower() (the pre-translate is a no-op under utf8proc)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.lower(F.translate(c, "İΣ", "iσ"))

@@ -17,6 +17,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
 
+from map_reduce_lite_spark.registry import mrl_lower
+
 # Unicode letters; the reference splits on `!char::is_alphabetic` (wc.rs:12).
 TOKEN_SPLIT_RE = r"[^\p{L}]+"
 
@@ -24,7 +26,7 @@ TOKEN_SPLIT_RE = r"[^\p{L}]+"
 def word_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     """(word, count) from a DataFrame with a text column."""
     words = df.select(
-        F.explode(F.split(F.lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("word")
+        F.explode(F.split(mrl_lower(F.col(text_col)), TOKEN_SPLIT_RE)).alias("word")
     ).filter(F.length("word") > 0)
     return words.groupBy("word").agg(F.count(F.lit(1)).alias("count"))
 

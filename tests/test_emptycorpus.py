@@ -304,3 +304,108 @@ def test_ties_corpus_matches_oracle(spark, ties_duck, ties_dir, name):
     s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
     d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
     assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order), name
+
+
+# --------------------------------------------------------------------------
+# Unicode corpus (CJK / RTL / Turkish-Greek casing / astral / NBSP):
+# the multilingual regime a 100 TB crawl guarantees
+# --------------------------------------------------------------------------
+
+_UNI_DOCS = [
+    (1, "汉字处理 中文 文本 没有 空格 分词 困难 汉字 中文", "zh", "cjk"),
+    (2, "مرحبا بالعالم هذا نص عربي للاختبار مرحبا", "ar", "rtl"),
+    (5, "İstanbul DİYARBAKIR ılgın Iğdır İİİ ııı", "tr", "case"),
+    (6, "Στο ΤΈΛΟΣ σίγμα ΣΙΓΜΑΣ τελικό ς", "el", "case"),
+    (8, "emoji 😀 test 👨‍👩‍👧‍👦 family 🇺🇸 flag 𝕊𝕡𝕒𝕣𝕜 math", "en", "astral"),
+    (10, "\xa0non\xa0breaking\xa0spaces em space​zero​width", "en", "space"),
+    (11, "ｆｕｌｌｗｉｄｔｈ　ｔｅｘｔ　ｔｅｓｔ", "ja", "width"),
+]
+
+
+@pytest.fixture(scope="module")
+def unicode_dir(tmp_path_factory):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("unicorpus")
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in _UNI_DOCS], pa.int64()),
+            "text": pa.array([r[1] for r in _UNI_DOCS], pa.string()),
+            "lang": pa.array([r[2] for r in _UNI_DOCS], pa.string()),
+            "source": pa.array([r[3] for r in _UNI_DOCS], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in _UNI_DOCS], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def unicode_duck(unicode_dir):
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{unicode_dir}/documents.parquet')"
+    )
+    return con
+
+
+# the five r10 Unicode-sweep defect classes, each represented:
+# - wc/heavy_hitters: the mrl_lower İ/Σ casing alignment (Java full map
+#   split 'DİYARBAKIR' into four tokens via the combining dot)
+# - fingerprint/tfidf: the explicit trim(x, ' ') oracle set (DuckDB's
+#   default trim strips NBSP; Spark strips ASCII space only)
+# - decode/resize stubs: codepoint-based fake kernels (oracle domain
+#   extended from ASCII to any text)
+# - mixture_plan: try_cast on the non-numeric source suffix
+_UNI_SUBSET = [
+    "wc_documents",
+    "heavy_hitters_tokens",
+    "text_doc_fingerprint",
+    "text_tfidf_top_terms",
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "multimodal_phash_dedup",
+    "curation_mixture_plan",
+    "text_char_entropy",
+    "dedup_span_removal",
+]
+
+
+@pytest.mark.parametrize("name", _UNI_SUBSET)
+def test_unicode_corpus_matches_oracle(spark, unicode_duck, unicode_dir, name):
+    import __spark_entry__ as e
+
+    sdf = e.queries()[name](spark, unicode_dir)
+    spark_cols = [c.lower() for c in sdf.columns]
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    res = unicode_duck.execute(e.oracle_sql()[name])
+    duck_cols = [d[0].lower() for d in res.description]
+    duck_rows = res.fetchall()
+    assert sorted(spark_cols) == sorted(duck_cols), name
+    assert len(spark_rows) == len(duck_rows), (
+        f"{name}: spark={len(spark_rows)} duck={len(duck_rows)}"
+    )
+    s_order = sorted(range(len(spark_cols)), key=lambda i: spark_cols[i])
+    d_order = sorted(range(len(duck_cols)), key=lambda i: duck_cols[i])
+    assert _multiset(spark_rows, s_order) == _multiset(duck_rows, d_order), name
+
+
+def test_mrl_lower_matches_utf8proc_simple_casing(spark, unicode_duck):
+    """The two known full-vs-simple casemap divergences, pinned at the
+    helper level: İ and contextual final sigma."""
+    from map_reduce_lite_spark.registry import mrl_lower
+
+    df = spark.createDataFrame(
+        [("İstanbul",), ("ΣΙΓΜΑΣ",), ("DİYARBAKIR",)], "text string"
+    )
+    got = [r[0] for r in df.select(mrl_lower("text")).collect()]
+    want = [
+        unicode_duck.execute("SELECT lower(?)", [t]).fetchone()[0]
+        for t in ("İstanbul", "ΣΙΓΜΑΣ", "DİYARBAKIR")
+    ]
+    assert got == want == ["istanbul", "σιγμασ", "diyarbakir"]
