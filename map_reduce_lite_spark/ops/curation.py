@@ -30,7 +30,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
-from map_reduce_lite_spark.ops.dedup import shingles
+from map_reduce_lite_spark.ops.dedup import EMB_BUCKET_CAP, shingles
 from map_reduce_lite_spark.registry import Query, md5_60bit, mrl_lower, sql_md5_60bit
 from map_reduce_lite_spark.relational.tables import load_table
 
@@ -523,10 +523,12 @@ FROM staged GROUP BY source
 # Leakage-safe (cluster-level) split
 # --------------------------------------------------------------------------
 
-# Effectively-infinite hot-bucket cap: the safety operator must never
-# drop a detected pair (see leakage_safe_split's GUARANTEE SCOPE note).
-# 2^62 keeps (COUNT(*) + cap - 1) // cap == 1 without BIGINT overflow.
-LEAKAGE_SPLIT_CAP = 1 << 62
+# r11: the safety operator now uses the ADAPTIVE-RE-BANDING cap at the
+# production value — oversized buckets are refined with extra
+# hyperplanes (recall-preserving) instead of either salted (drops
+# pairs, r9) or cap-exempted (r10: size² melt on a near-constant
+# mega-bucket, the classic boilerplate-heavy-crawl shape).
+LEAKAGE_SPLIT_CAP = EMB_BUCKET_CAP
 
 
 def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -544,19 +546,27 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     construction over the detected pair graph, and the oracle proves
     both engines agree it is.
 
-    GUARANTEE SCOPE: "zero leakage" is relative to the LSH pair graph.
-    Because this is a SAFETY operator, it is EXEMPT from the hot-bucket
-    salted cap the throughput dedup queries use (cap engaged = pairs
-    inside an oversized bucket silently dropped, which here would mean
-    undetected cross-split leakage that the self-audit — computed from
-    the same pair set — could not see). Both the Spark path and the SQL
-    twin pass an effectively-infinite cap, so every band collision is
-    verified. The residual recall limit is LSH banding itself (a true
-    near-dup pair missed by all bands can still split) — inherent to
-    any sub-quadratic detector. The price of exemption is that one
-    adversarial mega-bucket costs size² candidate pairs in THIS
-    operator; if that bucket exists, the right fix is more selective
-    banding (more planes/bands), not silently dropping pairs.
+    GUARANTEE SCOPE: "zero leakage" is relative to the detected pair
+    graph. Because this is a SAFETY operator, it must not use the
+    hot-bucket SALTED cap the throughput dedup queries use (cap engaged
+    = pairs inside an oversized bucket silently dropped, which here
+    would mean undetected cross-split leakage that the self-audit —
+    computed from the same pair set — could not see). r10 resolved that
+    by exempting the cap entirely, which left one adversarial
+    mega-bucket (near-constant embeddings — exactly what boilerplate-
+    heavy crawls produce) costing size² candidate pairs. r11 replaces
+    the exemption with ADAPTIVE RE-BANDING (method="lsh_refine",
+    dedup._refined_candidate_ids): oversized buckets are refined with
+    per-band extra hyperplanes — recall-preserving, no salt drop — and
+    a sub-bucket that still exceeds the cap (a near-constant core) is
+    covered by a star to its min-id representative, preserving the
+    verified graph's connectivity at linear instead of quadratic cost.
+    Bounded-cost + zero-dropped-pairs on the mega-bucket corpus is
+    pinned in tests/test_capcorpus.py. Residual recall limits, both
+    inherent to sub-quadratic detection: LSH banding itself (a true
+    near-dup pair missed by all bands can still split), and a
+    barely-above-threshold pair inside a still-oversized near-constant
+    sub-bucket is detected only via its representative.
 
     Output: (split, n_vecs, n_clusters, n_cross_pairs).
 
@@ -574,7 +584,7 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     pairs = (
         embedding_near_dup_pairs(
-            emb, method="lsh", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
+            emb, method="lsh_refine", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
         )
         .select("keep_id", "dup_id")
         .localCheckpoint(eager=True)
@@ -631,19 +641,16 @@ def _leakage_split_sql() -> str:
         LSH_PLANES,
         _hyperplanes,
         _sql_cos,
-        sql_capped_bands_chain,
+        refine_hyperplanes,
+        sql_refined_cands_chain,
     )
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
+    rplanes = refine_hyperplanes(EMB_DIM)
+    chain = sql_refined_cands_chain(planes, rplanes, LSH_N_BANDS, LEAKAGE_SPLIT_CAP)
     return f"""
-WITH RECURSIVE {sql_capped_bands_chain(planes, LSH_N_BANDS, LEAKAGE_SPLIT_CAP, "emb")}
-, cands AS (
-  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS dup_id
-  FROM bands a JOIN bands b
-    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
-   AND a.sub = b.sub
-  WHERE a.vec_id < b.vec_id
-), scored AS (
+WITH RECURSIVE {chain}
+, scored AS (
   SELECT c.keep_id, c.dup_id,
          {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
   FROM cands c

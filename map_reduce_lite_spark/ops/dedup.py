@@ -704,6 +704,104 @@ NEAR_DUP_COS = 0.40  # demo threshold; corpus max pairwise cosine is ~0.51
 EMB_BUCKET_CAP = 512  # max members per LSH band bucket before salted split
 
 
+def _band_self_join(bands: DataFrame, on: list[str]) -> DataFrame:
+    """Triangular self-join of a band table on its bucket key columns →
+    distinct (keep_id, dup_id) candidate ids. IDS ONLY on the shuffle
+    (8-byte keys); vectors join back after the pair dedup."""
+    return (
+        bands.select(F.col("bid").alias("keep_id"), *on)
+        .join(bands.select(F.col("bid").alias("dup_id"), *on), on)
+        .filter(F.col("keep_id") < F.col("dup_id"))
+        .dropDuplicates(["keep_id", "dup_id"])
+        .select("keep_id", "dup_id")
+    )
+
+
+def _refined_candidate_ids(
+    corpus: DataFrame,
+    bands: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    cap: int,
+) -> DataFrame:
+    """ADAPTIVE RE-BANDING (r11): candidate ids when some band bucket
+    exceeds ``cap``, replacing the salted split for consumers that must
+    not silently drop a detectable pair (leakage_safe_split).
+
+    Oversized (band_id, band_hash) buckets are refined with that band's
+    16 extra hyperplanes (refine_hyperplanes — per-band chunks, so a
+    pair split by one band's refinement keeps its independent chance in
+    the other bands): sub-buckets ≤ cap get exact all-pairs; sub-buckets
+    STILL oversized (members agreeing on all 4+16 plane signs — a
+    near-constant core) emit a star to the min-id representative,
+    (size − 1) candidates instead of size², preserving the verified
+    graph's connectivity (a near-constant core verifies against the
+    representative whenever it verifies against any member, up to the
+    threshold boundary). Per-bucket work is thus ≤ cap² + linear —
+    bounded regardless of collision density — while, unlike salting,
+    no intra-sub-bucket pair is ever dropped. The refinement planes are
+    CONSTANTS (seeded), so membership is bit-identical to the SQL twin
+    (sql_refined_cands_chain). Residual recall limits, both inherent to
+    sub-quadratic detection: (a) pairs inside an oversized bucket that
+    disagree on that band's refinement planes fall back on the other
+    bands; (b) a barely-above-threshold pair inside a still-oversized
+    sub-bucket is detected only via the representative."""
+    from map_reduce_lite_spark.ops.similarity import (
+        lsh_band_hashes,
+        refine_hyperplanes,
+    )
+
+    n_bands = 1 + bands.select(F.max("band_id")).first()[0]
+    sizes = bands.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    # one row per (band, hash) — at most n_bands × 2^(planes/band); tiny
+    sized = bands.join(F.broadcast(sizes), ["band_id", "band_hash"])
+    small_pairs = _band_self_join(
+        sized.filter(F.col("n") <= cap).select("bid", "band_id", "band_hash"),
+        on=["band_id", "band_hash"],
+    )
+    rplanes = refine_hyperplanes(dim)
+    rh_tbl = corpus.select(
+        F.col(id_col).alias("bid"),
+        F.posexplode(lsh_band_hashes(vec_col, rplanes, n_bands)).alias(
+            "band_id", "rh"
+        ),
+    )
+    big = (
+        sized.filter(F.col("n") > cap)
+        .select("bid", "band_id", "band_hash")
+        .join(rh_tbl, ["bid", "band_id"])
+    )
+    subsizes = big.groupBy("band_id", "band_hash", "rh").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # sub-bucket count is data-dependent (up to one per member) — shuffle
+    # join, not broadcast
+    bigm = big.join(subsizes, ["band_id", "band_hash", "rh"])
+    sub_small_pairs = _band_self_join(
+        bigm.filter(F.col("m") <= cap).select("bid", "band_id", "band_hash", "rh"),
+        on=["band_id", "band_hash", "rh"],
+    )
+    sub_big = bigm.filter(F.col("m") > cap).select(
+        "bid", "band_id", "band_hash", "rh"
+    )
+    reps = sub_big.groupBy("band_id", "band_hash", "rh").agg(
+        F.min("bid").alias("rep")
+    )
+    star = (
+        sub_big.join(reps, ["band_id", "band_hash", "rh"])
+        .filter(F.col("bid") != F.col("rep"))
+        .select(F.col("rep").alias("keep_id"), F.col("bid").alias("dup_id"))
+    )
+    return (
+        small_pairs.unionByName(sub_small_pairs)
+        .unionByName(star)
+        .dropDuplicates(["keep_id", "dup_id"])
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = NEAR_DUP_COS,
@@ -742,7 +840,15 @@ def embedding_near_dup_pairs(
     oversized (the driver fixtures), where the plain join is provably
     identical. The SQL twins replay sizes+salt unconditionally
     (n_sub=1 → sub ≡ 0 identity), so both branches hash-match them;
-    cap-ENGAGED parity is pinned in tests/test_capcorpus.py."""
+    cap-ENGAGED parity is pinned in tests/test_capcorpus.py.
+
+    ``method="lsh_refine"`` (r11): same banding, but oversized buckets
+    are ADAPTIVELY RE-BANDED instead of salted (see
+    _refined_candidate_ids) — for SAFETY consumers (leakage_safe_split)
+    where a salt's silently-dropped intra-bucket pairs would mean
+    undetected cross-split leakage. Same bounded per-bucket cost, no
+    intra-sub-bucket pair dropped; when no bucket is oversized all
+    three lsh variants are the identical plain band join."""
     from map_reduce_lite_spark.ops.similarity import (
         _dot,
         _hyperplanes,
@@ -768,7 +874,7 @@ def embedding_near_dup_pairs(
         # BNLJ parallelism follows the streamed (left) side's partitions;
         # one parquet split would mean one core for the whole O(n²) scan
         pairs = _spread(a, "keep_id").join(b, F.col("keep_id") < F.col("dup_id"))
-    elif method == "lsh":
+    elif method in ("lsh", "lsh_refine"):
         if dim is None:  # probing costs a Spark job — callers should pass it
             dim = corpus.select(F.size(vec_col).alias("d")).first()[0]
         planes = _hyperplanes(dim, n_planes)
@@ -795,13 +901,17 @@ def embedding_near_dup_pairs(
             .agg(F.max("n"))
             .first()[0]
         )
-        if max_bucket is not None and max_bucket > cap:
+        if max_bucket is not None and max_bucket > cap and method == "lsh_refine":
+            ids = _refined_candidate_ids(corpus, bands, id_col, vec_col, dim, cap)
+        elif max_bucket is not None and max_bucket > cap:
             sizes = bands.groupBy("band_id", "band_hash").agg(
                 ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
                 .cast("long")
                 .alias("n_sub")
             )
-            bands = bands.join(F.broadcast(sizes), ["band_id", "band_hash"]).withColumn(
+            salted = bands.join(
+                F.broadcast(sizes), ["band_id", "band_hash"]
+            ).withColumn(
                 "sub",
                 F.pmod(
                     md5_60bit(
@@ -815,22 +925,10 @@ def embedding_near_dup_pairs(
                     F.col("n_sub"),
                 ),
             )
+            ids = _band_self_join(salted, on=["band_id", "band_hash", "sub"])
         else:
-            bands = bands.withColumn("sub", F.lit(0).cast("long"))
-        ids = _spread(
-            bands.select(F.col("bid").alias("keep_id"), "band_id", "band_hash", "sub")
-            .join(
-                bands.select(
-                    F.col("bid").alias("dup_id"), "band_id", "band_hash", "sub"
-                ),
-                ["band_id", "band_hash", "sub"],
-            )
-            .filter(F.col("keep_id") < F.col("dup_id"))
-            .dropDuplicates(["keep_id", "dup_id"])
-            .select("keep_id", "dup_id"),
-            "keep_id",
-        )
-        pairs = ids.join(a, "keep_id").join(b, "dup_id")
+            ids = _band_self_join(bands, on=["band_id", "band_hash"])
+        pairs = _spread(ids, "keep_id").join(a, "keep_id").join(b, "dup_id")
     else:
         raise ValueError(f"unknown method {method!r}")
     sim = _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("a_norm") * F.col("b_norm"))

@@ -430,6 +430,19 @@ def ann_lsh_topk(
 
 EMB_DIM = 64  # test-table embedding dimension (pins the oracle's planes)
 LSH_N_BANDS = 4
+# Adaptive re-banding (r11): hyperplanes used to REFINE an oversized
+# band bucket, chunked per band (REFINE_PLANES / LSH_N_BANDS each) so a
+# pair split by one band's refinement keeps its independent chance in
+# every other band (the OR-amplification the original banding relies
+# on). A distinct seed keeps them independent of the banding planes.
+REFINE_PLANES = 64
+REFINE_SEED = 137
+
+
+def refine_hyperplanes(dim: int) -> list[list[float]]:
+    """The refinement plane set — shared by the Spark path and every SQL
+    twin so refined sub-bucket membership is bit-identical."""
+    return _hyperplanes(dim, REFINE_PLANES, seed=REFINE_SEED)
 KNN_GRAPH_K = 5  # neighbors kept per node in the corpus k-NN graph
 KNN_BUCKET_CAP = 512  # max members per LSH band bucket before salted split
 
@@ -851,6 +864,76 @@ def sql_capped_bands_chain(
   SELECT b.vec_id, b.band_id, b.band_hash, ({salt} % s.n_sub) AS sub
   FROM rawbands b JOIN bsizes s
     ON s.band_id = b.band_id AND s.band_hash = b.band_hash
+)"""
+
+
+def sql_refined_cands_chain(
+    planes: list[list[float]], rplanes: list[list[float]], n_bands: int, cap: int
+) -> str:
+    """CTE chain (to place right after WITH) ending in ``cands`` with
+    columns (keep_id, dup_id) — the ADAPTIVE-RE-BANDING candidate set,
+    the SQL twin of ``embedding_near_dup_pairs(method="lsh_refine")``.
+
+    Three branches, replayed UNCONDITIONALLY (when no bucket exceeds
+    ``cap`` branches 2–3 are empty and branch 1 is the plain band
+    all-pairs — the identity matching Spark's probe-skipped branch):
+
+    1. buckets ≤ cap: exact all-pairs within (band_id, band_hash);
+    2. oversized buckets: members re-hashed with that band's 16
+       refinement planes; sub-buckets ≤ cap get exact all-pairs within
+       (band_id, band_hash, rh) — recall-preserving refinement, no
+       pair silently dropped by a salt;
+    3. sub-buckets STILL > cap (possible only when members agree on
+       all band + refinement planes, i.e. a near-constant core): a
+       star to the min-id member — (sub-bucket size − 1) candidates
+       instead of size², preserving the verified graph's connectivity
+       (every member links to the representative, and a near-constant
+       core verifies against any of its members iff it verifies
+       against the representative, up to the threshold boundary).
+    """
+    rh_exprs = sql_band_hashes("embedding", rplanes, n_bands)
+    refh = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band_id, {h} AS rh FROM embeddings"
+        for b, h in enumerate(rh_exprs)
+    )
+    return f"""rawbands AS (
+{sql_bands_cte(planes, n_bands)}
+), bsizes AS (
+  SELECT band_id, band_hash, COUNT(*) AS n
+  FROM rawbands GROUP BY 1, 2
+), refh AS (
+{refh}
+), rb AS (
+  SELECT b.vec_id, b.band_id, b.band_hash, s.n, r.rh
+  FROM rawbands b
+  JOIN bsizes s ON s.band_id = b.band_id AND s.band_hash = b.band_hash
+  JOIN refh r ON r.vec_id = b.vec_id AND r.band_id = b.band_id
+), subsizes AS (
+  SELECT band_id, band_hash, rh, COUNT(*) AS m
+  FROM rb WHERE n > {cap} GROUP BY 1, 2, 3
+), cands AS (
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM rb a JOIN rb b
+    ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+  WHERE a.n <= {cap} AND a.vec_id < b.vec_id
+  UNION
+  SELECT a.vec_id AS keep_id, b.vec_id AS dup_id
+  FROM rb a
+  JOIN rb b ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+           AND a.rh = b.rh
+  JOIN subsizes s ON s.band_id = a.band_id AND s.band_hash = a.band_hash
+                 AND s.rh = a.rh
+  WHERE a.n > {cap} AND s.m <= {cap} AND a.vec_id < b.vec_id
+  UNION
+  SELECT r.rep AS keep_id, m.vec_id AS dup_id
+  FROM rb m
+  JOIN (SELECT band_id, band_hash, rh, MIN(vec_id) AS rep
+        FROM rb WHERE n > {cap} GROUP BY 1, 2, 3) r
+    ON r.band_id = m.band_id AND r.band_hash = m.band_hash
+   AND r.rh = m.rh
+  JOIN subsizes s ON s.band_id = m.band_id AND s.band_hash = m.band_hash
+                 AND s.rh = m.rh
+  WHERE m.n > {cap} AND s.m > {cap} AND m.vec_id <> r.rep
 )"""
 
 

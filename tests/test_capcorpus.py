@@ -385,24 +385,45 @@ def test_embedding_band_default_cap_engagement_is_semantic(spark, knncap_dir):
     assert 0 < capped < uncapped
 
 
-def test_leakage_split_cap_exempt_on_hot_bucket(spark, knncap_dir):
-    """r10: leakage_safe_split is EXEMPT from the hot-bucket cap in
-    BOTH engines — on the 520-vector single-bucket corpus (where the
-    capped dedup family provably drops pairs, see the engagement test
-    above) its pair graph is the FULL uncapped one, so the whole
-    520-clique routes as ONE cluster and zero detected pairs cross a
-    split boundary; the registered oracle agrees on the exact values."""
+def _component_partition(pairs_df):
+    """Frozenset-of-frozensets component partition of a pair DataFrame —
+    the equivalence structure the split router consumes."""
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    comp = connected_components(
+        pairs_df.select("keep_id", "dup_id"), src="keep_id", dst="dup_id"
+    )
+    groups = {}
+    for r in comp.collect():
+        groups.setdefault(r.component, set()).add(r.node)
+    return frozenset(frozenset(g) for g in groups.values())
+
+
+def test_leakage_split_adaptive_rebanding_on_hot_bucket(spark, knncap_dir):
+    """r11: leakage_safe_split's pair stage uses ADAPTIVE RE-BANDING —
+    on the 520-vector single-bucket corpus (where the SALTED cap
+    provably drops pairs, see the engagement test above) the refined
+    path bounds candidate count yet keeps the verified graph's
+    component structure identical to the uncapped form, so the whole
+    corpus still routes as ONE cluster with zero crossings; the
+    registered oracle agrees on the exact values."""
     from map_reduce_lite_spark.ops.curation import LEAKAGE_SPLIT_CAP
     from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
     from map_reduce_lite_spark.ops.similarity import EMB_DIM
     from map_reduce_lite_spark.relational.tables import load_table
 
     emb = load_table(spark, str(knncap_dir), "embeddings")
-    # the exempt cap sees every pair the banding detects: the full clique
-    n_pairs = embedding_near_dup_pairs(
-        emb, method="lsh", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
-    ).count()
-    assert n_pairs == _KNN_N * (_KNN_N - 1) // 2
+    refined = embedding_near_dup_pairs(
+        emb, method="lsh_refine", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
+    )
+    n_refined = refined.count()
+    # engaged AND bounded: fewer candidates than the uncapped clique...
+    assert 0 < n_refined < _KNN_N * (_KNN_N - 1) // 2
+    # ...with the same component structure (routing-level zero loss)
+    uncapped = embedding_near_dup_pairs(
+        emb, method="lsh", dim=EMB_DIM, cap=1 << 62
+    )
+    assert _component_partition(refined) == _component_partition(uncapped)
 
     sdf, oracle = _run_registered(spark, knncap_dir, "curation_leakage_safe_split")
     spark_rows = [tuple(r) for r in sdf.collect()]
@@ -414,4 +435,154 @@ def test_leakage_split_cap_exempt_on_hot_bucket(spark, knncap_dir):
     # one component -> one split holds all 520 vectors, zero crossings
     assert sum(r[1] for r in spark_rows) == _KNN_N
     assert max(r[1] for r in spark_rows) == _KNN_N
+    assert all(r[3] == 0 for r in spark_rows)
+
+
+# --------------------------------------------------------------------------
+# Adaptive re-banding — near-constant MEGA-BUCKET corpora (r11)
+# --------------------------------------------------------------------------
+
+_MEGA_N = 600  # one near-constant bucket > EMB_BUCKET_CAP in every band
+
+
+@pytest.fixture(scope="module")
+def megabucket_dir(tmp_path_factory):
+    """The adversarial mass-duplication shape: 300 EXACT-duplicate
+    embeddings plus 300 with 1e-6 single-axis jitter — every vector
+    shares every band bucket AND every refinement hash (no hyperplane
+    can separate a near-constant core), so the refined path's STAR
+    branch is the only thing standing between this corpus and
+    size² = 179,700 candidate pairs."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("megabucket")
+    vecs = []
+    for i in range(_MEGA_N):
+        v = [0.0] * _EMB_DIM
+        v[0] = 10.0
+        if i >= _MEGA_N // 2:
+            v[1 + (i % 60)] = 1e-6 * (1 + i % 7)
+        vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(_MEGA_N), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * _MEGA_N, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return d
+
+
+def test_leakage_split_megabucket_bounded_and_zero_dropped(spark, megabucket_dir):
+    """The r10 verdict's scale-killer: a near-constant mega-bucket.
+    Adaptive re-banding must (a) bound the candidate count — linear
+    star, not size² — and (b) drop ZERO detections at the routing
+    level: every pair the uncapped form detects is intra-component
+    (hence intra-split) under the adaptive form. The registered query
+    value-matches its oracle with the star branch live."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, str(megabucket_dir), "embeddings")
+    refined = embedding_near_dup_pairs(emb, method="lsh_refine", dim=EMB_DIM)
+    n_refined = refined.count()
+    # (a) bounded: the star emits size-1 pairs, not size²
+    assert n_refined == _MEGA_N - 1
+    uncapped = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM, cap=1 << 62)
+    assert uncapped.count() == _MEGA_N * (_MEGA_N - 1) // 2
+    # (b) zero dropped detections: identical component structure
+    assert _component_partition(refined) == _component_partition(uncapped)
+    assert _component_partition(refined) == frozenset({frozenset(range(_MEGA_N))})
+
+    sdf, oracle = _run_registered(
+        spark, megabucket_dir, "curation_leakage_safe_split"
+    )
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck = _duck_for(megabucket_dir, tables=("embeddings",))
+    duck_rows = duck.execute(oracle).fetchall()
+    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    # one cluster, one split, zero crossings
+    assert len(spark_rows) == 1
+    assert spark_rows[0][1] == _MEGA_N and spark_rows[0][2] == 1
+    assert spark_rows[0][3] == 0
+
+
+@pytest.fixture(scope="module")
+def megamix_dir(tmp_path_factory):
+    """Mega-bucket PLUS satellites — engages all three refined branches
+    at once: a 520-vector near-constant core (star branch), three
+    3-vector spread clusters that each share exactly one band bucket
+    with the core but carry a different refinement hash there
+    (sub-bucket all-pairs branch), and the same clusters' own small
+    buckets in the other bands (plain small-bucket branch). Spread
+    magnitude 23 puts cos(core, satellite) = 0.3997 just BELOW the
+    0.40 threshold, so the ground-truth detections are exactly the
+    core clique plus the three intra-cluster cliques. Geometry
+    verified against the actual seeded plane constants."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("megamix")
+    vecs = []
+    for i in range(520):
+        v = [0.0] * _EMB_DIM
+        v[0] = 10.0
+        v[1 + (i % 60)] = 1e-6 * (1 + i % 7)
+        vecs.append(v)
+    for axis, mag in ((2, 23.0), (3, 23.0), (4, -23.0)):
+        for j in range(3):
+            v = [0.0] * _EMB_DIM
+            v[0] = 10.0
+            v[axis] = mag + (0.001 * j if mag > 0 else -0.001 * j)
+            vecs.append(v)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(len(vecs)), pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+            "label": pa.array([0] * len(vecs), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(d / "embeddings.parquet"))
+    return d
+
+
+def test_leakage_split_megamix_all_branches_zero_dropped(spark, megamix_dir):
+    """All three adaptive branches live in one corpus: the component
+    partition still equals BOTH the uncapped-LSH form's and the exact
+    quadratic ground truth's, and the registered query value-matches
+    its oracle with every detected cluster routed whole."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    n = 529
+    emb = load_table(spark, str(megamix_dir), "embeddings")
+    refined = embedding_near_dup_pairs(emb, method="lsh_refine", dim=EMB_DIM)
+    n_refined = refined.count()
+    # star(519) + three intra-cluster cliques(3 each) = 528, far below
+    # the uncapped 134,949 — bounded with the satellites still detected
+    assert n_refined == 519 + 9
+    want = frozenset(
+        {
+            frozenset(range(520)),
+            frozenset({520, 521, 522}),
+            frozenset({523, 524, 525}),
+            frozenset({526, 527, 528}),
+        }
+    )
+    assert _component_partition(refined) == want
+    uncapped = embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM, cap=1 << 62)
+    assert _component_partition(uncapped) == want
+    exact = embedding_near_dup_pairs(emb, method="exact")
+    assert _component_partition(exact) == want
+
+    sdf, oracle = _run_registered(spark, megamix_dir, "curation_leakage_safe_split")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck = _duck_for(megamix_dir, tables=("embeddings",))
+    duck_rows = duck.execute(oracle).fetchall()
+    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    assert sum(r[1] for r in spark_rows) == n
     assert all(r[3] == 0 for r in spark_rows)
