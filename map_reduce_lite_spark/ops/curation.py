@@ -531,7 +531,9 @@ FROM staged GROUP BY source
 LEAKAGE_SPLIT_CAP = EMB_BUCKET_CAP
 
 
-def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+def leakage_safe_split(
+    spark: SparkSession, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Train/val/test routing that routes whole near-dup CLUSTERS, not
     documents, so no LSH-DETECTED near-duplicate pair ever straddles a
     split boundary.
@@ -578,18 +580,22 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     localCheckpoint — without it the LSH band join + cosine verify
     (the most expensive stage here) would execute twice."""
     from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
-    from map_reduce_lite_spark.ops.graph import connected_components
+    from map_reduce_lite_spark.ops.graph import _checkpointer, connected_components
     from map_reduce_lite_spark.ops.similarity import EMB_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = (
+    pairs = _checkpointer(emb, checkpoint_dir)(
         embedding_near_dup_pairs(
-            emb, method="lsh_refine", dim=EMB_DIM, cap=LEAKAGE_SPLIT_CAP
-        )
-        .select("keep_id", "dup_id")
-        .localCheckpoint(eager=True)
+            emb,
+            method="lsh_refine",
+            dim=EMB_DIM,
+            cap=LEAKAGE_SPLIT_CAP,
+            checkpoint_dir=checkpoint_dir,
+        ).select("keep_id", "dup_id")
     )
-    comp = connected_components(pairs, src="keep_id", dst="dup_id")
+    comp = connected_components(
+        pairs, src="keep_id", dst="dup_id", checkpoint_dir=checkpoint_dir
+    )
     assigned = (
         emb.select("vec_id")
         .join(comp, F.col("vec_id") == F.col("node"), "left")

@@ -385,9 +385,15 @@ def minhash_lsh_pairs(
     text_col: str = "text",
     bands: int = MINHASH_BANDS,
     rows: int = MINHASH_ROWS,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: equal band signature in ≥ 1 of ``bands``
     bands of ``rows`` min-hashes each (k = bands × rows total hashes).
+
+    ``checkpoint_dir`` (r11): switches the signature-table
+    materialization from localCheckpoint (dies with an executor) to
+    reliable checkpoint() on a shared-FS path — the cluster posture
+    every SF-proportional materialization in the repo now carries.
 
     Candidate probability for a pair with Jaccard J is 1-(1-J^rows)^bands
     — pick (bands, rows) for the corpus: the module default (8×4) is the
@@ -395,12 +401,14 @@ def minhash_lsh_pairs(
     (16×8) is the production setting with recall ≥ 0.9 at J ≥ 0.8
     (property-tested). Only band-signature equi-joins — candidate work is
     quadratic only within a colliding bucket, never corpus-wide."""
+    from map_reduce_lite_spark.ops.graph import _checkpointer
+
     banded = minhash_band_sigs(docs, id_col, text_col, bands, rows)
     # materialize ONCE before the self-join: the shingle + k-minhash
     # aggregation above is the dominant cost, and Spark plans each join
     # side independently (no ReusedExchange here) — without this the
     # whole signature pipeline runs twice (measured ~2x cold, ~15% warm)
-    banded = banded.localCheckpoint(eager=True)
+    banded = _checkpointer(docs, checkpoint_dir)(banded)
     a, b = banded.alias("a"), banded.alias("b")
     pairs = a.join(
         b,
@@ -564,10 +572,16 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
 SIMHASH_BUCKET_CAP = 4096
 
 
-def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
+def simhash_pairs(
+    docs: DataFrame,
+    cap: int = SIMHASH_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
     """Near-dup pairs with simhash Hamming distance ≤ 3, found via a
     4×15-bit band join (a pair within distance 3 must agree exactly on
-    ≥ 1 band), bucket-capped (see SIMHASH_BUCKET_CAP)."""
+    ≥ 1 band), bucket-capped (see SIMHASH_BUCKET_CAP).
+    ``checkpoint_dir``: reliable checkpoint() for the band table
+    instead of executor-local storage (r11 cluster posture)."""
     fps = simhash_fingerprints(docs)
     bands = fps.select(
         "doc", "simhash",
@@ -582,7 +596,9 @@ def simhash_pairs(docs: DataFrame, cap: int = SIMHASH_BUCKET_CAP) -> DataFrame:
     # probe and both self-join sides). Pre-cap, AQE exchange reuse made
     # a checkpoint a wash (A/B 2.62 vs 2.58 s at sf0.1); with the probe
     # it is what keeps the 60-SUM fingerprint agg single-execution.
-    bands = bands.localCheckpoint(eager=True)
+    from map_reduce_lite_spark.ops.graph import _checkpointer
+
+    bands = _checkpointer(docs, checkpoint_dir)(bands)
     # Sizing probe: one scalar job over the materialized band table
     # (4 rows/doc). When every (band, chunk) bucket is under the cap —
     # the common case on natural corpora, and the driver fixtures —

@@ -451,7 +451,9 @@ TRIANGLE_TOP_K = 20
 TRIANGLE_MIN_SUPPORT = 2
 
 
-def triangle_parts(spark, sf_dir: str) -> DataFrame:
+def triangle_parts(
+    spark, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Top parts by triangle participation in the supported co-purchase
     graph (parts are adjacent when they share >= TRIANGLE_MIN_SUPPORT
     orders) — the classic community-density statistic, and a
@@ -511,8 +513,10 @@ def triangle_parts(spark, sf_dir: str) -> DataFrame:
             F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
             F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
         )
-        .localCheckpoint(eager=True)
     )
+    # SF-proportional materialization: reliable checkpoint when a
+    # shared-FS dir is given (r11 cluster posture), local otherwise
+    edges = _checkpointer(edges, checkpoint_dir)(edges)
     # merge-join hint: the edge list is a borderline-broadcastable few
     # tens of MB at test scale, and AQE happily broadcasts it — building
     # a per-task hash map of the WHOLE graph, which OOMs a modest driver
@@ -570,7 +574,9 @@ LIMIT {TRIANGLE_TOP_K}
 LPA_ROUNDS = 3
 
 
-def label_propagation_parts(spark, sf_dir: str) -> DataFrame:
+def label_propagation_parts(
+    spark, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Community detection by synchronous label propagation over the
     supported co-purchase part graph (same support-gated edge list as
     the triangle query): every node starts labeled with its own id,
@@ -609,10 +615,8 @@ def label_propagation_parts(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
         .select("u", "v")
     )
-    e = (
-        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-        .localCheckpoint(eager=True)
-    )
+    ckpt = _checkpointer(fwd, checkpoint_dir)
+    e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -624,11 +628,10 @@ def label_propagation_parts(spark, sf_dir: str) -> DataFrame:
             .groupBy("node", "lbl")
             .agg(F.count(F.lit(1)).alias("cnt"))
         )
-        labels = (
+        labels = ckpt(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "lbl")
-            .localCheckpoint(eager=True)
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -674,7 +677,9 @@ KCORE_K = 3        # minimum surviving degree
 KCORE_ROUNDS = 6   # fixed peel rounds (oracle-replayable unrolling)
 
 
-def kcore_parts(spark, sf_dir: str) -> DataFrame:
+def kcore_parts(
+    spark, sf_dir: str, checkpoint_dir: str | None = None
+) -> DataFrame:
     """Bounded k-core peeling over the supported co-purchase part graph
     (same support-gated edge list as triangles/LPA): repeatedly drop
     nodes with degree < KCORE_K, a fixed KCORE_ROUNDS times, and emit
@@ -706,8 +711,8 @@ def kcore_parts(spark, sf_dir: str) -> DataFrame:
         .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
         .select("u", "v")
     )
-    e = fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    e = e.localCheckpoint(eager=True)
+    ckpt = _checkpointer(fwd, checkpoint_dir)
+    e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     for _ in range(KCORE_ROUNDS):
         keep = (
             e.groupBy("u")
@@ -715,10 +720,9 @@ def kcore_parts(spark, sf_dir: str) -> DataFrame:
             .filter(F.col("d") >= KCORE_K)
             .select("u")
         )
-        e = (
+        e = ckpt(
             e.join(keep, "u", "left_semi")
             .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
-            .localCheckpoint(eager=True)
         )
     return (
         e.groupBy(F.col("u").alias("part"))
