@@ -3,12 +3,15 @@
 Media are opaque ``binary`` columns + typed metadata structs; all heavy
 per-item work (decode, resize, frame-sample, feature-extract) runs as
 Arrow-batched ``mapInPandas`` so a 100 TB corpus streams through Python
-in columnar batches with zero driver involvement. The decode kernels
-themselves are STUBS here (no image/audio libs in this container):
-``decode_image_stub`` produces a deterministic fake decode so the
-Spark-side plumbing — schema, batch iteration, partition sizing — is
-real and tested end-to-end; swap `_fake_decode` for PIL/librosa in a
-real deployment.
+in columnar batches with zero driver involvement. Two kernels are REAL
+binary raster code (no image libs needed): ``decode_ppm`` (r10) parses
+netpbm P6 payloads in pure numpy, and ``resize_ppm`` (r11)
+nearest-neighbor-downsamples the decoded raster with an integer-exact
+NN map. The remaining kernels are STUBS (no image/audio libs in this
+container): ``decode_image_stub`` produces a deterministic fake decode
+so the Spark-side plumbing — schema, batch iteration, partition sizing
+— is real and tested end-to-end; swap it for PIL/librosa in a real
+deployment.
 
 Scale notes: binary payloads make row-group sizing the dominant knob —
 keep ``spark.sql.files.maxPartitionBytes`` at/below 128 MB so a task's
@@ -91,11 +94,21 @@ def decode_image_stub(media: DataFrame, batch_hint: int = 0) -> DataFrame:
             # char code == byte value); swap for PIL/librosa + model
             # features. The byte-true decode path is decode_ppm.
             if payload is None:
-                return []
-            cps = [ord(c) for c in bytes(payload).decode("utf-8")]
+                return None
+            try:
+                # guarded (r11): a non-UTF-8 binary payload routed here
+                # by mistake must yield a NULL feature row, not a
+                # UnicodeDecodeError that kills a 100 TB decode stage
+                cps = [ord(c) for c in bytes(payload).decode("utf-8")]
+            except UnicodeDecodeError:
+                return None
             n = len(cps)
             if n == 0:
-                return [0.0, 0.0, 0.0, 0.0]
+                # NULL moments for the empty payload — parity with the
+                # SQL twin, where list_sum([]) is NULL and NULL/0 stays
+                # NULL (r11, the ADVICE latent-divergence fix; pinned
+                # by the edge corpus which contains empty docs)
+                return [0.0, 0.0, None, None]
             s = sum(cps)
             mean = s / n
             var = sum((b - mean) ** 2 for b in cps) / n
@@ -249,6 +262,12 @@ def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
         def fake_resize(payload):
             if payload is None or len(payload) == 0:
                 return None, None, None
+            try:
+                # guarded (r11): non-UTF-8 payloads yield a NULL row,
+                # never a stage-killing UnicodeDecodeError
+                head = bytes(payload).decode("utf-8")[:64]
+            except UnicodeDecodeError:
+                return None, None, None
             n = len(payload)
             w = max(1, int(math.isqrt(n)))
             h = (n + w - 1) // w
@@ -260,9 +279,7 @@ def resize_image_stub(media: DataFrame, max_side: int = 64) -> DataFrame:
             return (
                 max(1, int(w * scale)),
                 max(1, int(h * scale)),
-                hashlib.md5(
-                    bytes(payload).decode("utf-8")[:64].encode("utf-8")
-                ).hexdigest(),
+                hashlib.md5(head.encode("utf-8")).hexdigest(),
             )
 
         for pdf in batches:
@@ -551,6 +568,192 @@ FROM documents WHERE doc_id % {PPM_CORRUPT_EVERY} = 0
 """
 
 
+# --------------------------------------------------------------------------
+# REAL resize: nearest-neighbor downsample of decoded P6 rasters (r11)
+# --------------------------------------------------------------------------
+
+PPM_RESIZE_SIDE = 8  # thumbnail bound: longest output side
+
+PPM_RESIZED_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("out_w", T.IntegerType(), True),
+        T.StructField("out_h", T.IntegerType(), True),
+        T.StructField("n_px", T.LongType(), True),
+        T.StructField("sum_px", T.LongType(), True),
+        T.StructField("mean_pixel_e6", T.LongType(), True),
+    ]
+)
+
+
+def resize_ppm(media: DataFrame, max_side: int = PPM_RESIZE_SIDE) -> DataFrame:
+    """REAL image resize over the binary column: parse the P6 payload
+    (the same spec-faithful header tokenizer as decode_ppm) and
+    nearest-neighbor-downsample the raster in pure numpy so the longest
+    side is ≤ ``max_side`` (never upscales).
+
+    The geometry is INTEGER-EXACT end to end, so a SQL oracle can
+    replay it in closed form: out_w = w if max(w,h) ≤ side else
+    max(1, (w·side) // max(w,h)) (same for out_h), and output pixel
+    (y, x, c) samples source index ((y·h)//out_h · w + (x·w)//out_w)·3
+    + c — the standard floor nearest-neighbor map, done with numpy
+    fancy-indexing per image, no Python pixel loop. Metrics are the
+    resized raster's integer pixel sum plus mean_pixel_e6 =
+    floor((s/n)·1e6), the same IEEE double division DuckDB performs.
+
+    Malformed payloads (bad magic, truncated header, short raster,
+    out-of-range maxval) yield ok=false rows with NULL metrics — never
+    an exception (the decode_ppm rule: one corrupt image must not kill
+    a 100 TB stage). 16-bit rasters (maxval > 255) resize on big-endian
+    u16 samples, same as the decoder."""
+    side = max_side
+
+    def rz(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import math as _math
+
+        import numpy as _np
+        import pandas as _pd
+
+        _WS = b" \t\r\n\x0b\x0c"
+
+        def parse_header(buf: bytes):
+            if len(buf) < 2 or buf[:2] != b"P6":
+                return None
+            i, vals = 2, []
+            while len(vals) < 3:
+                while i < len(buf):
+                    c = buf[i : i + 1]
+                    if c in _WS:
+                        i += 1
+                    elif c == b"#":
+                        j = buf.find(b"\n", i)
+                        if j < 0:
+                            return None
+                        i = j + 1
+                    else:
+                        break
+                j = i
+                while j < len(buf) and buf[j : j + 1].isdigit():
+                    j += 1
+                if j == i:
+                    return None
+                vals.append(int(buf[i:j]))
+                i = j
+            if i >= len(buf) or buf[i : i + 1] not in _WS:
+                return None  # spec: single whitespace byte, then raster
+            return vals[0], vals[1], vals[2], i + 1
+
+        BAD = (False, None, None, None, None, None)
+
+        def resize(p):
+            if p is None:
+                return BAD
+            buf = bytes(p)
+            hdr = parse_header(buf)
+            if hdr is None:
+                return BAD
+            w, h, mx, off = hdr
+            if w <= 0 or h <= 0 or not (0 < mx < 65536):
+                return BAD
+            bpp = 1 if mx < 256 else 2
+            need = w * h * 3 * bpp
+            data = buf[off : off + need]
+            if len(data) < need:
+                return BAD
+            arr = (
+                _np.frombuffer(data, dtype=_np.uint8 if bpp == 1 else ">u2")
+                .astype(_np.int64)
+                .reshape(h, w, 3)
+            )
+            m = max(w, h)
+            if m <= side:
+                ow, oh = w, h
+            else:
+                ow = max(1, (w * side) // m)
+                oh = max(1, (h * side) // m)
+            ys = (_np.arange(oh) * h) // oh
+            xs = (_np.arange(ow) * w) // ow
+            out = arr[ys][:, xs]
+            s = int(out.sum())
+            n = int(out.size)
+            return (True, ow, oh, n, s, _math.floor((s / n) * 1e6))
+
+        for pdf in batches:
+            outs = [resize(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ok": _pd.Series([o[0] for o in outs], dtype="bool"),
+                    "out_w": _pd.Series([o[1] for o in outs], dtype="Int32"),
+                    "out_h": _pd.Series([o[2] for o in outs], dtype="Int32"),
+                    "n_px": _pd.Series([o[3] for o in outs], dtype="Int64"),
+                    "sum_px": _pd.Series([o[4] for o in outs], dtype="Int64"),
+                    "mean_pixel_e6": _pd.Series(
+                        [o[5] for o in outs], dtype="Int64"
+                    ),
+                }
+            )
+
+    return media.mapInPandas(rz, schema=PPM_RESIZED_SCHEMA)
+
+
+def multimodal_ppm_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL resize: synthesize P6 bytes per document →
+    pure-numpy parse + nearest-neighbor downsample. The oracle replays
+    the synthesis rule THROUGH the integer NN map in closed form, so
+    the Spark side must round-trip real binary and resample the actual
+    raster to agree — a full value oracle over a real image kernel,
+    including the corrupt-every-50th flag rows."""
+    d = load_table(spark, sf_dir, "documents")
+    return resize_ppm(synthesize_ppm_media(d))
+
+
+# Closed-form replay of synth → parse → NN-downsample: output pixel i of
+# an (out_w × out_h) thumbnail decomposes as y = i // (out_w·3),
+# x = (i % (out_w·3)) // 3, c = i % 3; its source index is
+# ((y·h)//out_h · w + (x·w)//out_w)·3 + c and the synthesized value at
+# source index k is (media_id·31 + k·7) % 256. All-integer geometry →
+# bit-exact across engines; only mean_pixel_e6 touches doubles (same
+# IEEE division both sides).
+PPM_RESIZE_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         {PPM_W_BASE} + doc_id % {PPM_W_MOD} AS w,
+         {PPM_H_BASE} + doc_id % {PPM_H_MOD} AS h
+  FROM documents
+  WHERE doc_id % {PPM_CORRUPT_EVERY} <> 0
+), dims AS (
+  SELECT media_id, w, h,
+         CASE WHEN GREATEST(w, h) <= {PPM_RESIZE_SIDE} THEN w
+              ELSE GREATEST(1, (w * {PPM_RESIZE_SIDE}) // GREATEST(w, h))
+         END AS ow,
+         CASE WHEN GREATEST(w, h) <= {PPM_RESIZE_SIDE} THEN h
+              ELSE GREATEST(1, (h * {PPM_RESIZE_SIDE}) // GREATEST(w, h))
+         END AS oh
+  FROM base
+), summed AS (
+  SELECT media_id, ow, oh, ow * oh * 3 AS n,
+         list_sum(list_transform(range(0, ow * oh * 3), i ->
+           (media_id * 31
+            + ((((i // (ow * 3)) * h) // oh) * w
+               + (((i % (ow * 3)) // 3) * w) // ow) * 3 * 7
+            + (i % 3) * 7) % 256)) AS s
+  FROM dims
+)
+SELECT media_id, TRUE AS ok,
+       CAST(ow AS INT) AS out_w, CAST(oh AS INT) AS out_h,
+       CAST(n AS BIGINT) AS n_px, CAST(s AS BIGINT) AS sum_px,
+       CAST(floor((CAST(s AS DOUBLE) / n) * 1e6) AS BIGINT) AS mean_pixel_e6
+FROM summed
+UNION ALL
+SELECT doc_id AS media_id, FALSE AS ok,
+       NULL AS out_w, NULL AS out_h, NULL AS n_px,
+       NULL AS sum_px, NULL AS mean_pixel_e6
+FROM documents WHERE doc_id % {PPM_CORRUPT_EVERY} = 0
+"""
+
+
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image-dedup pipeline shape: normalize → perceptual hash → group.
 
@@ -640,6 +843,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
             multimodal_ppm_decode,
             PPM_DECODE_SQL,
             "REAL pure-numpy PPM(P6) binary decode round-trip (value-checked)",
+        ),
+        Query(
+            "multimodal_ppm_resize",
+            multimodal_ppm_resize,
+            PPM_RESIZE_SQL,
+            "REAL nearest-neighbor P6 raster downsample (value-checked)",
         ),
     ]
 }

@@ -106,6 +106,13 @@ _EDGE_QUERIES = [
     "text_fertility_by_lang",
     "text_vocab_coverage",
     "multimodal_ppm_decode",
+    # r11 additions — the empty doc pins the decode stub's NULL-moments
+    # agreement (ADVICE: Python 0.0 vs SQL NULL latent divergence, now
+    # fixed to NULL on both sides); the real resize kernel runs its
+    # NN map + corrupt-every-50th rule over the adversarial ids
+    "multimodal_decode_stub",
+    "multimodal_resize_stub",
+    "multimodal_ppm_resize",
 ]
 
 

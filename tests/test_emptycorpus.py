@@ -83,6 +83,7 @@ _EMPTY_SUBSET = [
     "text_fertility_by_lang",      # NULLIF strata
     "curation_leakage_safe_split", # router over zero clusters
     "multimodal_ppm_decode",       # mapInPandas over zero batches
+    "multimodal_ppm_resize",       # r11 NN resample over zero batches
     "embedding_top_pc",            # the EXISTS-guard fix
     "events_hourly",               # time windows over zero events
     "streaming_events_hourly",     # streaming drain of an empty source
