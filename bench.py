@@ -86,6 +86,11 @@ CANARY_QUERIES = ["join_nation_region", "q1_pricing_summary", "wc_documents"]
 CANARY_TOLERANCE = 1.3
 # --full re-probes every query at/above this batched reading in ISOLATION
 ISOLATE_THRESHOLD_SEC = 4.0
+# ...plus these, regardless of their batched reading (r11): the two
+# queries whose r9→r10 driver-window deltas were attributed to batch-
+# composition JIT warmth — their isolated rows keep that attribution
+# checkable in every artifact instead of one round's prose
+ALWAYS_ISOLATE = ("dedup_survivors_docs", "similarity_nn_descent")
 CANARY_FLOOR_PATH = Path(__file__).resolve().parent / ".bench_canary_floor.json"
 
 # headline set: the reference workloads + the heavy relational shapes +
@@ -547,9 +552,12 @@ def main() -> None:
         # heavy OOM/timeout-prone one).
         run_median = _median(canaries)
         isolated = {}
-        for name, t in sorted(timings.items(), key=lambda kv: -kv[1]):
-            if t < ISOLATE_THRESHOLD_SEC:
-                break
+        probe_list = [
+            (name, t)
+            for name, t in sorted(timings.items(), key=lambda kv: -kv[1])
+            if t >= ISOLATE_THRESHOLD_SEC or name in ALWAYS_ISOLATE
+        ]
+        for name, t in probe_list:
             try:
                 r = _run_batch([name])
                 probe_canary = sum(r[c] for c in CANARY_QUERIES)
