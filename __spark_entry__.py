@@ -103,74 +103,75 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — CHANGED/NEW in r10:
-# multimodal_ppm_decode is new (real pure-numpy P6 decode round-trip);
-# the k-NN trio was refactored onto the staged knn_topk_edges +
-# sql_capped_bands_chain oracle CTE; leakage_safe_split is now
-# cap-EXEMPT in both engines; fertility/coverage gained NULLIF div
-# guards in both engines; pagerank and every connected_components
-# consumer run the r10 lazy per-round checkpoint + leak-free
-# _HardBarrier loop.
+# Tier 1 — CHANGED/NEW in r11:
+# multimodal_ppm_resize is new (real nearest-neighbor P6 raster
+# downsample, value-oracled through the integer NN map);
+# leakage_safe_split's pair stage is now ADAPTIVE RE-BANDING
+# (method="lsh_refine" + sql_refined_cands_chain, both engines) instead
+# of cap-exempt; the embedding pair machinery was restructured around
+# _band_self_join/_refined_candidate_ids (every lsh consumer re-checked);
+# the three co-purchase graph queries route their lineage truncation
+# through _checkpointer (reliable-checkpoint threading).
 _FRONT_CHANGED = [
-    "multimodal_ppm_decode",
+    "multimodal_ppm_resize",
     "curation_leakage_safe_split",
-    "similarity_knn_graph",
-    "similarity_nn_descent",
-    "similarity_graph_hubness",
-    "text_fertility_by_lang",
-    "text_vocab_coverage",
-    "pagerank_supplier_part",
+    "dedup_embedding_lsh",
     "dedup_components",
     "dedup_cluster_sizes",
     "dedup_survivors_docs",
+    "graph_triangle_parts",
+    "graph_label_propagation",
+    "graph_kcore_parts",
 ]
 
-# Tier 2 — evidence-freshness rotation, r10 batch: ALL 34 remaining
-# r6-evidence queries (the exact set the r9 verdict enumerated — after
-# this round no live query's driver evidence is older than r7), then
-# the 5 alphabetically-first r7-age queries to fill the 50-slot window.
+# Tier 2 — evidence-freshness rotation, r11 batch: ALL 41 remaining
+# r7-evidence queries (computed from the cumulative CORRECTNESS_r01-r10
+# ledger at round open — after this round no live query's driver
+# evidence is older than r8). multimodal_decode_stub (r11-changed:
+# NULL moments on empty payloads) and the checkpoint_dir-threaded
+# minhash/simhash queries are already in this set.
 _ROTATION_OLDEST = [
-    # r6 evidence (all 34 remaining)
-    "curation_ccnet_buckets",
-    "date_funcs_monthly",
-    "distinct_segments",
-    "embedding_dim_stats",
-    "embedding_prefix_recall",
-    "events_hourly",
-    "grouping_sets_priority",
-    "join_nation_region",
-    "json_events",
-    "math_funcs",
-    "outer_join_order_counts",
-    "percentile_quantity",
-    "pipeline_semdedup_prune",
-    "pivot_qty_by_status",
-    "q12_priority_class",
-    "q14_promo_revenue",
-    "q19_disjunctive_revenue",
-    "q1_pricing_summary",
-    "q4_late_orders",
-    "q5_region_revenue",
-    "q6_forecast_revenue",
-    "range_join_qty_bands",
-    "rollup_returnflag",
-    "salted_join_segments",
-    "scd2_user_state",
-    "semdedup_embeddings",
-    "semi_join_customers",
-    "setop_all_variants",
-    "setop_nations",
-    "similarity_ann_ivf_scaled",
-    "string_funcs",
-    "text_bigram_logprob",
-    "text_bm25_search",
-    "two_stage_agg_supplier",
-    # r7 evidence (alphabetically first 5): window fill to 50
-    "array_agg_priorities",
-    "curation_contamination",
-    "curation_dsir_weights",
-    "curation_mixture_plan",
-    "curation_pii_redact",
+    "curation_repetition_filter",
+    "curation_sequence_packing",
+    "curation_train_split",
+    "dedup_embedding_cosine",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_minhash_lsh_prod",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_span_removal",
+    "events_rollup_multires",
+    "multimodal_bytes",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_count",
+    "q20_bolt_suppliers",
+    "q21_waiting_suppliers",
+    "q22_idle_rich_customers",
+    "q2_min_cost_supplier",
+    "q8_market_share",
+    "q9_product_profit",
+    "similarity_ann_ivf",
+    "similarity_ann_lsh",
+    "similarity_bruteforce",
+    "sketch_distinct_tokens",
+    "sketch_quantiles_price",
+    "stats_corr_qty_price",
+    "subquery_small_qty_revenue",
+    "text_rolling_hash",
+    "text_zipf_slope",
+    "topk_parts",
+    "vocab_bpe_apply",
+    "window_lag_order_gap",
+    "window_range_frame",
+    "window_rank_suite",
+    "window_running_revenue",
+    "window_top3_orders",
+    "window_value_suite",
 ]
 
 ALL_QUERIES = {
