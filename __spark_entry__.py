@@ -76,7 +76,7 @@ from map_reduce_lite_spark.ops.graph import GRAPH_QUERIES
 #      from the cumulative CORRECTNESS_r*.json ledger at round start).
 #      Each round the just-rechecked batch rotates to the rear and the
 #      next-oldest batch rotates in, so no query's driver evidence ages
-#      more than ~4 rounds (153 queries / ~38 rotation slots).
+#      more than ~4 rounds (178 queries / ~41 rotation slots).
 # Queries with fresher standing evidence follow in family order.
 _REAR = {**RELATIONAL_QUERIES, **RELATIONAL_QUERIES_2}
 
