@@ -740,6 +740,7 @@ def _refined_candidate_ids(
     vec_col: str,
     dim: int,
     cap: int,
+    n_bands: int,
 ) -> DataFrame:
     """ADAPTIVE RE-BANDING (r11): candidate ids when some band bucket
     exceeds ``cap``, replacing the salted split for consumers that must
@@ -768,7 +769,6 @@ def _refined_candidate_ids(
         refine_hyperplanes,
     )
 
-    n_bands = 1 + bands.select(F.max("band_id")).first()[0]
     sizes = bands.groupBy("band_id", "band_hash").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -918,7 +918,9 @@ def embedding_near_dup_pairs(
             .first()[0]
         )
         if max_bucket is not None and max_bucket > cap and method == "lsh_refine":
-            ids = _refined_candidate_ids(corpus, bands, id_col, vec_col, dim, cap)
+            ids = _refined_candidate_ids(
+                corpus, bands, id_col, vec_col, dim, cap, n_bands
+            )
         elif max_bucket is not None and max_bucket > cap:
             sizes = bands.groupBy("band_id", "band_hash").agg(
                 ((F.count(F.lit(1)) + F.lit(cap - 1)) / F.lit(cap))
