@@ -968,6 +968,7 @@ def build_near_dup_pairs(
     dim: int | None = None,
     cap: int = EMB_BUCKET_CAP,
     checkpoint_dir: str | None = None,
+    method: str = "lsh",
 ) -> DataFrame:
     """STAGE the LSH-verified near-dup pair set as a parquet artifact
     and return its scan — the production shape for the whole components
@@ -981,11 +982,17 @@ def build_near_dup_pairs(
     the split router — reads the artifact; a parquet file also
     survives executor loss, unlike in-memory checkpoints. Staged vs
     inline full-multiset parity is pinned in
-    test_near_dup_pairs_staged_parity."""
+    test_near_dup_pairs_staged_parity.
+
+    ``method`` (r11): "lsh" (salted cap — the throughput posture) or
+    "lsh_refine" (adaptive re-banding — the SAFETY posture a staged
+    artifact feeding leakage_safe_split-style routing should carry,
+    since a salt's dropped pairs would become silent cross-split
+    leakage in every downstream consumer of the artifact)."""
     embedding_near_dup_pairs(
         corpus,
         threshold=threshold,
-        method="lsh",
+        method=method,
         id_col=id_col,
         vec_col=vec_col,
         dim=dim,

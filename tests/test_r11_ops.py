@@ -260,3 +260,31 @@ def test_decode_stub_empty_payload_null_moments(spark):
     )
     row = decode_image_stub(media).collect()[0]
     assert row["feature"][0] == 0.0 and row["feature"][2] is None
+
+
+def test_near_dup_pairs_staged_refined_parity(spark, tmp_path):
+    """build_near_dup_pairs(method="lsh_refine") stages the SAFETY-
+    posture pair set: staged multiset == the inline refined form."""
+    from collections import Counter
+
+    from map_reduce_lite_spark.ops.dedup import (
+        build_near_dup_pairs,
+        embedding_near_dup_pairs,
+    )
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    inline = Counter(
+        tuple(r)
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh_refine", dim=EMB_DIM
+        ).collect()
+    )
+    staged = Counter(
+        tuple(r)
+        for r in build_near_dup_pairs(
+            emb, str(tmp_path / "pairs"), dim=EMB_DIM, method="lsh_refine"
+        ).collect()
+    )
+    assert inline == staged and len(inline) > 0
