@@ -288,3 +288,82 @@ def test_near_dup_pairs_staged_refined_parity(spark, tmp_path):
         ).collect()
     )
     assert inline == staged and len(inline) > 0
+
+
+def test_refined_candidates_structural_properties(spark):
+    """Structural contract of adaptive re-banding on RANDOM vectors with
+    a tiny forced cap (heavy engagement, no hand-built geometry), using
+    threshold=-1 so the output IS the candidate set:
+
+    1. refined candidates ⊆ the uncapped band-collision set (refinement
+       never invents a pair);
+    2. every pair inside a bucket at/below the cap survives verbatim
+       (the recall-preserving half of the contract — a salt would
+       violate this only in oversized buckets, refinement nowhere);
+    3. within every still-oversized refined sub-bucket, each member is
+       paired with the sub-bucket's min id (star connectivity).
+    Membership/sub-bucket structure is recomputed test-side in numpy
+    from the same seeded plane constants."""
+    import numpy as np
+
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import (
+        EMB_DIM,
+        LSH_N_BANDS,
+        LSH_PLANES,
+        _hyperplanes,
+        refine_hyperplanes,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    cap = 8
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    refined = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh_refine", dim=EMB_DIM, cap=cap, threshold=-1.0
+        ).collect()
+    }
+    uncapped = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh", dim=EMB_DIM, cap=1 << 62, threshold=-1.0
+        ).collect()
+    }
+    assert refined and refined <= uncapped  # (1)
+
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64)
+            for r in emb.select("vec_id", "embedding").collect()}
+    planes = np.array(_hyperplanes(EMB_DIM, LSH_PLANES))
+    rplanes = np.array(refine_hyperplanes(EMB_DIM))
+
+    def hashes(v, P):
+        bits = (P @ v > 0).astype(int)
+        per = len(P) // LSH_N_BANDS
+        return [
+            int("".join(map(str, bits[b * per : (b + 1) * per])), 2)
+            for b in range(LSH_N_BANDS)
+        ]
+
+    buckets: dict = {}
+    subbuckets: dict = {}
+    for vid, v in vecs.items():
+        bh, rh = hashes(v, planes), hashes(v, rplanes)
+        for b in range(LSH_N_BANDS):
+            buckets.setdefault((b, bh[b]), []).append(vid)
+            subbuckets.setdefault((b, bh[b], rh[b]), []).append(vid)
+    engaged = False
+    for key, members in buckets.items():
+        if len(members) <= cap:  # (2) small buckets: exact all-pairs
+            for i, a in enumerate(sorted(members)):
+                for b in sorted(members)[i + 1 :]:
+                    assert (a, b) in refined, (key, a, b)
+        else:
+            engaged = True
+    assert engaged, "corpus must engage the cap for this test to bite"
+    for (b, bh, rh), members in subbuckets.items():
+        if len(buckets[(b, bh)]) > cap and len(members) > cap:  # (3) star
+            rep = min(members)
+            for m in members:
+                if m != rep:
+                    assert (rep, m) in refined, (b, bh, rh, m)
