@@ -451,8 +451,52 @@ TRIANGLE_TOP_K = 20
 TRIANGLE_MIN_SUPPORT = 2
 
 
+def copurchase_edges(
+    li: DataFrame, min_support: int = TRIANGLE_MIN_SUPPORT
+) -> DataFrame:
+    """Supported co-purchase FORWARD edge list (u < v): parts are
+    adjacent when they share ≥ ``min_support`` orders. ONE self-join on
+    l_orderkey (per-order fanout ≈ the order's line count, ~4 — NOT
+    quadratic in the table) + one support-counting groupBy. The shared
+    substrate of the whole co-purchase graph family — triangles, label
+    propagation, k-core."""
+    a, b = li.alias("a"), li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .filter(F.col("support") >= min_support)
+        .select("u", "v")
+    )
+
+
+def build_copurchase_edges(
+    li: DataFrame, path: str, min_support: int = TRIANGLE_MIN_SUPPORT
+) -> DataFrame:
+    """STAGE the supported co-purchase edge list as a parquet artifact
+    and return its scan — the third application of the build-once
+    pattern (r10: build_knn_edges, build_near_dup_pairs). The three
+    registered graph queries each rebuild this edge list inline (the
+    driver contract's calls are independent), but at 100 TB the
+    lineitem self-join + support agg is the family's shared dominant
+    cost: built once per corpus snapshot, every consumer —
+    ``triangle_parts(edges=...)``, ``label_propagation_parts``,
+    ``kcore_parts`` — reads the artifact, and a parquet file survives
+    executor loss. Staged-vs-inline parity for all three consumers is
+    pinned in tests/test_r11_ops.py."""
+    copurchase_edges(li, min_support).write.mode("overwrite").parquet(path)
+    return li.sparkSession.read.parquet(path)
+
+
 def triangle_parts(
-    spark, sf_dir: str, checkpoint_dir: str | None = None
+    spark,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Top parts by triangle participation in the supported co-purchase
     graph (parts are adjacent when they share >= TRIANGLE_MIN_SUPPORT
@@ -480,21 +524,12 @@ def triangle_parts(
     to 0.35-0.38 (SCALE.md r8)."""
     from map_reduce_lite_spark.relational.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    und = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    if edges is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("u", "v")
-    )
+        edges = copurchase_edges(li)
+    und = edges.select("u", "v")
     deg = (
         und.select(F.col("u").alias("node"))
         .union(und.select(F.col("v").alias("node")))
@@ -506,7 +541,7 @@ def triangle_parts(
     u_first = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    edges = (
+    oriented = (
         und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
         .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
         .select(
@@ -516,15 +551,15 @@ def triangle_parts(
     )
     # SF-proportional materialization: reliable checkpoint when a
     # shared-FS dir is given (r11 cluster posture), local otherwise
-    edges = _checkpointer(edges, checkpoint_dir)(edges)
+    oriented = _checkpointer(oriented, checkpoint_dir)(oriented)
     # merge-join hint: the edge list is a borderline-broadcastable few
     # tens of MB at test scale, and AQE happily broadcasts it — building
     # a per-task hash map of the WHOLE graph, which OOMs a modest driver
     # (observed: 1g vanilla heap at sf0.1) and is categorically wrong at
     # 100 TB where the edge list is the big table. Sort-merge spills.
-    e1 = edges.alias("e1")
-    e2 = edges.hint("merge").alias("e2")
-    e3 = edges.hint("merge").alias("e3")
+    e1 = oriented.alias("e1")
+    e2 = oriented.hint("merge").alias("e2")
+    e3 = oriented.hint("merge").alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
         .join(
@@ -575,7 +610,10 @@ LPA_ROUNDS = 3
 
 
 def label_propagation_parts(
-    spark, sf_dir: str, checkpoint_dir: str | None = None
+    spark,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Community detection by synchronous label propagation over the
     supported co-purchase part graph (same support-gated edge list as
@@ -600,21 +638,12 @@ def label_propagation_parts(
 
     from map_reduce_lite_spark.relational.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    fwd = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    if edges is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .groupBy(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("u", "v")
-    )
+        edges = copurchase_edges(li)
+    fwd = edges.select("u", "v")
     ckpt = _checkpointer(fwd, checkpoint_dir)
     e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     labels = e.select(F.col("u").alias("node")).distinct().select(
@@ -678,7 +707,10 @@ KCORE_ROUNDS = 6   # fixed peel rounds (oracle-replayable unrolling)
 
 
 def kcore_parts(
-    spark, sf_dir: str, checkpoint_dir: str | None = None
+    spark,
+    sf_dir: str,
+    checkpoint_dir: str | None = None,
+    edges: DataFrame | None = None,
 ) -> DataFrame:
     """Bounded k-core peeling over the supported co-purchase part graph
     (same support-gated edge list as triangles/LPA): repeatedly drop
@@ -698,19 +730,12 @@ def kcore_parts(
     architecture."""
     from map_reduce_lite_spark.relational.tables import load_table
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    fwd = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+    if edges is None:
+        li = load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_partkey"
         )
-        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
-        .agg(F.count(F.lit(1)).alias("support"))
-        .filter(F.col("support") >= TRIANGLE_MIN_SUPPORT)
-        .select("u", "v")
-    )
+        edges = copurchase_edges(li)
+    fwd = edges.select("u", "v")
     ckpt = _checkpointer(fwd, checkpoint_dir)
     e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
     for _ in range(KCORE_ROUNDS):

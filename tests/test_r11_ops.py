@@ -367,3 +367,34 @@ def test_refined_candidates_structural_properties(spark):
             for m in members:
                 if m != rep:
                     assert (rep, m) in refined, (b, bh, rh, m)
+
+
+def test_copurchase_edges_staged_parity(spark, tmp_path):
+    """build_copurchase_edges stages the shared co-purchase edge list
+    (the third build-once artifact after knn edges and near-dup pairs):
+    every consumer — triangles, label propagation, k-core — returns
+    identical values from the staged artifact as from its inline
+    build."""
+    from map_reduce_lite_spark.ops.graph import (
+        build_copurchase_edges,
+        copurchase_edges,
+        kcore_parts,
+        label_propagation_parts,
+        triangle_parts,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    li = load_table(spark, SF_SMALL, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    staged = build_copurchase_edges(li, str(tmp_path / "edges"))
+    assert {tuple(r) for r in staged.collect()} == {
+        tuple(r) for r in copurchase_edges(li).collect()
+    }
+    for fn in (triangle_parts, label_propagation_parts, kcore_parts):
+        inline_rows = {tuple(r) for r in fn(spark, SF_SMALL).collect()}
+        staged_rows = {
+            tuple(r) for r in fn(spark, SF_SMALL, edges=staged).collect()
+        }
+        assert inline_rows == staged_rows, fn.__name__
+        assert len(inline_rows) > 0, fn.__name__
