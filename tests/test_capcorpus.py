@@ -586,3 +586,99 @@ def test_leakage_split_megamix_all_branches_zero_dropped(spark, megamix_dir):
     assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
     assert sum(r[1] for r in spark_rows) == n
     assert all(r[3] == 0 for r in spark_rows)
+
+
+def _deep_cone_vectors(n, seed=3, cos_max=0.38):
+    """Vectors sharing ALL 16 band-plane signs with the near-constant
+    core (→ inside its mega-bucket in every band) yet with
+    cos(core) < cos_max < the 0.40 threshold — the pair shape whose
+    ONLY detection path is the oversized bucket itself. Found by seeded
+    ray search inside the core's sign cone (cones are unbounded, so
+    far-from-core members always exist)."""
+    import numpy as np
+
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM, _hyperplanes
+
+    P = np.array(_hyperplanes(EMB_DIM, 16))
+    core = np.zeros(EMB_DIM)
+    core[0] = 10.0
+    core_signs = P @ core > 0
+    rng = np.random.default_rng(seed)
+    out = []
+    while len(out) < n:
+        r = rng.standard_normal(EMB_DIM)
+        for b in np.linspace(1.0, 40.0, 40):
+            cand = core + b * r
+            if not ((P @ cand > 0) == core_signs).all():
+                break
+            if cand @ core / (np.linalg.norm(cand) * 10.0) < cos_max:
+                out.append(cand)
+                break
+    return out
+
+
+@pytest.fixture(scope="module")
+def deepcone_dir(tmp_path_factory):
+    """5200-member near-constant core (salt n_sub ≈ 11 per band) + 15
+    planted 'deep-cone' pairs: each pair is a cone vector and its
+    scaled twin (cos = 1, identical hashes everywhere), below threshold
+    vs the core — detectable ONLY by pairing inside the mega-bucket."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = tmp_path_factory.mktemp("deepcone")
+    vecs = []
+    for i in range(5200):
+        v = [0.0] * _EMB_DIM
+        v[0] = 10.0
+        if i % 2:
+            v[1 + (i % 60)] = 1e-6 * (1 + i % 7)
+        vecs.append(v)
+    for v in _deep_cone_vectors(15):
+        vecs.append([float(x) for x in v])
+        vecs.append([float(x) * 1.000001 for x in v])
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(vecs)), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * len(vecs), pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    return d
+
+
+def test_refined_keeps_deep_cone_pairs_salting_loses(spark, deepcone_dir):
+    """THE quantified safety argument for adaptive re-banding (r11,
+    measured): a pair whose only collision is inside a mega-bucket is
+    kept by refinement DETERMINISTICALLY (the pair shares a refine
+    sub-bucket distinct from the core's) but survives salting only if
+    the salt happens to co-bucket it in some band — measured 4/15 at
+    n_sub ≈ 11 (the 1−(1−1/n_sub)^4 prediction ≈ 31%). For the
+    leakage-safe split, every salt-lost pair here would be silent
+    cross-split leakage; the refined path loses none. Both counts are
+    deterministic (seeded geometry, md5 salt)."""
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    planted = [(5200 + 2 * k, 5201 + 2 * k) for k in range(15)]
+    emb = load_table(spark, str(deepcone_dir), "embeddings")
+    refined = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh_refine", dim=EMB_DIM
+        ).collect()
+    }
+    assert all(p in refined for p in planted), "refined must keep every pair"
+    salted = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs(emb, method="lsh", dim=EMB_DIM).collect()
+    }
+    n_salted = sum(1 for p in planted if p in salted)
+    # deterministic under the md5 salt; strictly fewer than refined —
+    # the throughput/recall trade the safety operator must not make
+    assert n_salted < 15, "salting unexpectedly kept every deep-cone pair"
