@@ -563,12 +563,22 @@ def leakage_safe_split(
     a sub-bucket that still exceeds the cap (a near-constant core) is
     covered by a star to its min-id representative, preserving the
     verified graph's connectivity at linear instead of quadratic cost.
-    Bounded-cost + zero-dropped-pairs on the mega-bucket corpus is
-    pinned in tests/test_capcorpus.py. Residual recall limits, both
-    inherent to sub-quadratic detection: LSH banding itself (a true
-    near-dup pair missed by all bands can still split), and a
-    barely-above-threshold pair inside a still-oversized near-constant
-    sub-bucket is detected only via its representative.
+    A bucket-wide anchor star (branch 4, r11 — found by measurement)
+    additionally pairs every oversized-bucket member with the bucket's
+    min-id member, catching the boundary regime refinement alone
+    misses: a genuine near-dup of the bucket's dominant direction that
+    disagrees with its refinement planes (pre-fix: a cos-0.48
+    satellite of a 600-member core was detected in ZERO pairs).
+    Bounded-cost + zero-dropped-pairs on the mega-bucket corpora, the
+    deep-cone salting-vs-rebanding gap (4/15 vs 15/15), and the
+    anchor-star boundary catch are pinned in tests/test_capcorpus.py.
+    Residual recall limits, all inherent to sub-quadratic detection:
+    LSH banding itself (a true near-dup pair missed by all bands can
+    still split); a barely-above-threshold pair inside a
+    still-oversized near-constant sub-bucket is detected only via its
+    representative; and a pair of satellites near each OTHER but far
+    from every anchor, sharing no small bucket and no refine
+    sub-bucket, is missed.
 
     Output: (split, n_vecs, n_clusters, n_cross_pairs).
 

@@ -811,9 +811,33 @@ def _refined_candidate_ids(
         .filter(F.col("bid") != F.col("rep"))
         .select(F.col("rep").alias("keep_id"), F.col("bid").alias("dup_id"))
     )
+    # branch 4 (r11): BUCKET-WIDE anchor star — every member of an
+    # oversized bucket also pairs with the bucket's min-id member,
+    # regardless of refine sub-bucket. Catches the boundary regime the
+    # refinement alone misses: a member that IS a near-dup of the
+    # bucket's dominant direction (cos ≥ threshold) but disagrees with
+    # its refinement planes lands in a singleton sub-bucket and would
+    # otherwise get no candidate in this band at all (measured: a
+    # cos-0.48 satellite of a 600-member core was detected in ZERO
+    # pairs pre-fix, 600 by the exact oracle). Linear cost (size − 1
+    # candidates per oversized bucket); the anchor table is one row
+    # per oversized bucket — broadcastable by construction.
+    anchors = (
+        sized.filter(F.col("n") > cap)
+        .groupBy("band_id", "band_hash")
+        .agg(F.min("bid").alias("rep"))
+    )
+    anchor_star = (
+        sized.filter(F.col("n") > cap)
+        .select("bid", "band_id", "band_hash")
+        .join(F.broadcast(anchors), ["band_id", "band_hash"])
+        .filter(F.col("bid") != F.col("rep"))
+        .select(F.col("rep").alias("keep_id"), F.col("bid").alias("dup_id"))
+    )
     return (
         small_pairs.unionByName(sub_small_pairs)
         .unionByName(star)
+        .unionByName(anchor_star)
         .dropDuplicates(["keep_id", "dup_id"])
     )
 

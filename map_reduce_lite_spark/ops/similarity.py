@@ -889,7 +889,15 @@ def sql_refined_cands_chain(
        instead of size², preserving the verified graph's connectivity
        (every member links to the representative, and a near-constant
        core verifies against any of its members iff it verifies
-       against the representative, up to the threshold boundary).
+       against the representative, up to the threshold boundary);
+    4. a BUCKET-WIDE anchor star: every member of an oversized bucket
+       also pairs with the bucket's min-id member regardless of
+       refine sub-bucket — the boundary-regime catch for members that
+       are genuine near-dups of the bucket's dominant direction but
+       disagree with its refinement planes (they land in singleton
+       sub-buckets and branches 2-3 alone would give them no candidate
+       in this band). Linear cost, replayed identically by the Spark
+       path (_refined_candidate_ids branch 4).
     """
     rh_exprs = sql_band_hashes("embedding", rplanes, n_bands)
     refh = "\n  UNION ALL\n".join(
@@ -934,6 +942,13 @@ def sql_refined_cands_chain(
   JOIN subsizes s ON s.band_id = m.band_id AND s.band_hash = m.band_hash
                  AND s.rh = m.rh
   WHERE m.n > {cap} AND s.m > {cap} AND m.vec_id <> r.rep
+  UNION
+  SELECT a.rep AS keep_id, m.vec_id AS dup_id
+  FROM rb m
+  JOIN (SELECT band_id, band_hash, MIN(vec_id) AS rep
+        FROM rb WHERE n > {cap} GROUP BY 1, 2) a
+    ON a.band_id = m.band_id AND a.band_hash = m.band_hash
+  WHERE m.n > {cap} AND m.vec_id <> a.rep
 )"""
 
 

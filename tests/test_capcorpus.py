@@ -682,3 +682,88 @@ def test_refined_keeps_deep_cone_pairs_salting_loses(spark, deepcone_dir):
     # deterministic under the md5 salt; strictly fewer than refined —
     # the throughput/recall trade the safety operator must not make
     assert n_salted < 15, "salting unexpectedly kept every deep-cone pair"
+
+
+def test_anchor_star_catches_boundary_satellite(spark, tmp_path_factory):
+    """Branch 4's reason to exist (r11, found by measurement): a
+    satellite ABOVE the cosine threshold vs a mega-bucket's dominant
+    direction (cos ≈ 0.48) whose refine hash differs from the core's in
+    every band was detected in ZERO refined pairs pre-fix (exact oracle:
+    600) — branches 2-3 exile it to singleton sub-buckets. The
+    bucket-wide anchor star must connect it to the core component."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.similarity import (
+        EMB_DIM,
+        _hyperplanes,
+        refine_hyperplanes,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    P = np.array(_hyperplanes(EMB_DIM, 16))
+    R = np.array(refine_hyperplanes(EMB_DIM))
+    core = np.zeros(EMB_DIM)
+    core[0] = 10.0
+    core_signs = P @ core > 0
+
+    def rh(v):
+        bits = (R @ v > 0).astype(int)
+        return tuple(
+            int("".join(map(str, bits[b * 16 : (b + 1) * 16])), 2)
+            for b in range(4)
+        )
+
+    core_rh = rh(core)
+    rng = np.random.default_rng(5)
+    sat = None
+    while sat is None:  # seeded search, deterministic
+        r = rng.standard_normal(EMB_DIM)
+        for b in np.linspace(1.0, 40.0, 80):
+            cand = core + b * r
+            if not ((P @ cand > 0) == core_signs).all():
+                break
+            c = cand @ core / (np.linalg.norm(cand) * 10)
+            if 0.42 <= c <= 0.55:
+                if all(x != y for x, y in zip(rh(cand), core_rh)):
+                    sat = cand
+                break
+    vecs = []
+    for i in range(600):
+        v = [0.0] * _EMB_DIM
+        v[0] = 10.0
+        if i % 2:
+            v[1 + (i % 60)] = 1e-6 * (1 + i % 7)
+        vecs.append(v)
+    vecs.append([float(x) for x in sat])
+    d = tmp_path_factory.mktemp("anchorsat")
+    pq.write_table(
+        pa.table(
+            {
+                "vec_id": pa.array(range(601), pa.int64()),
+                "embedding": pa.array(vecs, pa.list_(pa.float32())),
+                "label": pa.array([0] * 601, pa.int32()),
+            }
+        ),
+        str(d / "embeddings.parquet"),
+    )
+    emb = load_table(spark, str(d), "embeddings")
+    refined = {
+        (r[0], r[1])
+        for r in embedding_near_dup_pairs(
+            emb, method="lsh_refine", dim=EMB_DIM
+        ).collect()
+    }
+    # the anchor pair (bucket rep 0, satellite 600) verifies and is kept
+    assert (0, 600) in refined
+    # ...and the registered safety operator routes the satellite WITH
+    # the core: one cluster of 601, zero crossings, oracle parity
+    sdf, oracle = _run_registered(spark, d, "curation_leakage_safe_split")
+    spark_rows = [tuple(r) for r in sdf.collect()]
+    duck = _duck_for(d, tables=("embeddings",))
+    duck_rows = duck.execute(oracle).fetchall()
+    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    assert max(r[1] for r in spark_rows) == 601
+    assert all(r[3] == 0 for r in spark_rows)
