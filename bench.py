@@ -86,11 +86,22 @@ CANARY_QUERIES = ["join_nation_region", "q1_pricing_summary", "wc_documents"]
 CANARY_TOLERANCE = 1.3
 # --full re-probes every query at/above this batched reading in ISOLATION
 ISOLATE_THRESHOLD_SEC = 4.0
-# ...plus these, regardless of their batched reading (r11): the two
-# queries whose r9→r10 driver-window deltas were attributed to batch-
+# ...plus these, regardless of their batched reading: queries whose
+# round-over-round driver-window deltas were attributed to batch-
 # composition JIT warmth — their isolated rows keep that attribution
-# checkable in every artifact instead of one round's prose
-ALWAYS_ISOLATE = ("dedup_survivors_docs", "similarity_nn_descent")
+# checkable in every artifact instead of one round's prose.
+# r11 pair: the r9→r10 residuals. r12 trio: the r10→r11 window spikes
+# (dedup_components 3.66→5.21 s, graph_kcore_parts 2.44→3.68 s,
+# embedding_top_pc 3.44→4.69 s — all at/below r10 steady state in the
+# same round's BENCH_FULL; warmth curves in SCALE.md §r12 pin the
+# cold-draw attribution per query).
+ALWAYS_ISOLATE = (
+    "dedup_survivors_docs",
+    "similarity_nn_descent",
+    "dedup_components",
+    "graph_kcore_parts",
+    "embedding_top_pc",
+)
 CANARY_FLOOR_PATH = Path(__file__).resolve().parent / ".bench_canary_floor.json"
 
 # headline set: the reference workloads + the heavy relational shapes +
@@ -200,6 +211,8 @@ BENCH_QUERIES = [
     "similarity_graph_hubness",
     # r10 additions
     "multimodal_ppm_decode",
+    # r12 additions
+    "multimodal_ppm_phash",
 ]
 
 
@@ -384,6 +397,30 @@ def _store_floor_history(medians: list[float]) -> None:
         pass  # read-only checkout: the canary still works within the run
 
 
+def _assign_batches(names: list[str], size: int) -> list[list[str]]:
+    """Deterministic batch assignment: STABLE-HASH order, then chunk.
+
+    r12 (the r11 verdict's ask #7): three consecutive rounds of residual
+    window noise (r9 cluster_sizes, r10 survivors/nn_descent, r11
+    components/kcore/top_pc) all traced to BATCH-COMPOSITION shifts —
+    `--full` previously chunked `list(ALL_QUERIES)`, whose order is the
+    evidence-rotation order and therefore changes EVERY round, so each
+    round re-drew every query's warm-pass neighbors and JIT depth.
+    Ordering by md5(name) before chunking makes a query's batch a pure
+    function of the registry CONTENTS: rotation reordering no longer
+    moves anyone, and registry growth shifts only the hash-order suffix
+    after the insertion point (few additions/round now the surface is
+    complete). Round-over-round per-query deltas therefore compare
+    like-for-like; real plan changes stand out from composition drift.
+    md5, not hash(): PYTHONHASHSEED varies per process."""
+    import hashlib
+
+    ordered = sorted(
+        names, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n)
+    )
+    return [ordered[i : i + size] for i in range(0, len(ordered), size)]
+
+
 def _run_batch(names: list[str]) -> dict[str, float]:
     """Spawn one child worker over ``names`` (+ canaries) and return its
     timings, including the canary entries."""
@@ -470,9 +507,7 @@ def main() -> None:
         return
 
     size = 1 if "--isolate" in argv else BATCH_SIZE
-    batches = [
-        BENCH_QUERIES[i : i + size] for i in range(0, len(BENCH_QUERIES), size)
-    ]
+    batches = _assign_batches(BENCH_QUERIES, size)
     results = [_run_batch(b) for b in batches]
     canaries = [sum(r[c] for c in CANARY_QUERIES) for r in results]
     ends = [

@@ -104,11 +104,14 @@ def decode_image_stub(media: DataFrame, batch_hint: int = 0) -> DataFrame:
                 return None
             n = len(cps)
             if n == 0:
-                # NULL moments for the empty payload — parity with the
-                # SQL twin, where list_sum([]) is NULL and NULL/0 stays
-                # NULL (r11, the ADVICE latent-divergence fix; pinned
-                # by the edge corpus which contains empty docs)
-                return [0.0, 0.0, None, None]
+                # Empty payload: count 0, every OTHER moment NULL —
+                # including the sum, because the SQL twin's list_sum([])
+                # is NULL (r12, the ADVICE latent-divergence fix: r11
+                # nulled mean/var but left sum at 0.0; unobservable
+                # while only element 3 (mean) is projected, but the
+                # unprojected moments must match the oracle too).
+                # Pinned by the edge corpus, which contains empty docs.
+                return [0.0, None, None, None]
             s = sum(cps)
             mean = s / n
             var = sum((b - mean) ** 2 for b in cps) / n
@@ -754,19 +757,271 @@ FROM documents WHERE doc_id % {PPM_CORRUPT_EVERY} = 0
 """
 
 
-def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-dedup pipeline shape: normalize → perceptual hash → group.
+# --------------------------------------------------------------------------
+# REAL perceptual hash: average-hash over decoded P6 rasters (r12)
+# --------------------------------------------------------------------------
 
-    A production image deduper decodes, downscales to a canonical
-    grid, and hashes the result so re-encoded/resized copies collide;
-    here the normalize step's stand-in is lowercase + whitespace-
-    collapse of the payload bytes (no codecs in this container), the
-    hash is the engine's portable 60-bit md5, and the grouping is the
-    real thing: groupBy on the 8-byte hash (NEVER on the binary column
-    itself — the module-doc rule), emitting every group with its copy
-    count and the canonical (minimum) media_id a curation pass would
-    keep (the n_copies >= 2 slice is the duplicate set; singletons stay
-    so the output is the full keep-table, non-vacuous at any SF).
+PHASH_GRID = 8  # canonical thumbnail grid: 8×8 → 64-bit fingerprint
+PHASH_GROUP = 4  # re-encodings per scene in the synthesized corpus
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("ok", T.BooleanType(), False),
+        T.StructField("phash_hi", T.LongType(), True),
+        T.StructField("phash_lo", T.LongType(), True),
+    ]
+)
+
+
+def phash_ppm(media: DataFrame, grid: int = PHASH_GRID) -> DataFrame:
+    """REAL perceptual hash over the binary column (r12 — the third leg
+    after decode_ppm (r10) and resize_ppm (r11)): parse the P6 payload,
+    nearest-neighbor-resample to a FIXED ``grid×grid`` canonical
+    thumbnail (aspect-destroying on purpose — two encodings of one
+    scene at different resolutions must land on the same grid), and
+    average-hash it: per-cell integer luma = R+G+B, bit j set iff
+    luma_j·grid² > Σluma (the strict-mean threshold, all-integer so a
+    SQL oracle replays it bit-exactly), packed little-endian into two
+    BIGINT halves (phash_lo bits 0-31, phash_hi bits 32-63 — two
+    halves, not one 64-bit value, because bit 63 would overflow signed
+    BIGINT identically in neither engine).
+
+    The fixed-grid NN map is the resize_ppm map with out dims pinned:
+    cell (Y, X, c) samples source ((Y·h)//grid, (X·w)//grid, c); a
+    source smaller than the grid canonicalizes by index repetition —
+    same formula, no special case. 16-bit rasters (maxval > 255) hash
+    on big-endian u16 samples, like the decoder. Malformed payloads
+    (bad magic, truncated header, short raster) yield ok=false rows
+    with NULL hash halves — flagged, never thrown (the decode_ppm
+    rule: one corrupt image must not kill a 100 TB stage).
+
+    Scale shape: one Arrow-batched mapInPandas pass, constant work per
+    item (grid² samples whatever the source resolution), output 26
+    bytes/row; the downstream groupBy keys on two 8-byte ints (never
+    the binary column — the module-doc rule)."""
+    g = grid
+
+    def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        _WS = b" \t\r\n\x0b\x0c"
+
+        def parse_header(buf: bytes):
+            if len(buf) < 2 or buf[:2] != b"P6":
+                return None
+            i, vals = 2, []
+            while len(vals) < 3:
+                while i < len(buf):
+                    c = buf[i : i + 1]
+                    if c in _WS:
+                        i += 1
+                    elif c == b"#":
+                        j = buf.find(b"\n", i)
+                        if j < 0:
+                            return None
+                        i = j + 1
+                    else:
+                        break
+                j = i
+                while j < len(buf) and buf[j : j + 1].isdigit():
+                    j += 1
+                if j == i:
+                    return None
+                vals.append(int(buf[i:j]))
+                i = j
+            if i >= len(buf) or buf[i : i + 1] not in _WS:
+                return None
+            return vals[0], vals[1], vals[2], i + 1
+
+        BAD = (False, None, None)
+
+        def avg_hash(p):
+            if p is None:
+                return BAD
+            buf = bytes(p)
+            hdr = parse_header(buf)
+            if hdr is None:
+                return BAD
+            w, h, mx, off = hdr
+            if w <= 0 or h <= 0 or not (0 < mx < 65536):
+                return BAD
+            bpp = 1 if mx < 256 else 2
+            need = w * h * 3 * bpp
+            data = buf[off : off + need]
+            if len(data) < need:
+                return BAD
+            arr = (
+                _np.frombuffer(data, dtype=_np.uint8 if bpp == 1 else ">u2")
+                .astype(_np.int64)
+                .reshape(h, w, 3)
+            )
+            ys = (_np.arange(g) * h) // g
+            xs = (_np.arange(g) * w) // g
+            lumas = arr[ys][:, xs].sum(axis=2).ravel()  # g*g ints, row-major
+            total = int(lumas.sum())
+            bits = (lumas * (g * g)) > total  # strict mean threshold
+            lo = int(
+                (bits[:32].astype(_np.int64) << _np.arange(32, dtype=_np.int64)).sum()
+            )
+            hi = int(
+                (bits[32:64].astype(_np.int64) << _np.arange(32, dtype=_np.int64)).sum()
+            )
+            return (True, hi, lo)
+
+        for pdf in batches:
+            outs = [avg_hash(p) for p in pdf["payload"]]
+            yield _pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "ok": _pd.Series([o[0] for o in outs], dtype="bool"),
+                    "phash_hi": _pd.Series([o[1] for o in outs], dtype="Int64"),
+                    "phash_lo": _pd.Series([o[2] for o in outs], dtype="Int64"),
+                }
+            )
+
+    return media.mapInPandas(ph, schema=PHASH_SCHEMA)
+
+
+def synthesize_ppm_variants(documents: DataFrame) -> DataFrame:
+    """Deterministic P6 corpus WITH planted re-encodings: documents are
+    grouped into scenes of ``PHASH_GROUP`` consecutive doc_ids; each
+    member encodes the SAME 8×8 block pattern at a DIFFERENT resolution
+    (member s: w = 8(s+1), h = 8(s+2) — both multiples of the phash
+    grid, so the fixed-grid NN resample recovers the block pattern
+    exactly and value-identical scenes collide by construction). Block
+    (by, bx, channel c) of scene ``grp`` has value
+    (grp·31 + (by·8+bx)·7 + c·11) % 256 — replayable closed-form in
+    SQL. Every ``PPM_CORRUPT_EVERY``-th payload is truncated to its
+    magic bytes (the malformed case the hash must flag, not throw on).
+    Self-contained closure, like synthesize_ppm_media."""
+    group, grid = PHASH_GROUP, PHASH_GRID
+    corrupt_every = PPM_CORRUPT_EVERY
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as _np
+        import pandas as _pd
+
+        for pdf in batches:
+            ids, payloads = [], []
+            for mid in pdf["doc_id"]:
+                mid = int(mid)
+                grp, s = mid // group, mid % group
+                w, h = grid * (s + 1), grid * (s + 2)
+                ys = (_np.arange(h) * grid) // h
+                xs = (_np.arange(w) * grid) // w
+                j = ys[:, None] * grid + xs[None, :]  # block index per pixel
+                px = (
+                    grp * 31
+                    + j[:, :, None] * 7
+                    + _np.arange(3, dtype=_np.int64)[None, None, :] * 11
+                ) % 256
+                payload = b"P6\n%d %d\n255\n" % (w, h) + px.astype(
+                    _np.uint8
+                ).tobytes()
+                if mid % corrupt_every == 0:
+                    payload = payload[:2]
+                ids.append(mid)
+                payloads.append(payload)
+            yield _pd.DataFrame(
+                {
+                    "media_id": _pd.Series(ids, dtype="int64"),
+                    "payload": _pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return documents.select("doc_id").mapInPandas(
+        gen, schema="media_id long, payload binary"
+    )
+
+
+def multimodal_ppm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end REAL image dedup: synthesize P6 re-encodings →
+    decode + canonical 8×8 NN resample + average-hash → group on the
+    64-bit fingerprint. Value-identical scenes encoded at four
+    different resolutions collide (n_copies counts them; keep_media_id
+    is the min — the curation keep-rule), malformed payloads surface as
+    flagged singleton rows with NULL hash halves. The oracle replays
+    synthesis → fixed-grid NN map → strict-mean threshold → bit packing
+    entirely in closed-form integer SQL, so the Spark side must
+    round-trip real binary and hash the actual raster to agree."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = phash_ppm(synthesize_ppm_variants(d))
+    groups = (
+        hashed.filter(F.col("ok"))
+        .groupBy("phash_hi", "phash_lo")
+        .agg(
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min("media_id").alias("keep_media_id"),
+        )
+    )
+    flagged = hashed.filter(~F.col("ok")).select(
+        F.lit(None).cast("long").alias("phash_hi"),
+        F.lit(None).cast("long").alias("phash_lo"),
+        F.lit(1).cast("long").alias("n_copies"),
+        F.col("media_id").alias("keep_media_id"),
+    )
+    return groups.unionByName(flagged)
+
+
+# Closed-form replay: scene grp's canonical 8×8 luma at cell j is
+# Σ_c (grp·31 + j·7 + c·11) % 256 — the fixed-grid NN map recovers
+# block j exactly because every synthesized dimension is a multiple of
+# the grid (see synthesize_ppm_variants). Bits pack little-endian into
+# two BIGINT halves; DuckDB lists are 1-indexed, hence lumas[j+1].
+PPM_PHASH_SQL = f"""
+WITH okm AS (
+  SELECT doc_id AS media_id, doc_id // {PHASH_GROUP} AS grp
+  FROM documents WHERE doc_id % {PPM_CORRUPT_EVERY} <> 0
+), lum AS (
+  SELECT media_id,
+         list_transform(range(0, {PHASH_GRID * PHASH_GRID}), j ->
+           (grp*31 + j*7) % 256
+           + (grp*31 + j*7 + 11) % 256
+           + (grp*31 + j*7 + 22) % 256) AS lumas
+  FROM okm
+), bits AS (
+  SELECT media_id,
+         list_transform(range(0, {PHASH_GRID * PHASH_GRID}), j ->
+           CASE WHEN lumas[CAST(j + 1 AS INT)] * {PHASH_GRID * PHASH_GRID}
+                     > CAST(list_sum(lumas) AS BIGINT)
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS b
+  FROM lum
+), hashed AS (
+  SELECT media_id,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           b[CAST(j + 33 AS INT)] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+           AS phash_hi,
+         CAST(list_sum(list_transform(range(0, 32), j ->
+           b[CAST(j + 1 AS INT)] * (CAST(1 AS BIGINT) << j))) AS BIGINT)
+           AS phash_lo
+  FROM bits
+)
+SELECT phash_hi, phash_lo, CAST(COUNT(*) AS BIGINT) AS n_copies,
+       MIN(media_id) AS keep_media_id
+FROM hashed GROUP BY phash_hi, phash_lo
+UNION ALL
+SELECT CAST(NULL AS BIGINT) AS phash_hi, CAST(NULL AS BIGINT) AS phash_lo,
+       CAST(1 AS BIGINT) AS n_copies, doc_id AS keep_media_id
+FROM documents WHERE doc_id % {PPM_CORRUPT_EVERY} = 0
+"""
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PAYLOAD-fingerprint dedup: normalize → content hash → group.
+
+    This is the TEXT-payload leg of the dedup family (normalize =
+    lowercase + whitespace-collapse of the utf-8 payload, hash = the
+    engine's portable 60-bit md5); the IMAGE leg — a real perceptual
+    hash over decoded rasters — is ``multimodal_ppm_phash`` (r12),
+    which decodes, canonicalizes to an 8×8 grid, and average-hashes so
+    re-encoded/resized copies collide. Both share the grouping shape:
+    groupBy on an 8-byte hash (NEVER on the binary column itself — the
+    module-doc rule), emitting every group with its copy count and the
+    canonical (minimum) media_id a curation pass would keep (the
+    n_copies >= 2 slice is the duplicate set; singletons stay so the
+    output is the full keep-table, non-vacuous at any SF).
 
     Scale shape: one map pass (normalize + hash, constant per-item
     work), one 8-byte-key groupBy with map-side combine, output
@@ -849,6 +1104,12 @@ MULTIMODAL_QUERIES: dict[str, Query] = {
             multimodal_ppm_resize,
             PPM_RESIZE_SQL,
             "REAL nearest-neighbor P6 raster downsample (value-checked)",
+        ),
+        Query(
+            "multimodal_ppm_phash",
+            multimodal_ppm_phash,
+            PPM_PHASH_SQL,
+            "REAL average-hash image dedup over decoded P6 rasters (value-checked)",
         ),
     ]
 }

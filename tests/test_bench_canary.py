@@ -141,3 +141,45 @@ def test_floor_migrates_pre_r8_single_value_file(tmp_path, monkeypatch):
         "queries": bench.CANARY_QUERIES, "sf_dir": bench.SF_DIR,
         "position": "first", "stat": "run-median", "floor_sec": 1.208}))
     assert bench._load_floor_history() == [1.208]
+
+
+# --------------------------------------------------------------------------
+# r12: deterministic batch assignment (stable-hash order, then chunk)
+# --------------------------------------------------------------------------
+
+
+def test_assign_batches_is_order_independent():
+    """Rotation reordering of the registry must not move anyone's batch:
+    the assignment is a pure function of the SET of names."""
+    names = [f"q{i:03d}" for i in range(40)]
+    import random
+
+    shuffled = names[:]
+    random.Random(7).shuffle(shuffled)
+    assert bench._assign_batches(names, 6) == bench._assign_batches(shuffled, 6)
+
+
+def test_assign_batches_partitions_exactly():
+    names = [f"query_{i}" for i in range(25)]
+    batches = bench._assign_batches(names, 6)
+    flat = [n for b in batches for n in b]
+    assert sorted(flat) == sorted(names)
+    assert all(len(b) <= 6 for b in batches)
+    assert [len(b) for b in batches[:-1]] == [6] * (len(batches) - 1)
+
+
+def test_assign_batches_growth_shifts_only_hash_suffix():
+    """Adding one query perturbs only batches at/after its hash-order
+    insertion point — earlier batches keep their exact composition."""
+    names = [f"q{i:03d}" for i in range(40)]
+    before = bench._assign_batches(names, 6)
+    after = bench._assign_batches(names + ["zzz_new_query"], 6)
+    import hashlib
+
+    key = hashlib.md5(b"zzz_new_query").hexdigest()
+    ordered = sorted(names, key=lambda n: (hashlib.md5(n.encode()).hexdigest(), n))
+    insert_at = sum(
+        1 for n in ordered if hashlib.md5(n.encode()).hexdigest() < key
+    )
+    untouched = insert_at // 6  # whole batches strictly before the insertion
+    assert before[:untouched] == after[:untouched]
