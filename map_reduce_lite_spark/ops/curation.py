@@ -580,7 +580,18 @@ def leakage_safe_split(
     from every anchor, sharing no small bucket and no refine
     sub-bucket, is missed.
 
-    Output: (split, n_vecs, n_clusters, n_cross_pairs).
+    Output: (split, n_vecs, n_clusters, n_cross_pairs,
+    n_approx_members). ``n_approx_members`` (r12, the r11 ADVICE
+    visibility fix): the count of routed vectors whose detection
+    coverage was STAR-ONLY in every band (bucket oversized AND refine
+    sub-bucket still oversized everywhere — dedup.refine_star_only_ids)
+    — i.e. members for whom "zero leakage over the detected graph" is
+    star-approximated rather than exhaustive, because a
+    satellite-satellite pair among them is detected only via its
+    representative. Zero whenever every bucket fit under the cap, so a
+    consumer sees exactly when, and for how many vectors, the
+    guarantee engages its approximate regime instead of having to
+    trust a self-referential audit.
 
     Scale: pair finding is the banded LSH path (no O(n²)); components
     is iterative join+agg on ids; the routing itself is stateless hash
@@ -589,11 +600,18 @@ def leakage_safe_split(
     audit, so it is materialized exactly once via an eager
     localCheckpoint — without it the LSH band join + cosine verify
     (the most expensive stage here) would execute twice."""
-    from map_reduce_lite_spark.ops.dedup import embedding_near_dup_pairs
+    from map_reduce_lite_spark.ops.dedup import (
+        embedding_near_dup_pairs,
+        lsh_band_table,
+        refine_star_only_ids,
+    )
     from map_reduce_lite_spark.ops.graph import _checkpointer, connected_components
     from map_reduce_lite_spark.ops.similarity import EMB_DIM
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # one banding for BOTH the pair stage and the coverage metric —
+    # projected + checkpointed once (r12)
+    bands = lsh_band_table(emb, dim=EMB_DIM, checkpoint_dir=checkpoint_dir)
     pairs = _checkpointer(emb, checkpoint_dir)(
         embedding_near_dup_pairs(
             emb,
@@ -601,6 +619,7 @@ def leakage_safe_split(
             dim=EMB_DIM,
             cap=LEAKAGE_SPLIT_CAP,
             checkpoint_dir=checkpoint_dir,
+            bands=bands,
         ).select("keep_id", "dup_id")
     )
     comp = connected_components(
@@ -633,6 +652,20 @@ def leakage_safe_split(
         .groupBy(F.col("split_a").alias("split"))
         .agg(F.count(F.lit(1)).alias("n_cross"))
     )
+    approx_per_split = (
+        routed.join(
+            refine_star_only_ids(
+                emb,
+                dim=EMB_DIM,
+                cap=LEAKAGE_SPLIT_CAP,
+                checkpoint_dir=checkpoint_dir,
+                bands=bands,
+            ),
+            "vec_id",
+        )
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_approx"))
+    )
     return (
         routed.groupBy("split")
         .agg(
@@ -640,11 +673,13 @@ def leakage_safe_split(
             F.countDistinct("cluster").alias("n_clusters"),
         )
         .join(crossing, "split", "left")
+        .join(approx_per_split, "split", "left")
         .select(
             "split",
             "n_vecs",
             "n_clusters",
             F.coalesce("n_cross", F.lit(0)).alias("n_cross_pairs"),
+            F.coalesce("n_approx", F.lit(0)).alias("n_approx_members"),
         )
     )
 
@@ -658,14 +693,17 @@ def _leakage_split_sql() -> str:
         _hyperplanes,
         _sql_cos,
         refine_hyperplanes,
+        sql_refine_coverage_cte,
         sql_refined_cands_chain,
     )
 
     planes = _hyperplanes(EMB_DIM, LSH_PLANES)
     rplanes = refine_hyperplanes(EMB_DIM)
     chain = sql_refined_cands_chain(planes, rplanes, LSH_N_BANDS, LEAKAGE_SPLIT_CAP)
+    coverage = sql_refine_coverage_cte(LEAKAGE_SPLIT_CAP)
     return f"""
 WITH RECURSIVE {chain}
+, {coverage}
 , scored AS (
   SELECT c.keep_id, c.dup_id,
          {_sql_cos('ea.embedding', 'eb.embedding')} AS sim
@@ -703,10 +741,16 @@ WITH RECURSIVE {chain}
   JOIN routed rb ON rb.vec_id = p.dup_id
   WHERE ra.split <> rb.split
   GROUP BY ra.split
+), approx_split AS (
+  SELECT r.split, COUNT(*) AS n_approx
+  FROM routed r JOIN approx_only a ON a.vec_id = r.vec_id
+  GROUP BY r.split
 )
 SELECT r.split, COUNT(*) AS n_vecs, COUNT(DISTINCT r.cluster) AS n_clusters,
-       COALESCE(MAX(x.n_cross), 0) AS n_cross_pairs
+       COALESCE(MAX(x.n_cross), 0) AS n_cross_pairs,
+       COALESCE(MAX(ap.n_approx), 0) AS n_approx_members
 FROM routed r LEFT JOIN crossing x ON x.split = r.split
+LEFT JOIN approx_split ap ON ap.split = r.split
 GROUP BY r.split
 """
 

@@ -720,6 +720,38 @@ NEAR_DUP_COS = 0.40  # demo threshold; corpus max pairwise cosine is ~0.51
 EMB_BUCKET_CAP = 512  # max members per LSH band bucket before salted split
 
 
+def lsh_band_table(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+    n_planes: int = 16,
+    n_bands: int = 4,
+    checkpoint_dir: str | None = None,
+) -> DataFrame:
+    """Materialized (bid, band_id, band_hash) banding of ``corpus`` —
+    the shared first stage of every embedding-LSH consumer. Extracted
+    (r12) so a job needing the table more than once (the pair stage +
+    the star-only coverage metric in leakage_safe_split) projects and
+    checkpoints it exactly once; ``checkpoint_dir`` switches the
+    materialization from localCheckpoint to reliable checkpoint(), as
+    everywhere."""
+    from map_reduce_lite_spark.ops.graph import _checkpointer
+    from map_reduce_lite_spark.ops.similarity import _hyperplanes, lsh_band_hashes
+
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()[0]
+    planes = _hyperplanes(dim, n_planes)
+    return _checkpointer(corpus, checkpoint_dir)(
+        corpus.select(
+            F.col(id_col).alias("bid"),
+            F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+    )
+
+
 def _band_self_join(bands: DataFrame, on: list[str]) -> DataFrame:
     """Triangular self-join of a band table on its bucket key columns →
     distinct (keep_id, dup_id) candidate ids. IDS ONLY on the shuffle
@@ -842,6 +874,99 @@ def _refined_candidate_ids(
     )
 
 
+def refine_star_only_ids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 16,
+    n_bands: int = 4,
+    dim: int | None = None,
+    cap: int = EMB_BUCKET_CAP,
+    checkpoint_dir: str | None = None,
+    bands: DataFrame | None = None,
+) -> DataFrame:
+    """IDs whose candidate coverage under adaptive re-banding is
+    STAR-ONLY in every band — i.e. members for whom no band gave an
+    exhaustive all-pairs stage (their bucket was oversized in all
+    ``n_bands`` bands AND their refine sub-bucket was still oversized
+    in each), so they are reachable in the detected graph only through
+    representative/anchor edges (branches 3-4 of
+    ``_refined_candidate_ids``).
+
+    r12 (the r11 ADVICE visibility fix): the adaptive path's "zero
+    dropped detections" guarantee is computed from its own pair set,
+    so a consumer could not previously SEE the regime where detection
+    becomes approximate (a satellite-satellite near-dup pair sharing
+    only a still-oversized sub-bucket is found only via its
+    representative). This function makes the regime observable:
+    ``leakage_safe_split`` counts these members per split
+    (``n_approx_members``), zero whenever every bucket fit under the
+    cap — so downstream consumers see exactly when, and for how many
+    vectors, the guarantee weakened from exhaustive to
+    star-approximated.
+
+    Cost: one band projection + two count aggregations on 8-byte keys;
+    a sizing probe returns an empty frame without touching the
+    refinement planes when no bucket is oversized (the driver-fixture
+    case — where the metric is provably zero). Callers that already
+    materialized the (bid, band_id, band_hash) table — the pair stage
+    builds an identical one — pass it via ``bands`` so the projection
+    and its checkpoint run ONCE per job, not once per consumer
+    (leakage_safe_split does)."""
+    from map_reduce_lite_spark.ops.similarity import (
+        lsh_band_hashes,
+        refine_hyperplanes,
+    )
+
+    spark = corpus.sparkSession
+    empty = spark.createDataFrame([], f"{id_col} long")
+    if dim is None:
+        dim = corpus.select(F.size(vec_col).alias("d")).first()[0]
+        if dim is None:
+            return empty
+    if bands is None:
+        bands = lsh_band_table(
+            corpus, id_col, vec_col, dim, n_planes, n_bands, checkpoint_dir
+        )  # materialized once: reused by the probe and both joins below
+    sizes = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    max_bucket = sizes.agg(F.max("n")).first()[0]
+    if max_bucket is None or max_bucket <= cap:
+        return empty
+    sized = bands.join(F.broadcast(sizes), ["band_id", "band_hash"])
+    big = sized.filter(F.col("n") > cap).select("bid", "band_id", "band_hash")
+    rplanes = refine_hyperplanes(dim)
+    rh_tbl = (
+        corpus.join(big.select("bid").distinct(), F.col(id_col) == F.col("bid"))
+        .select(
+            F.col(id_col).alias("bid"),
+            F.posexplode(lsh_band_hashes(vec_col, rplanes, n_bands)).alias(
+                "band_id", "rh"
+            ),
+        )
+    )
+    bigr = big.join(rh_tbl, ["bid", "band_id"])
+    subsizes = bigr.groupBy("band_id", "band_hash", "rh").agg(
+        F.count(F.lit(1)).alias("m")
+    )
+    # a band gives a member EXACT coverage iff its bucket fit under the
+    # cap, or its refine sub-bucket did
+    exact = (
+        sized.filter(F.col("n") <= cap)
+        .select("bid")
+        .unionByName(
+            bigr.join(subsizes, ["band_id", "band_hash", "rh"])
+            .filter(F.col("m") <= cap)
+            .select("bid")
+        )
+        .distinct()
+    )
+    return (
+        corpus.select(F.col(id_col).alias("bid"))
+        .join(exact, "bid", "left_anti")
+        .select(F.col("bid").alias(id_col))
+    )
+
+
 def embedding_near_dup_pairs(
     corpus: DataFrame,
     threshold: float = NEAR_DUP_COS,
@@ -853,8 +978,17 @@ def embedding_near_dup_pairs(
     dim: int | None = None,
     cap: int = EMB_BUCKET_CAP,
     checkpoint_dir: str | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by embedding cosine ≥ ``threshold``.
+
+    ``bands`` (r12): a pre-materialized (bid, band_id, band_hash)
+    table, letting a caller that needs the band table for more than
+    the pair stage (leakage_safe_split also feeds it to
+    refine_star_only_ids) project + checkpoint it exactly once.
+    Callers passing it are responsible for it being the SAME banding
+    (mrl band hashes over ``vec_col``) — build it with
+    ``lsh_band_table``.
 
     ``checkpoint_dir`` (r10): switches the band-table materialization
     from localCheckpoint (dies with an executor) to reliable
@@ -917,24 +1051,16 @@ def embedding_near_dup_pairs(
     elif method in ("lsh", "lsh_refine"):
         if dim is None:  # probing costs a Spark job — callers should pass it
             dim = corpus.select(F.size(vec_col).alias("d")).first()[0]
-        planes = _hyperplanes(dim, n_planes)
-        # band join + pair dedup on IDS ONLY (8-byte shuffle keys), then
-        # join the vectors back for scoring — shuffling 64-float vectors
-        # through the ×n_bands explode and the dedup would cost ~64× the
-        # bytes for nothing
-        from map_reduce_lite_spark.ops.graph import _checkpointer
-
-        ckpt = _checkpointer(corpus, checkpoint_dir)
-        bands = ckpt(
-            corpus.select(
-                F.col(id_col).alias("bid"),
-                F.posexplode(lsh_band_hashes(vec_col, planes, n_bands)).alias(
-                    "band_id", "band_hash"
-                ),
-            )
-        )  # hyperplane projections run once,
-        # not once per self-join side (ids + band hashes only — tiny);
-        # the materialized table also feeds the cap's sizing probe
+        if bands is None:
+            # band join + pair dedup on IDS ONLY (8-byte shuffle keys),
+            # then join the vectors back for scoring — shuffling 64-float
+            # vectors through the ×n_bands explode and the dedup would
+            # cost ~64× the bytes for nothing
+            bands = lsh_band_table(
+                corpus, id_col, vec_col, dim, n_planes, n_bands, checkpoint_dir
+            )  # hyperplane projections run once, not once per self-join
+            # side (ids + band hashes only — tiny); the materialized
+            # table also feeds the cap's sizing probe
         max_bucket = (
             bands.groupBy("band_id", "band_hash")
             .agg(F.count(F.lit(1)).alias("n"))

@@ -952,6 +952,30 @@ def sql_refined_cands_chain(
 )"""
 
 
+def sql_refine_coverage_cte(cap: int) -> str:
+    """CTE pair ``coverage`` / ``approx_only`` — the SQL twin of
+    ``dedup.refine_star_only_ids``. MUST be appended after
+    ``sql_refined_cands_chain`` in the same WITH clause: it reads that
+    chain's ``rb`` (vec_id, band_id, band_hash, n, rh) and ``subsizes``
+    CTEs. A vec has EXACT coverage in a band iff its bucket fit under
+    ``cap`` or its refine sub-bucket did; ``approx_only`` is the vecs
+    with exact coverage in NO band — reachable in the candidate graph
+    only via the star/anchor branches. Empty whenever no bucket is
+    oversized (the Spark side's probe-skipped case)."""
+    return f"""coverage AS (
+  SELECT r.vec_id,
+         MAX(CASE WHEN r.n <= {cap} THEN 1
+                  WHEN s.m IS NOT NULL AND s.m <= {cap} THEN 1
+                  ELSE 0 END) AS exact_cov
+  FROM rb r
+  LEFT JOIN subsizes s ON s.band_id = r.band_id AND s.band_hash = r.band_hash
+                      AND s.rh = r.rh
+  GROUP BY r.vec_id
+), approx_only AS (
+  SELECT vec_id FROM coverage WHERE exact_cov = 0
+)"""
+
+
 def sql_bands_cte(planes: list[list[float]], n_bands: int) -> str:
     """UNION-ALL body producing (vec_id, band_id, band_hash) — the SQL
     twin of posexplode(lsh_band_hashes(...)). Plane literals round-trip

@@ -429,8 +429,8 @@ def test_leakage_split_adaptive_rebanding_on_hot_bucket(spark, knncap_dir):
     spark_rows = [tuple(r) for r in sdf.collect()]
     duck = _duck_for(knncap_dir, tables=("embeddings",))
     duck_rows = duck.execute(oracle).fetchall()
-    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(
-        duck_rows, [0, 1, 2, 3]
+    assert _multiset(spark_rows, [0, 1, 2, 3, 4]) == _multiset(
+        duck_rows, [0, 1, 2, 3, 4]
     )
     # one component -> one split holds all 520 vectors, zero crossings
     assert sum(r[1] for r in spark_rows) == _KNN_N
@@ -503,11 +503,18 @@ def test_leakage_split_megabucket_bounded_and_zero_dropped(spark, megabucket_dir
     spark_rows = [tuple(r) for r in sdf.collect()]
     duck = _duck_for(megabucket_dir, tables=("embeddings",))
     duck_rows = duck.execute(oracle).fetchall()
-    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    assert _multiset(spark_rows, [0, 1, 2, 3, 4]) == _multiset(
+        duck_rows, [0, 1, 2, 3, 4]
+    )
     # one cluster, one split, zero crossings
     assert len(spark_rows) == 1
     assert spark_rows[0][1] == _MEGA_N and spark_rows[0][2] == 1
     assert spark_rows[0][3] == 0
+    # r12 visibility metric: EVERY member of the near-constant bucket is
+    # covered only via star/anchor edges (bucket AND refine sub-bucket
+    # oversized in all bands) — the approximate regime is now a number
+    # in the output, not a docstring caveat
+    assert spark_rows[0][4] == _MEGA_N
 
 
 @pytest.fixture(scope="module")
@@ -583,9 +590,14 @@ def test_leakage_split_megamix_all_branches_zero_dropped(spark, megamix_dir):
     spark_rows = [tuple(r) for r in sdf.collect()]
     duck = _duck_for(megamix_dir, tables=("embeddings",))
     duck_rows = duck.execute(oracle).fetchall()
-    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    assert _multiset(spark_rows, [0, 1, 2, 3, 4]) == _multiset(
+        duck_rows, [0, 1, 2, 3, 4]
+    )
     assert sum(r[1] for r in spark_rows) == n
     assert all(r[3] == 0 for r in spark_rows)
+    # only the 520-member near-constant core is star-approximated; the
+    # nine clustered satellites got exhaustive sub-bucket coverage
+    assert sum(r[4] for r in spark_rows) == 520
 
 
 def _deep_cone_vectors(n, seed=3, cos_max=0.38):
@@ -764,6 +776,11 @@ def test_anchor_star_catches_boundary_satellite(spark, tmp_path_factory):
     spark_rows = [tuple(r) for r in sdf.collect()]
     duck = _duck_for(d, tables=("embeddings",))
     duck_rows = duck.execute(oracle).fetchall()
-    assert _multiset(spark_rows, [0, 1, 2, 3]) == _multiset(duck_rows, [0, 1, 2, 3])
+    assert _multiset(spark_rows, [0, 1, 2, 3, 4]) == _multiset(
+        duck_rows, [0, 1, 2, 3, 4]
+    )
     assert max(r[1] for r in spark_rows) == 601
     assert all(r[3] == 0 for r in spark_rows)
+    # the 600-member core is star-approximated; the deep-cone satellite
+    # landed in a singleton refine sub-bucket (exact coverage)
+    assert sum(r[4] for r in spark_rows) == 600

@@ -118,3 +118,44 @@ def test_ppm_phash_registered_query_groups_and_flags(spark):
     assert flagged and all(r.n_copies == 1 for r in flagged)
     assert all(r.keep_media_id % PPM_CORRUPT_EVERY == 0 for r in flagged)
     assert any(r.n_copies >= 2 for r in grouped), "planted dups must group"
+
+
+# --------------------------------------------------------------------------
+# r12: star-only coverage metric (the ADVICE visibility fix)
+# --------------------------------------------------------------------------
+
+
+def test_refine_star_only_probe_clean_is_empty(spark):
+    """Driver-fixture regime: no bucket oversized → the sizing probe
+    short-circuits to an empty frame (metric provably zero)."""
+    from map_reduce_lite_spark.ops.dedup import refine_star_only_ids
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    assert refine_star_only_ids(emb, dim=EMB_DIM).count() == 0
+
+
+def test_refine_star_only_prebuilt_bands_parity(spark):
+    """Passing a pre-materialized band table (the leakage_safe_split
+    sharing path) must give the same ids as building inline."""
+    from map_reduce_lite_spark.ops.dedup import (
+        lsh_band_table,
+        refine_star_only_ids,
+    )
+    from map_reduce_lite_spark.ops.similarity import EMB_DIM
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    # tiny cap so the machinery engages on the fixture corpus
+    inline = {
+        r.vec_id for r in refine_star_only_ids(emb, dim=EMB_DIM, cap=2).collect()
+    }
+    bands = lsh_band_table(emb, dim=EMB_DIM)
+    shared = {
+        r.vec_id
+        for r in refine_star_only_ids(
+            emb, dim=EMB_DIM, cap=2, bands=bands
+        ).collect()
+    }
+    assert inline == shared
