@@ -103,75 +103,75 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — CHANGED/NEW in r11:
-# multimodal_ppm_resize is new (real nearest-neighbor P6 raster
-# downsample, value-oracled through the integer NN map);
-# leakage_safe_split's pair stage is now ADAPTIVE RE-BANDING
-# (method="lsh_refine" + sql_refined_cands_chain, both engines) instead
-# of cap-exempt; the embedding pair machinery was restructured around
-# _band_self_join/_refined_candidate_ids (every lsh consumer re-checked);
-# the three co-purchase graph queries route their lineage truncation
-# through _checkpointer (reliable-checkpoint threading).
+# Tier 1 — CHANGED/NEW in r12:
+# multimodal_ppm_phash is NEW (real average-hash image dedup over
+# decoded P6 rasters — canonical 8×8 NN resample + strict-mean
+# threshold, closed-form SQL twin); leakage_safe_split gained the
+# n_approx_members visibility column (star-only coverage metric, both
+# engines) and now shares ONE materialized band table between its pair
+# stage and the metric; the embedding pair machinery was refactored
+# around lsh_band_table (every lsh consumer re-checked);
+# triangle_parts' degree orientation was extracted to orient_edges;
+# multimodal_decode_stub's empty-payload sum moment is now NULL (the
+# ADVICE latent-divergence fix).
 _FRONT_CHANGED = [
-    "multimodal_ppm_resize",
+    "multimodal_ppm_phash",
     "curation_leakage_safe_split",
+    "multimodal_decode_stub",
     "dedup_embedding_lsh",
     "dedup_components",
     "dedup_cluster_sizes",
     "dedup_survivors_docs",
     "graph_triangle_parts",
-    "graph_label_propagation",
-    "graph_kcore_parts",
 ]
 
-# Tier 2 — evidence-freshness rotation, r11 batch: ALL 41 remaining
-# r7-evidence queries (computed from the cumulative CORRECTNESS_r01-r10
+# Tier 2 — evidence-freshness rotation, r12 batch: ALL 42 remaining
+# r8-evidence queries (computed from the cumulative CORRECTNESS_r01-r11
 # ledger at round open — after this round no live query's driver
-# evidence is older than r8). multimodal_decode_stub (r11-changed:
-# NULL moments on empty payloads) and the checkpoint_dir-threaded
-# minhash/simhash queries are already in this set.
+# evidence is older than r9).
 _ROTATION_OLDEST = [
-    "curation_repetition_filter",
-    "curation_sequence_packing",
-    "curation_train_split",
-    "dedup_embedding_cosine",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_minhash_lsh_prod",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_span_removal",
-    "events_rollup_multires",
-    "multimodal_bytes",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_count",
-    "q20_bolt_suppliers",
-    "q21_waiting_suppliers",
-    "q22_idle_rich_customers",
-    "q2_min_cost_supplier",
-    "q8_market_share",
-    "q9_product_profit",
-    "similarity_ann_ivf",
-    "similarity_ann_lsh",
-    "similarity_bruteforce",
-    "sketch_distinct_tokens",
-    "sketch_quantiles_price",
-    "stats_corr_qty_price",
-    "subquery_small_qty_revenue",
-    "text_rolling_hash",
-    "text_zipf_slope",
-    "topk_parts",
-    "vocab_bpe_apply",
-    "window_lag_order_gap",
-    "window_range_frame",
-    "window_rank_suite",
-    "window_running_revenue",
-    "window_top3_orders",
-    "window_value_suite",
+    "curation_mixture_temperature",
+    "curation_quality_quantile",
+    "curation_token_budget",
+    "dedup_containment",
+    "dedup_incremental_minhash",
+    "dedup_rate_by_source",
+    "dedup_substring_spans",
+    "embedding_quantize_int8",
+    "embedding_random_projection",
+    "events_anomaly_zscore",
+    "events_gapfill_hourly",
+    "events_retention_cohorts",
+    "events_rolling_wau",
+    "events_user_paths",
+    "funnel_sessions",
+    "fuzzy_link_customer_supplier",
+    "heavy_hitters_tokens",
+    "multimodal_resize_stub",
+    "pipeline_full_refresh",
+    "pipeline_incremental_refresh",
+    "pipeline_incremental_stats",
+    "pipeline_pretrain_curation",
+    "profile_documents",
+    "q10_returned_revenue",
+    "q18_large_orders",
+    "q3_top_orders",
+    "q7_nation_volume",
+    "sessionize_events",
+    "sessionize_events_stitched",
+    "similarity_filtered_topk",
+    "similarity_hard_negatives",
+    "streaming_dedup_events",
+    "streaming_enrich_purchases",
+    "streaming_events_hourly",
+    "streaming_events_sliding",
+    "streaming_purchase_view_join",
+    "streaming_purchase_view_left",
+    "streaming_rollup_multires",
+    "streaming_sessionize",
+    "streaming_sessionize_native",
+    "text_char_entropy",
+    "text_shingle_novelty",
 ]
 
 ALL_QUERIES = {

@@ -492,6 +492,37 @@ def build_copurchase_edges(
     return li.sparkSession.read.parquet(path)
 
 
+def orient_edges(und: DataFrame) -> DataFrame:
+    """Degree-orient an undirected (u, v) edge list: each edge points
+    from its lower-(degree, id) endpoint to the higher one — the
+    node-iterator++ orientation that bounds every node's FORWARD degree
+    by O(sqrt(m)) / graph arboricity, however skewed the raw degree
+    distribution (a planted hub's edges almost all point INTO it, so
+    it stops generating wedges). (degree, id) is a total order, so the
+    triangle set enumerated over (src, dst) is unchanged. Extracted
+    (r12) so the adversarial-topology campaign can assert the fanout
+    bound directly (tests/test_r12_ops.py, tools/scale_stress.py
+    --topology)."""
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .union(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+    )
+    # ties on degree fall back to id order, i.e. the plain orientation
+    u_first = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    return (
+        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
+        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
+        .select(
+            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+
+
 def triangle_parts(
     spark,
     sf_dir: str,
@@ -529,26 +560,7 @@ def triangle_parts(
             "l_orderkey", "l_partkey"
         )
         edges = copurchase_edges(li)
-    und = edges.select("u", "v")
-    deg = (
-        und.select(F.col("u").alias("node"))
-        .union(und.select(F.col("v").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-    )
-    # orient each edge low-(deg, id) -> high-(deg, id); ties on degree
-    # fall back to id order, i.e. exactly the old orientation
-    u_first = (F.col("du") < F.col("dv")) | (
-        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
-    )
-    oriented = (
-        und.join(deg.select(F.col("node").alias("u"), F.col("deg").alias("du")), "u")
-        .join(deg.select(F.col("node").alias("v"), F.col("deg").alias("dv")), "v")
-        .select(
-            F.when(u_first, F.col("u")).otherwise(F.col("v")).alias("src"),
-            F.when(u_first, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        )
-    )
+    oriented = orient_edges(edges.select("u", "v"))
     # SF-proportional materialization: reliable checkpoint when a
     # shared-FS dir is given (r11 cluster posture), local otherwise
     oriented = _checkpointer(oriented, checkpoint_dir)(oriented)

@@ -159,3 +159,213 @@ def test_refine_star_only_prebuilt_bands_parity(spark):
         ).collect()
     }
     assert inline == shared
+
+
+# --------------------------------------------------------------------------
+# r12: adversarial graph-topology campaign (the r11 verdict's ask #3)
+# --------------------------------------------------------------------------
+#
+# The refined embedding path got a 25× adversarial corpus in r11; the
+# graph family had sf-slice exponents (SCALE.md r8) but no planted
+# worst-case topologies. These tests pin the STRUCTURAL properties that
+# make each operator survive 100 TB skew, on graphs built to break the
+# naive form: a hub star (degree skew → wedge explosion without the
+# orientation), a path of depth ≫ round count (diameter → iteration
+# explosion without pointer jumping), and clique/giant shapes for the
+# fixed-round peel and propagation operators. tools/scale_stress.py
+# --topology measures the same shapes at scale; SCALE.md §r12 records
+# the numbers.
+
+
+def _edges_df(spark, pairs):
+    return spark.createDataFrame(pairs, "u long, v long")
+
+
+def test_triangle_hub_orientation_bounds_wedge_fanout(spark):
+    """Planted hub co-purchased with everything: degree orientation
+    must point every hub edge INTO the hub, so the hub's forward
+    degree — its wedge fanout in the e1.dst = e2.src join — is 0,
+    where the naive u < v orientation would give it ~n (n² wedges).
+    Triangle counts stay exact: each chain edge among the first 60
+    satellites closes one triangle through the hub."""
+    from pyspark.sql import functions as F
+
+    from map_reduce_lite_spark.ops.graph import orient_edges
+
+    n = 2000
+    hub = 0
+    pairs = [(hub, s) for s in range(1, n + 1)]
+    pairs += [(s, s + 1) for s in range(1, 60)]  # 59 chain edges
+    oriented = orient_edges(_edges_df(spark, pairs))
+    fanout = {
+        r.src: r.n
+        for r in oriented.groupBy("src").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert hub not in fanout, "hub must have forward-degree 0"
+    assert max(fanout.values()) <= 3  # satellites: ≤ 2 chain + 1 hub edge
+
+
+def test_triangle_hub_counts_exact_under_orientation(spark):
+    """Same planted-hub graph through the full triangle operator: the
+    hub participates in every hub–i–(i+1) triangle, each chain-interior
+    satellite in two, chain-end satellites in one."""
+    from map_reduce_lite_spark.ops.graph import triangle_parts
+
+    n = 500
+    pairs = [(0, s) for s in range(1, n + 1)]
+    pairs += [(s, s + 1) for s in range(1, 60)]
+    rows = triangle_parts(
+        spark, sf_dir="", edges=_edges_df(spark, pairs)
+    ).collect()
+    got = {r.part: r.n_triangles for r in rows}
+    assert got[0] == 59  # the hub is in every triangle
+    # top-k output: hub first, then the interior chain satellites (2)
+    assert rows[0].part == 0
+    assert all(got[s] == 2 for s in list(got) if 2 <= s <= 10)
+
+
+def test_components_long_path_converges_logarithmically(spark):
+    """Path of depth 3000 ≫ any reasonable round budget: pointer
+    jumping must reach the single component in ~log2(diameter) rounds,
+    NOT diameter rounds (plain min-propagation would need 3000)."""
+    import math
+
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    depth = 3000
+    pairs = [(i, i + 1) for i in range(depth)]
+    comp = connected_components(_edges_df(spark, pairs), src="u", dst="v")
+    rows = comp.collect()
+    assert {r.component for r in rows} == {0}
+    assert len(rows) == depth + 1
+    # log2(3001) ≈ 11.6; pointer jumping needs about that, never 3000.
+    # Generous headroom (+4) so a convergence-detection round or an
+    # off-by-one never flakes the pin; the property under test is
+    # LOG-vs-LINEAR, not an exact constant.
+    assert connected_components.last_rounds <= math.log2(depth) + 4
+
+
+def test_kcore_path_fully_peels_and_clique_survives(spark):
+    """A path has max degree 2 < KCORE_K=3 → fixed-round peeling must
+    empty it (the long-tail shape that breaks a 'one pass is enough'
+    shortcut: peeling a path END removes one node per pass, but the
+    FIRST pass already drops every node here since no node has degree
+    ≥ 3). A K5 clique glued to the path survives with within-core
+    degree 4, including the glue node."""
+    from itertools import combinations
+
+    from map_reduce_lite_spark.ops.graph import kcore_parts
+
+    path = [(i, i + 1) for i in range(100, 160)]
+    clique = list(combinations(range(5), 2))
+    glue = [(4, 100)]  # clique node 4 touches the path
+    rows = kcore_parts(
+        spark, sf_dir="", edges=_edges_df(spark, path + clique + glue)
+    ).collect()
+    got = {r.part: r.kcore_degree for r in rows}
+    assert got == {i: 4 for i in range(5)}, got
+
+
+def test_lpa_disjoint_cliques_converge_to_min_labels(spark):
+    """Two disjoint cliques: label propagation must converge each to
+    its min-id label within the fixed rounds (a one-round fixpoint —
+    every member sees the min label tie-broken smallest), giving two
+    communities with exact member counts."""
+    from itertools import combinations
+
+    from map_reduce_lite_spark.ops.graph import label_propagation_parts
+
+    a = list(combinations(range(0, 6), 2))
+    b = list(combinations(range(100, 104), 2))
+    rows = label_propagation_parts(
+        spark, sf_dir="", edges=_edges_df(spark, a + b)
+    ).collect()
+    got = {r.community: (r.n_members, r.min_part) for r in rows}
+    assert got == {0: (6, 0), 100: (4, 100)}, got
+
+
+# --------------------------------------------------------------------------
+# r12: corpus-snapshot builder facade (the r11 verdict's ask #5)
+# --------------------------------------------------------------------------
+
+
+def test_build_snapshot_manifest_and_consumer_parity(spark, tmp_path):
+    """One build_snapshot call stages all three artifacts + manifest;
+    every consumer family resolved THROUGH the manifest matches its
+    inline registered form. (Per-builder staged parity is pinned in
+    test_r10_ops/test_r11_ops; this test pins the facade: paths,
+    manifest resolution, and the safety posture of the shared pair
+    artifact.)"""
+    from collections import Counter
+
+    import __spark_entry__ as e
+    from map_reduce_lite_spark.corpus_snapshot import (
+        build_snapshot,
+        read_artifact,
+    )
+    from map_reduce_lite_spark.ops.graph import (
+        kcore_parts,
+        label_propagation_parts,
+        triangle_parts,
+    )
+    from map_reduce_lite_spark.ops.similarity import (
+        hubness_from_edges,
+        nn_descent_from_edges,
+    )
+    from map_reduce_lite_spark.relational.tables import load_table
+
+    snap = str(tmp_path / "snap")
+    manifest = build_snapshot(spark, SF_SMALL, snap)
+    assert set(manifest["artifacts"]) == {
+        "knn_edges",
+        "near_dup_pairs",
+        "copurchase_edges",
+    }
+    # the shared pair artifact must carry the SAFETY posture, and the
+    # manifest must say so (a split-routing consumer checks this field)
+    assert manifest["artifacts"]["near_dup_pairs"]["params"]["method"] == "lsh_refine"
+    assert all(a["rows"] > 0 for a in manifest["artifacts"].values())
+
+    emb = load_table(spark, SF_SMALL, "embeddings")
+    qs = e.queries()
+
+    knn = read_artifact(spark, snap, "knn_edges")
+    assert Counter(
+        tuple(r) for r in nn_descent_from_edges(emb, knn).collect()
+    ) == Counter(tuple(r) for r in qs["similarity_nn_descent"](spark, SF_SMALL).collect())
+    assert Counter(
+        tuple(r) for r in hubness_from_edges(emb, knn).collect()
+    ) == Counter(
+        tuple(r) for r in qs["similarity_graph_hubness"](spark, SF_SMALL).collect()
+    )
+
+    cop = read_artifact(spark, snap, "copurchase_edges")
+    for name, fn in (
+        ("graph_triangle_parts", triangle_parts),
+        ("graph_label_propagation", label_propagation_parts),
+        ("graph_kcore_parts", kcore_parts),
+    ):
+        assert Counter(
+            tuple(r) for r in fn(spark, SF_SMALL, edges=cop).collect()
+        ) == Counter(tuple(r) for r in qs[name](spark, SF_SMALL).collect()), name
+
+    pairs = read_artifact(spark, snap, "near_dup_pairs")
+    assert pairs.count() == manifest["artifacts"]["near_dup_pairs"]["rows"]
+    # driver-fixture regime: no oversized bucket, so the refined pair
+    # set equals the registered lsh query's multiset exactly
+    assert Counter(tuple(r) for r in pairs.collect()) == Counter(
+        tuple(r) for r in qs["dedup_embedding_lsh"](spark, SF_SMALL).collect()
+    )
+
+
+def test_read_artifact_unknown_name_lists_available(spark, tmp_path):
+    from map_reduce_lite_spark.corpus_snapshot import (
+        build_snapshot,
+        read_artifact,
+    )
+    import pytest
+
+    snap = str(tmp_path / "snap")
+    build_snapshot(spark, SF_SMALL, snap)
+    with pytest.raises(KeyError, match="copurchase_edges"):
+        read_artifact(spark, snap, "nope")

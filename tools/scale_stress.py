@@ -26,6 +26,20 @@ a space-separated value would be read as a scale dir):
                      embeddings + the dedup fixtures; scoped text/
                      graph/events runs don't)
 
+Adversarial graph topologies (r12 — the planted worst cases, run
+WITHOUT scale dirs):
+  --topology=star,path,giant   generate each topology at each size and
+                               time the graph family on it directly
+                               (edges= injection, no lineitem build)
+  --graph-sizes=30000,100000   node counts per topology
+
+  star  = one hub adjacent to every node (max degree skew: the wedge
+          explosion the degree orientation must neutralize)
+  path  = depth n (diameter ≫ rounds: the shape pointer jumping must
+          cover logarithmically)
+  giant = ~3n deterministic hash edges (one giant component, the
+          percolated regime)
+
 Prints one JSON object. Run on an otherwise-idle machine (timings).
 """
 
@@ -53,21 +67,108 @@ QUERIES = [
 ]
 
 
+def _topology_edges(spark, kind: str, n: int):
+    """Deterministic adversarial edge list (u, v) for ``kind`` at n
+    nodes — built with spark.range so no driver-side list exists."""
+    from pyspark.sql import functions as F
+
+    if kind == "star":
+        return spark.range(1, n + 1).select(
+            F.lit(0).cast("long").alias("u"), F.col("id").alias("v")
+        )
+    if kind == "path":
+        return spark.range(n).select(
+            F.col("id").alias("u"), (F.col("id") + 1).alias("v")
+        )
+    if kind == "giant":
+        # ~3n Knuth-hash edges: far above the n/2 percolation threshold,
+        # so one giant component; deterministic (no RNG)
+        return (
+            spark.range(3 * n)
+            .select(
+                ((F.col("id") * 2654435761) % n).alias("u"),
+                ((F.col("id") * 40503 + 7) % n).alias("v"),
+            )
+            .filter(F.col("u") != F.col("v"))
+        )
+    raise SystemExit(f"unknown topology {kind!r}")
+
+
+def _run_topologies(kinds: list[str], sizes: list[int]) -> None:
+    """Time the graph family on planted worst-case topologies and fit
+    per-(op, topology) scaling exponents. Operators take the edge list
+    directly (edges= injection), so this measures the ITERATION /
+    JOIN machinery, not the lineitem edge build."""
+    import math
+    import time as _time
+
+    from map_reduce_lite_spark.ops.graph import (
+        connected_components,
+        kcore_parts,
+        label_propagation_parts,
+        triangle_parts,
+    )
+    from map_reduce_lite_spark.session import get_spark
+
+    spark = get_spark(app_name="mrl_topology_stress")
+    ops = {
+        "components": lambda e: connected_components(e, src="u", dst="v"),
+        "triangles": lambda e: triangle_parts(spark, sf_dir="", edges=e),
+        "kcore": lambda e: kcore_parts(spark, sf_dir="", edges=e),
+        "lpa": lambda e: label_propagation_parts(spark, sf_dir="", edges=e),
+    }
+    out: dict = {"sizes": sizes, "topologies": {}}
+    for kind in kinds:
+        rows: dict = {}
+        for n in sizes:
+            edges = _topology_edges(spark, kind, n).localCheckpoint(eager=True)
+            for op_name, fn in ops.items():
+                fn(edges).count()  # warm
+                gc.collect()
+                spark.sparkContext._jvm.System.gc()
+                t0 = _time.perf_counter()
+                res = fn(edges).count()
+                sec = round(_time.perf_counter() - t0, 3)
+                rows.setdefault(op_name, {})[n] = {"sec": sec, "rows": res}
+                if op_name == "components":
+                    rows[op_name][n]["rounds"] = connected_components.last_rounds
+        exps = {}
+        for op_name, per_n in rows.items():
+            t0, t1 = per_n[sizes[0]]["sec"], per_n[sizes[-1]]["sec"]
+            exps[op_name] = round(
+                math.log(max(t1, 1e-3) / max(t0, 1e-3))
+                / math.log(sizes[-1] / sizes[0]),
+                2,
+            )
+        out["topologies"][kind] = {"times": rows, "exponents": exps}
+    print(json.dumps(out, indent=1))
+    spark.stop()
+
+
 def main() -> None:
     args = sys.argv[1:]
     queries = list(QUERIES)
     size_table = "documents"
     run_caps = True
+    topologies: list[str] = []
+    graph_sizes = [30000, 100000]
     dirs: list[str] = []
     for a in args:
         if a.startswith("--queries="):
             queries = [q for q in a.split("=", 1)[1].split(",") if q]
         elif a.startswith("--size-table="):
             size_table = a.split("=", 1)[1]
+        elif a.startswith("--topology="):
+            topologies = [t for t in a.split("=", 1)[1].split(",") if t]
+        elif a.startswith("--graph-sizes="):
+            graph_sizes = [int(x) for x in a.split("=", 1)[1].split(",") if x]
         elif a == "--no-caps":
             run_caps = False
         else:
             dirs.append(a)
+    if topologies:
+        _run_topologies(topologies, graph_sizes)
+        return
     assert len(dirs) >= 2, "need >= 2 scale dirs"
     from pyspark.sql import functions as F
 
