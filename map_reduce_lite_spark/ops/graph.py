@@ -150,143 +150,150 @@ def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 50,
     checkpoint_every: int = 1,
     checkpoint_dir: str | None = None,
     hard_barrier_every: int = 8,
 ) -> DataFrame:
     """(node, component) for every node in ``edges``; component = min
-    node id reachable. Undirected: both directions are added.
+    node id reachable. Undirected: both directions are considered.
 
-    Two r7 changes, both measured on the sf0.1 near-dup graph (the
-    dedup_components / leakage_safe_split input — 479 pairs, longest
-    chain needing 9 plain rounds):
+    ALTERNATING STAR ALGORITHM (r12 — replacing r7's pointer-jumping
+    label loop after the adversarial-topology campaign falsified its
+    round bound): each round applies large-star then small-star edge
+    rewrites (Kiveris et al., "Connected Components in MapReduce and
+    Beyond" — public algorithm), iterating until the edge set is a
+    fixed star forest whose roots are the component minima.
 
-    - POINTER JUMPING: each round a node adopts
-      min(own, min-neighbor-label, label-of-its-label) — the extra
-      self-join doubles how far a label travels per round, so rounds
-      ≈ log2(diameter) instead of diameter (9 → 4 here; on a 100 TB
-      pair graph, a pathological million-doc boilerplate chain
-      converges in ~20 rounds, not 10^6). The label-of-label lookup is
-      a self-join of the KB-per-node label table on its own key —
-      same shuffle class as the neighbor-min join, not a new scale
-      hazard. The fixpoint is unchanged (labels only ever move DOWN,
-      and only to labels already present inside the component), so
-      the recursive-CTE oracle replays it exactly.
-    - CHECKPOINT EVERY ROUND (checkpoint_every=1): the convergence
-      count is an action, so with K rounds between checkpoints each
-      round re-executes up to K rounds of lineage — measured 0.75 →
-      2.09 s per round climbing inside a 5-round window, resetting to
-      0.40 s after the checkpoint. With per-round truncation every
-      round costs the same flat join+agg. (checkpoint_every stays a
-      parameter for callers whose per-round state is huge enough that
-      materialization, not re-execution, dominates.)
+    - large-star: per node u with neighborhood N(u), connect every
+      STRICTLY LARGER neighbor to m = min(N(u) ∪ {u});
+    - small-star: per node u (over the now big→small oriented edges),
+      connect every smaller neighbor AND u itself to m.
 
-    HARD PARQUET BARRIER every ``hard_barrier_every`` rounds (r9): a
-    per-round ``localCheckpoint`` truncates the visible logical plan
-    and RDD debug lineage, but something generation-linked still leaks
-    through checkpoint boundaries in Spark 4.1 when the checkpointed
-    frame feeds the next round's TWO self-join references — measured
-    directly on a 4.5k-node near-percolation pair graph (23 rounds):
-    per-round wall time DOUBLES from ~round 18 (0.4 s → 3 → 6 → 40 →
-    70 s) with the Spark jobs themselves finishing in ~45 ms, no GC
-    pressure, and an interleaved control query staying at 0.1 s — the
-    cost is driver-side, single-threaded, exponential in checkpoint
-    GENERATIONS (×2 per round = one factor per self-join reference),
-    and identical under disk ``checkpoint()``, AQE off, and a
-    flattening ``repartition``. Rewriting the label table through a
-    parquet write+read every 8 rounds gives every generation a truly
-    fresh scan lineage: the same graph converges in 9.0 s flat-per-
-    round vs 95-147 s without the barrier (and r8's 39-42 s "components
-    at s030" measurements were this pathology's early onset, not
-    operator cost). 2^8 = 256 generations of headroom between barriers
-    keeps the leak unmeasurable while amortizing the write to noise.
-    Barrier files go under ``checkpoint_dir`` when given (the shared-FS
-    path a real cluster must use — executor-local /tmp is not shared),
-    else a driver-temp directory (correct in local mode); lifecycle —
-    lazy creation, previous-file deletion, finalize/abort cleanup — is
-    ``_HardBarrier``'s."""
+    Why the old loop had to go, with measurements: min-label
+    propagation + one label-of-label jump per round only achieves
+    log-rounds when node ids correlate with topology (an ORDERED
+    3000-path: 14 rounds). When ids are random relative to structure —
+    the normal case for hashed doc/vec ids at 100 TB — the regional-min
+    nodes hold SELF-pointers, the jump never shortcuts past them, and
+    convergence is O(diameter): measured 474-903 rounds on id-SHUFFLED
+    3000-paths and 218 rounds on a 30k-node arithmetic thread graph
+    (diameter 252), where the old max_iter=25 silently returned
+    un-converged — i.e. WRONG — components. The alternating algorithm
+    is id-placement independent: 9-13 rounds on every one of those
+    shapes (and provably O(log² n) worst case), pinned by the
+    shuffled-path test in tests/test_r12_ops.py. Per-round cost is the
+    same shuffle class as before — two small aggregations and two
+    joins over the CURRENT edge set, which only shrinks — and the
+    round-count guarantee is what survives a 100 TB pair graph.
+
+    Non-convergence within ``max_iter`` now RAISES instead of
+    returning partial labels (the silent-cliff fix); with the
+    alternating bound, 50 rounds covers graphs astronomically larger
+    than any real corpus.
+
+    CHECKPOINT EVERY ROUND (checkpoint_every=1, r7): the convergence
+    check is an action, so each round's edge set is materialized —
+    otherwise every round re-executes the whole chain. HARD PARQUET
+    BARRIER every ``hard_barrier_every`` rounds (r9): localCheckpoint
+    truncates the visible plan but a generation-linked driver-side
+    cost still leaks through checkpoint boundaries in Spark 4.1 when
+    the checkpointed frame feeds multiple self-join references
+    (measured: per-round wall time doubling from ~round 18, 0.4 s →
+    70 s, with the Spark jobs themselves at ~45 ms); a parquet
+    write+read every 8 rounds gives a truly fresh scan lineage and
+    flat per-round cost. Barrier files go under ``checkpoint_dir``
+    when given (shared-FS on a real cluster), else a driver-temp dir;
+    lifecycle is ``_HardBarrier``'s."""
     # reset the diagnostic at entry so a call that fails before its
     # first round can't leave a previous call's stale value behind
     connected_components.last_rounds = 0
     hb = _HardBarrier(edges.sparkSession, checkpoint_dir, "mrl_cc_barrier")
     ckpt = _checkpointer(edges, checkpoint_dir)
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    e = fwd.union(fwd.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-    e = ckpt(e)  # materialize once; reused every iteration
-    labels = (
-        e.select(F.col("a").alias("node"))
+    # node universe BEFORE dropping self-loops: a node with only a
+    # self-loop edge still belongs in the output (component = itself)
+    nodes = ckpt(
+        fwd.select(F.col("a").alias("node"))
+        .union(fwd.select(F.col("b").alias("node")))
         .distinct()
-        .withColumn("label", F.col("node"))
     )
+    e = ckpt(fwd.filter(F.col("a") != F.col("b")).distinct())
     try:
-        labels = _cc_loop(
-            e, labels, ckpt, hb, max_iter, checkpoint_every, hard_barrier_every
+        stars = _cc_loop(
+            e, ckpt, hb, max_iter, checkpoint_every, hard_barrier_every
         )
     except BaseException:
         hb.abort()
         raise
-    labels = hb.finalize(labels, ckpt)
-    return labels.select("node", F.col("label").alias("component"))
+    stars = hb.finalize(stars, ckpt)
+    # star forest -> labels; roots and isolated nodes label themselves.
+    # min() is defensive: at the checked fixpoint each child has one root
+    comp = stars.groupBy(F.col("a").alias("node")).agg(
+        F.min("b").alias("component")
+    )
+    return nodes.join(comp, "node", "left").select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
 
 
 def _cc_loop(
     e: DataFrame,
-    labels: DataFrame,
     ckpt: Callable[[DataFrame], DataFrame],
     hb: _HardBarrier,
     max_iter: int,
     checkpoint_every: int,
     hard_barrier_every: int,
 ) -> DataFrame:
-    """The pointer-jumping iteration of ``connected_components`` — split
-    out so the barrier lifecycle (try/abort/finalize) reads linearly."""
+    """The alternating-star iteration of ``connected_components`` —
+    split out so the barrier lifecycle (try/abort/finalize) reads
+    linearly. ``e`` is the deduplicated self-loop-free edge set; the
+    loop rewrites it until small_star(large_star(e)) == e (a star
+    forest), then returns it."""
+    n_prev = e.count()
     for it in range(max_iter):
-        # smallest label among each node's neighbors this round
-        neigh_min = (
-            e.join(labels, e.b == labels.node)
-            .groupBy(F.col("a").alias("node"))
-            .agg(F.min("label").alias("nmin"))
+        # ---- large-star: bigger neighbors attach to the local min ----
+        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        mins = (
+            adj.groupBy("a")
+            .agg(F.min("b").alias("nm"))
+            .select("a", F.least(F.col("nm"), F.col("a")).alias("m"))
         )
-        stepped = labels.join(neigh_min, "node", "left").select(
-            "node",
-            F.col("label").alias("old"),
-            F.least(F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))).alias(
-                "l1"
-            ),
+        large = (
+            adj.join(mins, "a")
+            .filter(F.col("b") > F.col("a"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
         )
-        # pointer jump: follow my (possibly just-updated) label one hop
-        pj = labels.select(
-            F.col("node").alias("pj_node"), F.col("label").alias("pj_label")
-        )
-        new_labels = (
-            stepped.join(pj, stepped.l1 == pj.pj_node, "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l1"), F.coalesce(F.col("pj_label"), F.col("l1"))
-                ).alias("label"),
-                "old",
-            )
-            .select(
-                "node", "label", (F.col("label") < F.col("old")).alias("changed")
-            )
+        # large-star edges satisfy a > b (m <= u < v), so they are
+        # already in the big->small orientation small-star wants
+        smins = large.groupBy("a").agg(F.min("b").alias("m"))
+        small = (
+            large.join(smins, "a")
+            .filter(F.col("b") != F.col("m"))
+            .select(F.col("b").alias("a"), F.col("m").alias("b"))
+            .union(smins.select("a", F.col("m").alias("b")))
+            .distinct()
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
-            # lazy: the convergence count right below materializes (and
-            # truncates) it — one driver action per round, not two
-            new_labels = ckpt(new_labels, eager=False)
-        n_changed = new_labels.filter(F.col("changed")).count()
-        labels = new_labels.select("node", "label")
-        # diagnostics only (stress harness + convergence tests read it):
-        # rounds actually executed, including the final no-change round
+            small = ckpt(small, eager=False)
+        # convergence: the rewrite changed nothing (set equality via
+        # count match + empty difference — both sides are distinct'd)
+        n_new = small.count()
+        same = n_new == n_prev and small.exceptAll(e).count() == 0
         connected_components.last_rounds = it + 1
-        if n_changed == 0:
-            break
+        e, n_prev = small, n_new
+        if same:
+            return e
         if hard_barrier_every and (it + 1) % hard_barrier_every == 0:
             # fresh scan lineage: see the hard-barrier note in the docstring
-            labels = hb.barrier(labels, f"r{it + 1}")
-    return labels
+            e = hb.barrier(e, f"r{it + 1}")
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} rounds — "
+        "raising instead of returning partial labels; raise max_iter "
+        "(alternating-star needs O(log^2 n) worst case, ~log2 typical)"
+    )
 
 
 def pagerank(

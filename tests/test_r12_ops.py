@@ -369,3 +369,40 @@ def test_read_artifact_unknown_name_lists_available(spark, tmp_path):
     build_snapshot(spark, SF_SMALL, snap)
     with pytest.raises(KeyError, match="copurchase_edges"):
         read_artifact(spark, snap, "nope")
+
+
+def test_components_shuffled_id_path_still_logarithmic(spark):
+    """THE r12 falsifier: ids random relative to topology. The old
+    pointer-jumping loop needed 474-903 rounds on shuffled 3000-paths
+    (O(diameter): regional-min nodes hold self-pointers, so the jump
+    never shortcuts past them) and max_iter=25 silently returned
+    un-converged components. The alternating-star rewrite must
+    converge logarithmically REGARDLESS of id placement and produce
+    the exact component."""
+    import math
+    import random
+
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    depth = 3000
+    ids = list(range(depth + 1))
+    random.Random(7).shuffle(ids)
+    pairs = [(ids[i], ids[i + 1]) for i in range(depth)]
+    rows = connected_components(_edges_df(spark, pairs), src="u", dst="v").collect()
+    assert len(rows) == depth + 1
+    assert {r.component for r in rows} == {0}
+    assert connected_components.last_rounds <= math.log2(depth) + 6
+
+
+def test_components_nonconvergence_raises_not_partial(spark):
+    """max_iter too small must RAISE, never return partial (wrong)
+    labels — the silent-cliff fix."""
+    import pytest
+
+    from map_reduce_lite_spark.ops.graph import connected_components
+
+    pairs = [(i, i + 1) for i in range(200)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(
+            _edges_df(spark, pairs), src="u", dst="v", max_iter=2
+        ).collect()

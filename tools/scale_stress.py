@@ -81,13 +81,18 @@ def _topology_edges(spark, kind: str, n: int):
             F.col("id").alias("u"), (F.col("id") + 1).alias("v")
         )
     if kind == "giant":
-        # ~3n Knuth-hash edges: far above the n/2 percolation threshold,
-        # so one giant component; deterministic (no RNG)
+        # ~3n pseudorandom edges (xxhash64 endpoints — a LINEAR id map
+        # here would produce an arithmetic, triangle-free, huge-diameter
+        # structure, not G(n, m)): avg degree ~6, far above the
+        # percolation threshold, so one giant component with log-ish
+        # diameter and real triangles; deterministic (seeded hash)
         return (
             spark.range(3 * n)
             .select(
-                ((F.col("id") * 2654435761) % n).alias("u"),
-                ((F.col("id") * 40503 + 7) % n).alias("v"),
+                F.pmod(F.xxhash64(F.col("id")), F.lit(n)).alias("u"),
+                F.pmod(F.xxhash64(F.col("id") + 3_000_000_000), F.lit(n)).alias(
+                    "v"
+                ),
             )
             .filter(F.col("u") != F.col("v"))
         )
