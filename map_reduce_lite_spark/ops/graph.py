@@ -250,7 +250,6 @@ def _cc_loop(
     linearly. ``e`` is the deduplicated self-loop-free edge set; the
     loop rewrites it until small_star(large_star(e)) == e (a star
     forest), then returns it."""
-    n_prev = e.count()
     for it in range(max_iter):
         # ---- large-star: bigger neighbors attach to the local min ----
         adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -278,13 +277,22 @@ def _cc_loop(
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
             small = ckpt(small, eager=False)
-        # convergence: the rewrite changed nothing (set equality via
-        # count match + empty difference — both sides are distinct'd)
-        n_new = small.count()
-        same = n_new == n_prev and small.exceptAll(e).count() == 0
+        # convergence: the rewrite changed nothing. ONE action per
+        # round (the r10 lesson — per-action driver cost dominates on
+        # small state): set equality of two distinct'd frames via a
+        # signed-membership symmetric difference, whose count also
+        # materializes (and truncates) the new edge set
+        n_diff = (
+            small.select("a", "b", F.lit(1).alias("side"))
+            .union(e.select("a", "b", F.lit(-1).alias("side")))
+            .groupBy("a", "b")
+            .agg(F.sum("side").alias("d"))
+            .filter(F.col("d") != 0)
+            .count()
+        )
         connected_components.last_rounds = it + 1
-        e, n_prev = small, n_new
-        if same:
+        e = small
+        if n_diff == 0:
             return e
         if hard_barrier_every and (it + 1) % hard_barrier_every == 0:
             # fresh scan lineage: see the hard-barrier note in the docstring
