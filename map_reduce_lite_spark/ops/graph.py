@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def _checkpointer(
@@ -204,21 +204,35 @@ def connected_components(
     write+read every 8 rounds gives a truly fresh scan lineage and
     flat per-round cost. Barrier files go under ``checkpoint_dir``
     when given (shared-FS on a real cluster), else a driver-temp dir;
-    lifecycle is ``_HardBarrier``'s."""
+    lifecycle is ``_HardBarrier``'s.
+
+    SINGLE UPSTREAM EXECUTION (r12 optimization): the caller's edge
+    plan (for the dedup family: the whole LSH band join + cosine
+    verify) is materialized ONCE into ``base`` and both the node
+    universe and the working edge set derive from that checkpoint.
+    The previous entry materialized ``nodes`` and ``e`` separately
+    straight off ``edges`` — and because Spark does not de-duplicate
+    common subtrees across a union's branches, the union inside
+    ``nodes`` executed the pair plan TWICE and ``e`` a third time
+    (measured: ~2-6 s per execution warm at sf0.1, the dominant cost
+    of every components consumer; guide §2.4/§5)."""
     # reset the diagnostic at entry so a call that fails before its
     # first round can't leave a previous call's stale value behind
     connected_components.last_rounds = 0
     hb = _HardBarrier(edges.sparkSession, checkpoint_dir, "mrl_cc_barrier")
     ckpt = _checkpointer(edges, checkpoint_dir)
-    fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    # ONE execution of the upstream plan; 16-byte rows (ids only)
+    base = ckpt(edges.select(F.col(src).alias("a"), F.col(dst).alias("b")))
     # node universe BEFORE dropping self-loops: a node with only a
-    # self-loop edge still belongs in the output (component = itself)
-    nodes = ckpt(
-        fwd.select(F.col("a").alias("node"))
-        .union(fwd.select(F.col("b").alias("node")))
+    # self-loop edge still belongs in the output (component = itself).
+    # Lazy: consumed once by the final labeling join, off the checkpoint.
+    nodes = (
+        base.select(F.col("a").alias("node"))
+        .union(base.select(F.col("b").alias("node")))
         .distinct()
     )
-    e = ckpt(fwd.filter(F.col("a") != F.col("b")).distinct())
+    # lazy mark: the loop's first convergence action materializes it
+    e = ckpt(base.filter(F.col("a") != F.col("b")).distinct(), eager=False)
     try:
         stars = _cc_loop(
             e, ckpt, hb, max_iter, checkpoint_every, hard_barrier_every
@@ -249,51 +263,102 @@ def _cc_loop(
     split out so the barrier lifecycle (try/abort/finalize) reads
     linearly. ``e`` is the deduplicated self-loop-free edge set; the
     loop rewrites it until small_star(large_star(e)) == e (a star
-    forest), then returns it."""
+    forest), then returns it.
+
+    r12 optimization (guide §2.3/§2.4 — same edge-set trajectory,
+    measured round-for-round identical, just fewer exchanges):
+
+    - Both stars' per-node minima come from a WINDOW over the edge
+      rows (one exchange each) instead of a groupBy + join back (two
+      exchanges each: one for the aggregate, one to re-shuffle the
+      edge rows into the join).
+    - The two directions of ``adj`` and the two small-star outputs are
+      produced by exploding a 1-2 element array per row — one scan of
+      the checkpointed input instead of a self-union's two.
+    - The intermediate large-star ``distinct`` is gone: duplicates
+      cannot change a min, and the small-star output is distinct'd
+      anyway (the old distinct bought nothing and cost an exchange).
+    - The per-round convergence action is a full map-side-combined
+      (count, bit_xor(xxhash64)) fingerprint of the new edge set —
+      shuffling one row per partition instead of the whole edge set
+      the old signed-membership symdiff union shuffled every round.
+      A fingerprint MISMATCH is an exact "not converged" (different
+      sets ⇒ different count or xor with certainty the other way
+      round: equal sets ⇒ equal fingerprints); on a fingerprint MATCH
+      the exact symdiff runs once to confirm, so a 2^-64 xor
+      collision can delay nothing and wrongly converge never.
+      bit_xor, not sum: ANSI mode (Spark 4 default) makes a long-sum
+      overflow throw, xor cannot overflow.
+
+    Per round this is 3 edge-set exchanges (large window, small
+    window, small distinct) + a 1-row-per-partition agg, down from 7
+    edge-set exchanges; the fingerprint action still materializes the
+    lazily-checkpointed new edge set, so lineage stays truncated
+    round to round exactly as before."""
+    two_dirs = F.array(
+        F.struct(F.col("a").alias("a"), F.col("b").alias("b")),
+        F.struct(F.col("b").alias("a"), F.col("a").alias("b")),
+    )
+    w_a = Window.partitionBy("a")
+    prev_fp = tuple(
+        e.agg(
+            F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
+        ).first()
+    )
     for it in range(max_iter):
         # ---- large-star: bigger neighbors attach to the local min ----
-        adj = e.union(e.select(F.col("b").alias("a"), F.col("a").alias("b")))
-        mins = (
-            adj.groupBy("a")
-            .agg(F.min("b").alias("nm"))
-            .select("a", F.least(F.col("nm"), F.col("a")).alias("m"))
-        )
+        adj = e.select(F.explode(two_dirs).alias("ed")).select("ed.a", "ed.b")
         large = (
-            adj.join(mins, "a")
+            adj.withColumn("m", F.least(F.min("b").over(w_a), F.col("a")))
             .filter(F.col("b") > F.col("a"))
             .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .filter(F.col("a") != F.col("b"))
-            .distinct()
         )
         # large-star edges satisfy a > b (m <= u < v), so they are
         # already in the big->small orientation small-star wants
-        smins = large.groupBy("a").agg(F.min("b").alias("m"))
         small = (
-            large.join(smins, "a")
-            .filter(F.col("b") != F.col("m"))
-            .select(F.col("b").alias("a"), F.col("m").alias("b"))
-            .union(smins.select("a", F.col("m").alias("b")))
+            large.withColumn("m", F.min("b").over(w_a))
+            .select(
+                F.explode(
+                    F.when(
+                        F.col("b") != F.col("m"),
+                        F.array(
+                            F.struct(F.col("b").alias("a"), F.col("m").alias("b")),
+                            F.struct(F.col("a").alias("a"), F.col("m").alias("b")),
+                        ),
+                    ).otherwise(
+                        F.array(
+                            F.struct(F.col("a").alias("a"), F.col("m").alias("b"))
+                        )
+                    )
+                ).alias("ed")
+            )
+            .select("ed.a", "ed.b")
             .distinct()
         )
         if (it + 1) % checkpoint_every == 0 or it == max_iter - 1:
             small = ckpt(small, eager=False)
-        # convergence: the rewrite changed nothing. ONE action per
-        # round (the r10 lesson — per-action driver cost dominates on
-        # small state): set equality of two distinct'd frames via a
-        # signed-membership symmetric difference, whose count also
-        # materializes (and truncates) the new edge set
-        n_diff = (
-            small.select("a", "b", F.lit(1).alias("side"))
-            .union(e.select("a", "b", F.lit(-1).alias("side")))
-            .groupBy("a", "b")
-            .agg(F.sum("side").alias("d"))
-            .filter(F.col("d") != 0)
-            .count()
+        fp = tuple(
+            small.agg(
+                F.count(F.lit(1)), F.expr("bit_xor(xxhash64(a, b))")
+            ).first()
         )
         connected_components.last_rounds = it + 1
+        if fp == prev_fp:
+            # fingerprints agree: confirm set equality EXACTLY (signed-
+            # membership symmetric difference) before declaring the
+            # fixpoint — runs once per call, on checkpointed inputs
+            n_diff = (
+                small.select("a", "b", F.lit(1).alias("side"))
+                .union(e.select("a", "b", F.lit(-1).alias("side")))
+                .groupBy("a", "b")
+                .agg(F.sum("side").alias("d"))
+                .filter(F.col("d") != 0)
+                .count()
+            )
+            if n_diff == 0:
+                return small
+        prev_fp = fp
         e = small
-        if n_diff == 0:
-            return e
         if hard_barrier_every and (it + 1) % hard_barrier_every == 0:
             # fresh scan lineage: see the hard-barrier note in the docstring
             e = hb.barrier(e, f"r{it + 1}")
@@ -577,8 +642,12 @@ def triangle_parts(
         edges = copurchase_edges(li)
     oriented = orient_edges(edges.select("u", "v"))
     # SF-proportional materialization: reliable checkpoint when a
-    # shared-FS dir is given (r11 cluster posture), local otherwise
-    oriented = _checkpointer(oriented, checkpoint_dir)(oriented)
+    # shared-FS dir is given (r11 cluster posture), local otherwise.
+    # eager=False (r12): the triangle enumeration is ONE action; a lazy
+    # mark lets that action materialize the oriented list on first use
+    # and share it across all three join references, instead of paying
+    # a separate up-front job (guide §1.2 — fewer driver actions).
+    oriented = _checkpointer(oriented, checkpoint_dir)(oriented, eager=False)
     # merge-join hint: the edge list is a borderline-broadcastable few
     # tens of MB at test scale, and AQE happily broadcasts it — building
     # a per-task hash map of the WHOLE graph, which OOMs a modest driver
@@ -672,7 +741,16 @@ def label_propagation_parts(
         edges = copurchase_edges(li)
     fwd = edges.select("u", "v")
     ckpt = _checkpointer(fwd, checkpoint_dir)
-    e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    # eager=False throughout (r12): LPA_ROUNDS is a constant and the
+    # query has exactly ONE terminal action, so lazy checkpoint marks
+    # keep lineage truncated (each round's plan starts from the
+    # previous round's LogicalRDD) while folding what used to be
+    # 1 + LPA_ROUNDS separate materialization jobs into the terminal
+    # action — the r10 per-action driver-cost lesson applied here.
+    e = ckpt(
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        eager=False,
+    )
     labels = e.select(F.col("u").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -687,7 +765,8 @@ def label_propagation_parts(
         labels = ckpt(
             counts.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
-            .select("node", "lbl")
+            .select("node", "lbl"),
+            eager=False,
         )
     return (
         labels.groupBy(F.col("lbl").alias("community"))
@@ -764,7 +843,15 @@ def kcore_parts(
         edges = copurchase_edges(li)
     fwd = edges.select("u", "v")
     ckpt = _checkpointer(fwd, checkpoint_dir)
-    e = ckpt(fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))))
+    # eager=False throughout (r12): fixed KCORE_ROUNDS and one terminal
+    # action — lazy checkpoint marks truncate lineage identically but
+    # fold 1 + KCORE_ROUNDS materialization jobs into the final action
+    # (each round's edge set is still cached on first use and shared by
+    # the degree agg + both semi-joins of the next round).
+    e = ckpt(
+        fwd.union(fwd.select(F.col("v").alias("u"), F.col("u").alias("v"))),
+        eager=False,
+    )
     for _ in range(KCORE_ROUNDS):
         keep = (
             e.groupBy("u")
@@ -774,7 +861,8 @@ def kcore_parts(
         )
         e = ckpt(
             e.join(keep, "u", "left_semi")
-            .join(keep.select(F.col("u").alias("v")), "v", "left_semi")
+            .join(keep.select(F.col("u").alias("v")), "v", "left_semi"),
+            eager=False,
         )
     return (
         e.groupBy(F.col("u").alias("part"))
