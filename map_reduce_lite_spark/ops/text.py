@@ -506,6 +506,16 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # r12: the d per-row broadcast joins below each embed this frame;
+        # without a materialization mark the WHOLE tokenize + explode +
+        # agg pipeline executed once per broadcast (CMS_ROWS times) plus
+        # once for topk — 5 corpus passes for a 2-pass query. The sketch
+        # is bounded state (≤ d·w rows) so checkpointing it is always
+        # safe at scale; the token stream itself stays unmaterialized
+        # (recomputing a tokenize is cheaper than spilling a 100 TB
+        # token stream to executor storage). eager=False: the first
+        # broadcast build materializes it.
+        .localCheckpoint(eager=False)
     )
     topk = (
         toks.groupBy("token")
