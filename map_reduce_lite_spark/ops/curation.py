@@ -638,7 +638,17 @@ def leakage_safe_split(
         .when(bucket < TRAIN_PCT + VAL_PCT, F.lit("val"))
         .otherwise(F.lit("test"))
     )
-    routed = assigned.select("vec_id", "cluster", split.alias("split"))
+    # r12: `routed` is consumed FOUR times below (final per-split agg,
+    # both ends of the crossing audit, the approx-coverage join).
+    # Unmaterialized, each consumer re-executed the emb scan + the
+    # component labeling join + the routing hash — 4 corpus passes
+    # (measured: 4 identical scan+join subtrees, 38-Exchange plan).
+    # The routing table is (vec_id, cluster, split) — the very artifact
+    # a production split pipeline persists — so checkpointing it is
+    # scale-safe by definition; lazy, so the first action materializes.
+    routed = _checkpointer(emb, checkpoint_dir)(
+        assigned.select("vec_id", "cluster", split.alias("split")), eager=False
+    )
     crossing = (
         pairs.join(
             routed.select(F.col("vec_id").alias("keep_id"), F.col("split").alias("split_a")),
