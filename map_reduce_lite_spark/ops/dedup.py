@@ -267,17 +267,28 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sz1 = sizes.select(F.col("doc").alias("doc1"), F.col("n_shingles").alias("n1"))
     sz2 = sizes.select(F.col("doc").alias("doc2"), F.col("n_shingles").alias("n2"))
     both = inter.join(sz1, "doc1").join(sz2, "doc2")
-    fwd = both.select(
-        F.col("doc1").alias("contained_doc"),
-        F.col("doc2").alias("container_doc"),
-        (F.col("n_inter") / F.col("n1")).alias("containment"),
+    # r12: the two directed ratios used to be a unionAll of two
+    # projections of `both` — and a union does not share its branches'
+    # common subtree, so the inverted-index self-join (the expensive
+    # stage) executed TWICE. Exploding a 2-element struct array emits
+    # both directions from ONE execution; same rows, same multiset.
+    directed = F.array(
+        F.struct(
+            F.col("doc1").alias("contained_doc"),
+            F.col("doc2").alias("container_doc"),
+            (F.col("n_inter") / F.col("n1")).alias("containment"),
+        ),
+        F.struct(
+            F.col("doc2").alias("contained_doc"),
+            F.col("doc1").alias("container_doc"),
+            (F.col("n_inter") / F.col("n2")).alias("containment"),
+        ),
     )
-    rev = both.select(
-        F.col("doc2").alias("contained_doc"),
-        F.col("doc1").alias("container_doc"),
-        (F.col("n_inter") / F.col("n2")).alias("containment"),
+    return (
+        both.select(F.explode(directed).alias("d"))
+        .select("d.contained_doc", "d.container_doc", "d.containment")
+        .filter(F.col("containment") >= CONTAINMENT_T)
     )
-    return fwd.unionAll(rev).filter(F.col("containment") >= CONTAINMENT_T)
 
 
 DEDUP_CONTAINMENT_SQL = _SHINGLES_CTE + f"""
