@@ -616,6 +616,14 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("source", rb)
         .groupBy("source", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        # r12: consumed by 4 broadcast cell tables below; the sketch is
+        # bounded state (≤ n_sources·d·w rows) so a lazy checkpoint is
+        # always scale-safe, and without it each broadcast re-ran the
+        # whole tokenize+explode pipeline (same fix as
+        # sketch_cms_token_freq — 9 corpus passes down to 3, which is
+        # the semantic floor: shard sketches, direct sketch, and top-k
+        # are deliberately built in separate passes)
+        .localCheckpoint(eager=False)
     )
     # THE MERGE: cell-wise SUM across shards (d·w rows, KB-sized)
     merged = shard_cells.groupBy("r", "b").agg(F.sum("c").alias("c"))
@@ -624,6 +632,7 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(rb)
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)  # r12: same — 4 broadcast consumers
     )
     topk = (
         toks.groupBy("token")
@@ -1151,28 +1160,14 @@ FROM agg WHERE n_ranked >= 2
 JSD_TOP_VOCAB = 20
 
 
-def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source Jensen-Shannon divergence between the source's token
-    distribution and the whole-corpus distribution — the drift metric a
-    mixture-curation pipeline tracks per ingestion source (JSD is
-    symmetric and bounded by ln 2, unlike KL, so a brand-new source
-    can't blow the dashboard up on a single unseen token).
-
-    Distributions are over the corpus's top-JSD_TOP_VOCAB tokens plus
-    an '<other>' bucket (total order: count DESC, token ASC), so the
-    support is closed and identical in both engines. Plan: one
-    tokenize pass; the head terms come from a two-stage top-K
-    (TakeOrderedAndProject — per-partition heaps, never a global sort),
-    so ONLY those K rows are broadcast and every miss of the left join
-    coalesces to '<other>' — no vocabulary-sized table is sorted on one
-    task or shipped to executors at any corpus size; per-source and
-    corpus counts are map-side-combined aggs over the (K+1)-symbol
-    support; the source × vocab grid and the 1-row corpus total are
-    bounded broadcasts (no-cartesian allowlist). Determinism: p and q
-    are single divisions of exact BIGINTs; each p·ln(p/((p+q)/2)) term
-    is written in the identical operand order in both engines and
-    summed through DECIMAL(27,12); the closing (Σtp + Σtq)/2 is one
-    double expression."""
+def _jsd_source_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The expensive pre-barrier pipeline of ``js_divergence_sources``:
+    one tokenize pass → top-K head-term table (TakeOrderedAndProject,
+    never a window / global sort) → broadcast-map every token to its
+    bucket → per-(source, bucket) exact counts. Factored out so
+    `tests/test_plans.py` can pin the plan shape of THIS pipeline —
+    the caller immediately puts it behind a localCheckpoint barrier,
+    which hides it from the final query's explain output."""
     d = load_table(spark, sf_dir, "documents")
     fanout = max(spark.sparkContext.defaultParallelism, 8)
     toks = (
@@ -1194,10 +1189,43 @@ def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
     mapped = toks.join(F.broadcast(topk), "term", "left").select(
         "source", F.coalesce("mtok", F.lit("<other>")).alias("mtok")
     )
-    sc_ = mapped.groupBy("source", "mtok").agg(F.count(F.lit(1)).alias("cs"))
-    qc = mapped.groupBy("mtok").agg(F.count(F.lit(1)).alias("cq"))
-    ns = mapped.groupBy("source").agg(F.count(F.lit(1)).alias("ns"))
-    nq = mapped.agg(F.count(F.lit(1)).alias("nq"))
+    return mapped.groupBy("source", "mtok").agg(F.count(F.lit(1)).alias("cs"))
+
+
+def js_divergence_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Jensen-Shannon divergence between the source's token
+    distribution and the whole-corpus distribution — the drift metric a
+    mixture-curation pipeline tracks per ingestion source (JSD is
+    symmetric and bounded by ln 2, unlike KL, so a brand-new source
+    can't blow the dashboard up on a single unseen token).
+
+    Distributions are over the corpus's top-JSD_TOP_VOCAB tokens plus
+    an '<other>' bucket (total order: count DESC, token ASC), so the
+    support is closed and identical in both engines. Plan: one
+    tokenize pass (``_jsd_source_token_counts`` — its head terms come
+    from a two-stage top-K, TakeOrderedAndProject, so ONLY those K rows
+    are broadcast and every miss of the left join coalesces to
+    '<other>'; no vocabulary-sized table is sorted on one task or
+    shipped to executors at any corpus size); per-source and corpus
+    counts are map-side-combined aggs over the (K+1)-symbol support;
+    the source × vocab grid and the 1-row corpus total are bounded
+    broadcasts (no-cartesian allowlist). Determinism: p and q are
+    single divisions of exact BIGINTs; each p·ln(p/((p+q)/2)) term is
+    written in the identical operand order in both engines and summed
+    through DECIMAL(27,12); the closing (Σtp + Σtq)/2 is one double
+    expression.
+
+    r12: sc_ is the finest-grained aggregate — every other count the
+    query needs (per-token cq, per-source ns, global nq) is an exact
+    BIGINT rollup of it. Previously qc/ns/nq each re-aggregated the
+    token stream, re-running the tokenize+broadcast-map pipeline (5
+    corpus passes, 18-scan plan); now ONE pass builds sc_ (bounded
+    state: n_sources × (K+1) rows — always checkpoint-safe) and the
+    rollups are integer sums over it, associative and bit-identical."""
+    sc_ = _jsd_source_token_counts(spark, sf_dir).localCheckpoint(eager=False)
+    qc = sc_.groupBy("mtok").agg(F.sum("cs").alias("cq"))
+    ns = sc_.groupBy("source").agg(F.sum("cs").alias("ns"))
+    nq = sc_.agg(F.sum("cs").alias("nq"))
     grid = ns.select("source").crossJoin(F.broadcast(qc.select("mtok")))
     pq = (
         grid.join(sc_, ["source", "mtok"], "left")

@@ -708,6 +708,12 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(p, li.l_partkey == p.p_partkey)
         .select("l_orderkey", "p_brand")
         .distinct()
+        # r12: consumed four times (both self-join sides, margins, the
+        # basket total) and Spark does not share common subtrees — the
+        # lineitem⋈part+distinct pipeline executed 6× across the query
+        # (28-scan plan). One lazy materialization; narrow (int, char)
+        # rows, far cheaper than six recomputes at any scale.
+        .localCheckpoint(eager=False)
     )
     a, b = baskets.alias("a"), baskets.alias("b")
     pairs = (
@@ -726,13 +732,25 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
     total = baskets.select("l_orderkey").distinct().agg(
         F.count(F.lit(1)).alias("n_baskets")
     )
+    # r12: unionAll of two projections executed the basket self-join
+    # twice (unions don't share branch subtrees); exploding a 2-element
+    # struct array emits both rule directions from one execution.
     directed = pairs.select(
-        F.col("x").alias("antecedent"), F.col("y").alias("consequent"), "n_xy"
-    ).unionAll(
-        pairs.select(
-            F.col("y").alias("antecedent"), F.col("x").alias("consequent"), "n_xy"
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("x").alias("antecedent"),
+                    F.col("y").alias("consequent"),
+                    F.col("n_xy"),
+                ),
+                F.struct(
+                    F.col("y").alias("antecedent"),
+                    F.col("x").alias("consequent"),
+                    F.col("n_xy"),
+                ),
+            )
+        ).alias("d")
+    ).select("d.antecedent", "d.consequent", "d.n_xy")
     ma = margins.select(F.col("p_brand").alias("antecedent"), F.col("n").alias("n_a"))
     mb = margins.select(F.col("p_brand").alias("consequent"), F.col("n").alias("n_b"))
     return (

@@ -320,11 +320,26 @@ def test_jsd_vocab_topk_no_full_broadcast(spark):
     TakeOrderedAndProject head, NOT the full distinct-token table — the
     old form ran an unpartitioned row_number window over the whole
     vocabulary and broadcast it (executor OOM at crawl-scale
-    vocabularies). No Window node may appear anywhere in the plan."""
+    vocabularies). No Window node may appear anywhere in the plan.
+
+    r12: the tokenize→topk→bucket-map→per-(source,bucket)-count
+    pipeline sits behind a localCheckpoint barrier in the final query
+    (one corpus pass instead of five), so the guard is asserted on the
+    factored pre-barrier builder; the final plan is additionally pinned
+    to consume ONLY the checkpointed RDD (no second corpus scan) and to
+    stay window- and Python-free."""
+    from map_reduce_lite_spark.ops.text import _jsd_source_token_counts
+
+    pre = _plan(_jsd_source_token_counts(spark, SF_SMALL))
+    assert "TakeOrderedAndProject" in pre, pre
+    assert "Window" not in pre, pre
+    assert "BatchEvalPython" not in pre, pre
+
     plan = _plan(_q(spark, "text_js_divergence"))
-    assert "TakeOrderedAndProject" in plan, plan
     assert "Window" not in plan, plan
     assert "BatchEvalPython" not in plan, plan
+    assert "Scan ExistingRDD" in plan, plan
+    assert "Scan parquet" not in plan, plan
 
 
 def test_span_queries_tokenize_once(spark):
