@@ -948,21 +948,25 @@ def multimodal_ppm_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trip real binary and hash the actual raster to agree."""
     d = load_table(spark, sf_dir, "documents")
     hashed = phash_ppm(synthesize_ppm_variants(d))
-    groups = (
-        hashed.filter(F.col("ok"))
-        .groupBy("phash_hi", "phash_lo")
+    # r12: the ok/flagged union ran the synth+decode+hash Python
+    # pipeline TWICE (unions don't share branch subtrees — the plan
+    # carried 8 EvalPython nodes). One grouped pass replaces it: ok
+    # rows group on their (non-NULL) hash halves as before, flagged
+    # rows carry NULL halves plus their own media_id as a salt key, so
+    # each stays a singleton (count == 1 == the old literal) — row set
+    # and schema are bit-identical, Python passes 2 → 1.
+    return (
+        hashed.groupBy(
+            "phash_hi",
+            "phash_lo",
+            F.when(~F.col("ok"), F.col("media_id")).alias("_flag"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_copies"),
             F.min("media_id").alias("keep_media_id"),
         )
+        .select("phash_hi", "phash_lo", "n_copies", "keep_media_id")
     )
-    flagged = hashed.filter(~F.col("ok")).select(
-        F.lit(None).cast("long").alias("phash_hi"),
-        F.lit(None).cast("long").alias("phash_lo"),
-        F.lit(1).cast("long").alias("n_copies"),
-        F.col("media_id").alias("keep_media_id"),
-    )
-    return groups.unionByName(flagged)
 
 
 # Closed-form replay: scene grp's canonical 8×8 luma at cell j is

@@ -484,8 +484,9 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
     to <= d·w cells before the one tiny shuffle, so the sketch costs
     O(d·w) state regardless of corpus size — THE bounded-memory
     frequency pattern at 100 TB. The top-k side is
-    TakeOrderedAndProject (no global sort); estimates join the d
-    broadcast cell tables and take the min."""
+    TakeOrderedAndProject (no global sort); estimates probe the
+    broadcast cell table with one (r, b)-melted join and take the
+    min."""
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         F.explode(F.split(F.trim(mrl_lower("text")), r"\s+")).alias("token")
@@ -506,16 +507,6 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
-        # r12: the d per-row broadcast joins below each embed this frame;
-        # without a materialization mark the WHOLE tokenize + explode +
-        # agg pipeline executed once per broadcast (CMS_ROWS times) plus
-        # once for topk — 5 corpus passes for a 2-pass query. The sketch
-        # is bounded state (≤ d·w rows) so checkpointing it is always
-        # safe at scale; the token stream itself stays unmaterialized
-        # (recomputing a tokenize is cheaper than spilling a 100 TB
-        # token stream to executor storage). eager=False: the first
-        # broadcast build materializes it.
-        .localCheckpoint(eager=False)
     )
     topk = (
         toks.groupBy("token")
@@ -523,20 +514,44 @@ def sketch_cms_token_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(CMS_TOP_K)
     )
-    est = topk
-    for r in range(CMS_ROWS):
-        cms_r = cells.filter(F.col("r") == r).select(
-            F.col("b").alias(f"b{r}"), F.col("c").alias(f"c{r}")
-        )
-        est = est.withColumn(f"b{r}", _cms_bucket(F.col("token"), r)).join(
-            F.broadcast(cms_r), f"b{r}"
-        )
-    cms_est = F.least(*[F.col(f"c{r}") for r in range(CMS_ROWS)])
+    # r12: probe the sketch with ONE broadcast join. The old per-row
+    # loop carried d broadcast cell slices that each re-ran the
+    # tokenize+explode+agg pipeline (5 corpus passes); an interim
+    # lazy-checkpoint fix shared the cell table, but a single
+    # uncommitted RDD feeding several CONCURRENT broadcast jobs races —
+    # each job recomputes the lineage until the blocks land (the
+    # sibling sketch_cms_merge_shards measured 2.7 s best / 19 s worst
+    # that way). Melting the top-k probes to (token, r, b) rows and
+    # inner-joining the d·w-row cell table once makes every tokenize
+    # branch single-consumer — 2 corpus passes (cells, top-k), nothing
+    # shared to race on. A top-k token's cell always exists (its own
+    # occurrences count into it), so the join keeps exactly d rows per
+    # token and MIN over them equals the old LEAST across d columns.
+    probes = topk.select(
+        "token",
+        "exact_count",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _cms_bucket(F.col("token"), r).alias("b"),
+                    )
+                    for r in range(CMS_ROWS)
+                ]
+            )
+        ).alias("rb"),
+    ).select("token", "exact_count", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
+    est = (
+        probes.join(F.broadcast(cells), ["r", "b"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("c").alias("cms_est"))
+    )
     return est.select(
         "token",
         "exact_count",
-        cms_est.alias("cms_est"),
-        (cms_est >= F.col("exact_count")).alias("no_underestimate"),
+        "cms_est",
+        (F.col("cms_est") >= F.col("exact_count")).alias("no_underestimate"),
     )
 
 
@@ -616,14 +631,6 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select("source", rb)
         .groupBy("source", F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
-        # r12: consumed by 4 broadcast cell tables below; the sketch is
-        # bounded state (≤ n_sources·d·w rows) so a lazy checkpoint is
-        # always scale-safe, and without it each broadcast re-ran the
-        # whole tokenize+explode pipeline (same fix as
-        # sketch_cms_token_freq — 9 corpus passes down to 3, which is
-        # the semantic floor: shard sketches, direct sketch, and top-k
-        # are deliberately built in separate passes)
-        .localCheckpoint(eager=False)
     )
     # THE MERGE: cell-wise SUM across shards (d·w rows, KB-sized)
     merged = shard_cells.groupBy("r", "b").agg(F.sum("c").alias("c"))
@@ -632,7 +639,6 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.select(rb)
         .groupBy(F.col("rb.r").alias("r"), F.col("rb.b").alias("b"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)  # r12: same — 4 broadcast consumers
     )
     topk = (
         toks.groupBy("token")
@@ -640,23 +646,38 @@ def sketch_cms_merge_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("exact_count"), F.asc("token"))
         .limit(CMS_TOP_K)
     )
-    est = topk
-    for r in range(CMS_ROWS):
-        for tag, cells in (("m", merged), ("d", direct)):
-            cr = cells.filter(F.col("r") == r).select(
-                F.col("b").alias(f"{tag}b{r}"), F.col("c").alias(f"{tag}c{r}")
-            )
-            est = est.withColumn(f"{tag}b{r}", _cms_bucket(F.col("token"), r)).join(
-                F.broadcast(cr), f"{tag}b{r}"
-            )
-    est_merged = F.least(*[F.col(f"mc{r}") for r in range(CMS_ROWS)])
-    est_direct = F.least(*[F.col(f"dc{r}") for r in range(CMS_ROWS)])
+    # r12: probe each sketch with ONE broadcast join instead of d
+    # broadcast cell slices per sketch. The old per-row loop carried 8
+    # broadcast subtrees that each re-ran the tokenize+explode pipeline
+    # (9 corpus passes, 42-Exchange plan); an interim lazy-checkpoint
+    # fix shared the cell tables but its single uncommitted RDD fed 8
+    # CONCURRENT broadcast jobs, which race to materialize it and
+    # recompute the lineage per job (measured 2.7 s best / 19 s worst in
+    # one session). Melting the top-k probes to (token, r, b) rows and
+    # joining each d·w-row cell table once makes every tokenize branch
+    # single-consumer — 3 corpus passes (shards, direct, top-k: the
+    # semantic floor, the sketches are deliberately built separately)
+    # with no shared state to race on. A top-k token's cell always
+    # exists (its own occurrences count into it), so the inner join
+    # keeps exactly d rows per token and MIN over them equals the old
+    # LEAST over d joined columns.
+    probes = topk.select("token", "exact_count", rb).select(
+        "token", "exact_count", F.col("rb.r").alias("r"), F.col("rb.b").alias("b")
+    )
+    est = (
+        probes.join(
+            F.broadcast(merged.withColumnRenamed("c", "mc")), ["r", "b"]
+        )
+        .join(F.broadcast(direct.withColumnRenamed("c", "dc")), ["r", "b"])
+        .groupBy("token", "exact_count")
+        .agg(F.min("mc").alias("est_merged"), F.min("dc").alias("est_direct"))
+    )
     return est.select(
         "token",
         "exact_count",
-        est_direct.alias("est_direct"),
-        est_merged.alias("est_merged"),
-        (est_direct == est_merged).alias("merge_lossless"),
+        "est_direct",
+        "est_merged",
+        (F.col("est_direct") == F.col("est_merged")).alias("merge_lossless"),
     )
 
 

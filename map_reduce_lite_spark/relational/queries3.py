@@ -579,11 +579,22 @@ def rfm_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("o_totalprice"), 2).alias("monetary"),
     )
     ref = per_cust.agg(F.max("last_order").alias("ref_date"))
-    dims = per_cust.crossJoin(F.broadcast(ref)).select(
-        "o_custkey",
-        F.datediff(F.col("ref_date"), F.col("last_order")).alias("r_days"),
-        "frequency",
-        F.floor(F.col("monetary") / RFM_MONETARY_BIN).cast("long").alias("m_k"),
+    dims = (
+        per_cust.crossJoin(F.broadcast(ref))
+        .select(
+            "o_custkey",
+            F.datediff(F.col("ref_date"), F.col("last_order")).alias("r_days"),
+            "frequency",
+            F.floor(F.col("monetary") / RFM_MONETARY_BIN).cast("long").alias("m_k"),
+        )
+        # r12: dims is consumed SEVEN times (the join spine plus each
+        # _bucket's histogram and total), and every consumer re-ran the
+        # orders scan + per-customer agg (78-Exchange, 28-scan plan).
+        # One lazy materialization of the narrow (4 ints/customer)
+        # table; every later pass is a rollup of it. Same
+        # staged-artifact story at 100 TB: per-customer RFM dims are
+        # built once per snapshot, histograms are derived.
+        .localCheckpoint(eager=False)
     )
 
     def _bucket(df: DataFrame, col: str, asc: bool) -> DataFrame:
