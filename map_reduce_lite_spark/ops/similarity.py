@@ -466,9 +466,10 @@ def knn_topk_edges(
     100 TB the band table is written bucket-partitioned at ingest and
     the self-join becomes bucket-local (no corpus shuffle); hot buckets
     are bounded by the same cap strategy as the simhash band dedup
-    (tests/test_capcorpus.py precedent). Both directions of each
-    colliding pair are scored, so every node gets its own neighbor
-    list (unlike the dedup pair set, which keeps id-ordered pairs)."""
+    (tests/test_capcorpus.py precedent). Each colliding pair is scored
+    once id-ordered and emitted in both directions (r12), so every
+    node gets its own neighbor list (unlike the dedup pair set, which
+    keeps only the id-ordered rows)."""
     scored = _knn_scored_edges(emb, cap=cap, checkpoint_dir=checkpoint_dir)
     w = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("dst_id"))
     return (
@@ -586,10 +587,18 @@ def _knn_scored_edges(
         )
     else:
         sp = bands.withColumn("sub", F.lit(0).cast("long"))
+    # r12 (guide §2.3): generate ID-ORDERED pairs (vec_id <), score each
+    # undirected pair ONCE, then emit both directions by exploding a
+    # 2-struct array — half the rows through the dedup shuffle and half
+    # the 64-dim cosines of the old directed (!=) form. cos(a,b) is
+    # bit-identical under operand swap (elementwise IEEE multiply is
+    # commutative, the fold order over i is unchanged, and so is
+    # a_norm·b_norm), so every directed row carries exactly the value
+    # the old plan computed for it.
     cand = _spread(
         sp.alias("a")
         .join(sp.alias("b"), ["band_id", "band_hash", "sub"])
-        .filter(F.col("a.vec_id") != F.col("b.vec_id"))
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
         .select(
             F.col("a.vec_id").alias("src_id"), F.col("b.vec_id").alias("dst_id")
         )
@@ -606,7 +615,7 @@ def _knn_scored_edges(
         F.col("embedding").alias("b_vec"),
         _norm(F.col("embedding")).alias("b_norm"),
     )
-    return (
+    half = (
         cand.join(vecs_a, "src_id")
         .join(vecs_b, "dst_id")
         .select(
@@ -618,6 +627,22 @@ def _knn_scored_edges(
             ).alias("sim"),
         )
     )
+    return half.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("src_id").alias("src_id"),
+                    F.col("dst_id").alias("dst_id"),
+                    F.col("sim").alias("sim"),
+                ),
+                F.struct(
+                    F.col("dst_id").alias("src_id"),
+                    F.col("src_id").alias("dst_id"),
+                    F.col("sim").alias("sim"),
+                ),
+            )
+        ).alias("ed")
+    ).select("ed.src_id", "ed.dst_id", "ed.sim")
 
 
 def _rescored_topk(emb: DataFrame, cand: DataFrame, k: int) -> DataFrame:
