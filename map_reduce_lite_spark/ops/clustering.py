@@ -533,7 +533,16 @@ def pipeline_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     emb = load_table(spark, sf_dir, "embeddings")
-    pairs = _semdedup_pairs(emb, assign)
+    # The pair stage (within-cluster self-join + full-width cosine) is
+    # consumed twice — the dropped-id set and the per-cluster pair
+    # counts — and each consumer re-executed it (measured 4.6-5.0 s
+    # warm / 23-30 s cold at sf0.1 vs 3.6-4.1 / 6-7.5 with the
+    # barrier). Eager checkpoint: the near-dup pair list is the
+    # staged build-once artifact of this pipeline, it is pair-bounded
+    # (≤ cap² per cluster block), and eagerness serializes the
+    # materialization so the two downstream broadcast consumers can't
+    # race an uncommitted lazy checkpoint into double computation.
+    pairs = _semdedup_pairs(emb, assign).localCheckpoint(eager=True)
     dropped = pairs.select(F.col("dup_id").alias("vec_id")).distinct()
     flagged = assign.join(
         dropped.withColumn("is_dropped", F.lit(True)), "vec_id", "left"

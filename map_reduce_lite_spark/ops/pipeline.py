@@ -321,13 +321,25 @@ def pipeline_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     prev, cur = _derived_snapshots(d)
-    delta_keys = snapshot_diff(prev, cur).filter(
-        F.col("status").isin("added", "changed")
+    # delta_keys is consumed twice (text re-attach + status re-attach)
+    # and flagged twice more (signature stage + survival report), so
+    # the un-barriered plan re-ran the full-outer snapshot diff 4x and
+    # the stopword gate 2x: 11 document scans. Both intermediates are
+    # exactly what a production refresh persists — the delta key list
+    # and the gated delta batch — so materialize each ONCE (eager:
+    # serialized at build time, no concurrent-stage race on an
+    # uncommitted lazy checkpoint). 4 document scans remain: two for
+    # the diff, one to re-attach delta text, one for the standing
+    # signature index.
+    delta_keys = (
+        snapshot_diff(prev, cur)
+        .filter(F.col("status").isin("added", "changed"))
+        .localCheckpoint(eager=True)
     )
     delta = delta_keys.join(cur, "doc_id")
     flagged = quality_lang_flags(delta).join(
         delta_keys.select("doc_id", "status"), "doc_id"
-    )
+    ).localCheckpoint(eager=True)
     gated = flagged.filter("l_ok").select("doc_id", "text")
     standing = minhash_band_sigs(prev)  # production: a stored index table
     dsigs = minhash_band_sigs(gated)

@@ -770,44 +770,61 @@ def collocation_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.length("token") > 0)
         .distinct()
     )
+    # The M-row vocabulary slice used to be consumed three times
+    # (presence filter + both lift margins), and every consumer re-ran
+    # the whole tokenize+distinct+agg pipeline: 4 corpus tokenize
+    # passes. Instead of a barrier (an eager checkpoint serializes the
+    # vocab job that previously overlapped on idle cores — measured as
+    # a ~0.3 s local loss, the rejected-BM25 shape), make topm
+    # single-consumer: the df margins ride INSIDE the presence arrays
+    # as (token, df) structs, so n_a/n_b fall out of the pair explode
+    # itself and the margin lookup joins disappear. 2 tokenize passes
+    # (vocab build + doc presence) — the semantic floor for a
+    # df-ranked vocabulary — with no materialization barrier.
     topm = (
         toks.groupBy("token")
         .agg(F.count(F.lit(1)).alias("df"))
         .orderBy(F.desc("df"), F.asc("token"))
         .limit(COLLOC_TOP_M)
     )
+    # array_sort on (token, df) structs orders by token first; tokens
+    # are distinct within a doc's set, so the array order — and hence
+    # the emitted pair set — is identical to the old token-only sort.
     arrs = (
-        toks.join(F.broadcast(topm.select("token")), "token")
+        toks.join(F.broadcast(topm), "token")
         .groupBy("doc_id")
-        .agg(F.array_sort(F.collect_set("token")).alias("arr"))
+        .agg(
+            F.array_sort(
+                F.collect_set(F.struct(F.col("token"), F.col("df")))
+            ).alias("arr")
+        )
     )
     pairs = arrs.select(
         F.explode(
             F.expr(
                 "flatten(transform(arr, (x, i) -> "
                 "transform(slice(arr, i + 2, size(arr)), "
-                "y -> struct(x AS tok_a, y AS tok_b))))"
+                "y -> struct(x.token AS tok_a, x.df AS n_a, "
+                "y.token AS tok_b, y.df AS n_b))))"
             )
         ).alias("p")
-    ).select("p.tok_a", "p.tok_b")
-    co = pairs.groupBy("tok_a", "tok_b").agg(F.count(F.lit(1)).alias("n_ab"))
+    ).select("p.tok_a", "p.n_a", "p.tok_b", "p.n_b")
+    # n_a/n_b are functionally dependent on tok_a/tok_b; keying the agg
+    # on all four keeps the same ≤M²/2 distinct keys (+16 bytes/row of
+    # map-side-combined shuffle, bounded by M²).
+    co = pairs.groupBy("tok_a", "n_a", "tok_b", "n_b").agg(
+        F.count(F.lit(1)).alias("n_ab")
+    )
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
-    a = topm.select(F.col("token").alias("tok_a"), F.col("df").alias("n_a"))
-    b = topm.select(F.col("token").alias("tok_b"), F.col("df").alias("n_b"))
-    return (
-        co.join(F.broadcast(a), "tok_a")
-        .join(F.broadcast(b), "tok_b")
-        .crossJoin(F.broadcast(n_docs))
-        .select(
-            "tok_a",
-            "tok_b",
-            "n_a",
-            "n_b",
-            "n_ab",
-            F.expr(
-                f"({COLLOC_SCALE} * n_docs * n_ab) div (n_a * n_b)"
-            ).alias("lift_e6"),
-        )
+    return co.crossJoin(F.broadcast(n_docs)).select(
+        "tok_a",
+        "tok_b",
+        "n_a",
+        "n_b",
+        "n_ab",
+        F.expr(
+            f"({COLLOC_SCALE} * n_docs * n_ab) div (n_a * n_b)"
+        ).alias("lift_e6"),
     )
 
 
