@@ -172,24 +172,36 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     same corpus statistics the inverted index materializes (df per
     term, per-doc length, corpus avgdl).
 
-    Plan shape: tokenize ONCE → (doc, term) tf counts (one shuffle);
-    doc lengths derive from tf by a second groupBy that reuses the
-    doc partitioning; the query-term table and the per-term df table
-    are tiny broadcasts, corpus stats a 1-row broadcast — so scoring
-    is a map stage over the tf rows that match a query term (the
-    broadcast join prunes the corpus to matching postings before any
-    FLOPs). Top-K per query is a rank window that Spark rewrites to
-    WindowGroupLimit: every task keeps only K candidates per query
-    BEFORE the exchange, so the final sort sees tasks×K rows, not the
-    corpus (plan-pinned in tests/test_plans.py).
+    Plan shape: the query term set is a FIXED literal, so the per-doc
+    statistics pivot into columns — ONE tokenize pass + one
+    groupBy(doc_id) produces (dl, tf_<term>...); the corpus statistics
+    (n_docs, avgdl, every per-term df) collapse into a SINGLE 1-row
+    aggregate of that table, broadcast back; scoring is then a pure
+    projection per doc row (the old shape re-derived the (doc, term)
+    tf table for each of its four consumers — 4-5 corpus tokenize
+    passes — and shuffled per-(query, doc) contribution rows into a
+    scoring aggregation; all of that is gone). Top-K per query is a
+    rank window that Spark rewrites to WindowGroupLimit: every task
+    keeps only K candidates per query BEFORE the exchange, so the
+    final sort sees tasks×K rows, not the corpus (plan-pinned in
+    tests/test_plans.py).
 
     Determinism: idf and the tf normalization are a fixed sequence of
     IEEE double ops on exact integer inputs (bit-identical in DuckDB);
-    the per-(query, doc) sum of term contributions goes through
-    DECIMAL(18,12) so accumulation order cannot matter; ties on score
-    break by doc_id."""
+    each term contribution is quantized to DECIMAL(18,12) before the
+    per-query sum (exact decimal addition — accumulation order cannot
+    matter, and unmatched terms add an exact 0), so the score is
+    bit-identical to the old per-(query, doc) decimal aggregation;
+    ties on score break by doc_id."""
     d = load_table(spark, sf_dir, "documents")
     fanout = max(spark.sparkContext.defaultParallelism, 8)
+    uterms: list[str] = []
+    for _q, _t in BM25_QUERY_SET:
+        if _t not in uterms:
+            uterms.append(_t)
+    queries: dict[int, list[int]] = {}
+    for _q, _t in BM25_QUERY_SET:
+        queries.setdefault(_q, []).append(uterms.index(_t))
     toks = (
         d.repartition(fanout, "doc_id")
         .select(
@@ -198,42 +210,70 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.length("term") > 0)
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("total_dl")
+    per_doc = toks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dl"),
+        *[
+            F.sum((F.col("term") == F.lit(t)).cast("long")).alias(f"tf_{i}")
+            for i, t in enumerate(uterms)
+        ],
+    )
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("total_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(uterms))
+        ],
     ).select(
         "n_docs",
         (F.col("total_dl").cast("double") / F.col("n_docs")).alias("avgdl"),
+        *[f"df_{i}" for i in range(len(uterms))],
     )
-    qterms = spark.createDataFrame(BM25_QUERY_SET, "query_id INT, term STRING")
-    uterms = qterms.select("term").distinct()
-    dfreq = tf.join(F.broadcast(uterms), "term").groupBy("term").agg(
-        F.count(F.lit(1)).alias("df")
-    )
-    idf = F.log(
-        F.lit(1.0)
-        + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
-    )
-    tfn = (F.col("tf") * F.lit(BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(BM25_K1)
-        * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
-    )
+
+    def _contrib(i: int):
+        tf = F.col(f"tf_{i}")
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        tfn = (tf * F.lit(BM25_K1 + 1.0)) / (
+            tf
+            + F.lit(BM25_K1)
+            * (F.lit(1.0 - BM25_B) + F.lit(BM25_B) * (F.col("dl") / F.col("avgdl")))
+        )
+        return F.when(tf > 0, (idf * tfn).cast("decimal(18,12)")).otherwise(
+            F.lit(0).cast("decimal(18,12)")
+        )
+
+    def _qstruct(qid: int, idxs: list[int]):
+        n_matched = None
+        score = None
+        for i in idxs:
+            m = (F.col(f"tf_{i}") > 0).cast("long")
+            c = _contrib(i)
+            n_matched = m if n_matched is None else n_matched + m
+            score = c if score is None else score + c
+        return F.struct(
+            F.lit(qid).alias("query_id"),
+            n_matched.alias("n_matched"),
+            score.cast("double").alias("score"),
+        )
+
     scored = (
-        tf.join(F.broadcast(qterms), "term")
-        .join(F.broadcast(dfreq), "term")
-        .join(dl, "doc_id")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", (idf * tfn).alias("contrib"))
-    )
-    agg = scored.groupBy("query_id", "doc_id").agg(
-        F.count(F.lit(1)).alias("n_matched"),
-        F.sum(F.col("contrib").cast("decimal(18,12)")).cast("double").alias("score"),
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.explode(
+                F.array(*[_qstruct(q, idxs) for q, idxs in sorted(queries.items())])
+            ).alias("s"),
+        )
+        .select("doc_id", "s.query_id", "s.n_matched", "s.score")
+        .filter(F.col("n_matched") > 0)
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
     return (
-        agg.withColumn("rank", F.row_number().over(w))
+        scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= BM25_TOP_K)
         .select(
             "query_id",

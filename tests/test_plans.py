@@ -475,14 +475,18 @@ def test_topk_per_stratum_group_limit_pushdown(spark):
 
 
 def test_bm25_scale_contract(spark):
-    """BM25 serving at corpus scale: the query-term, df and corpus-stat
-    tables must broadcast (scoring prunes to matching postings map-side,
-    no corpus-wide shuffle for the tiny sides), the top-K rank window
-    must get WindowGroupLimit (tasks ship K candidates per query, not
-    the corpus), and scoring stays JVM-side."""
+    """BM25 serving at corpus scale: the fixed query-term set pivots
+    into per-doc tf columns, so the only join left is the 1-row
+    corpus-stats broadcast (n_docs, avgdl, per-term dfs) attached via
+    BroadcastNestedLoopJoin — no (doc, term) posting shuffle and no
+    per-(query, doc) scoring aggregation survive. The top-K rank
+    window must get WindowGroupLimit (tasks ship K candidates per
+    query, not the corpus), and scoring stays JVM-side."""
     plan = _plan(_q(spark, "text_bm25_search"))
     assert plan.count("WindowGroupLimit") >= 2, plan  # partial + final
-    assert "BroadcastHashJoin" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row stats attach
+    # exactly one corpus-wide exchange: doc repartition; the window
+    # exchange sees only tasks×K rows and the stats agg a 1-row side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
 
