@@ -1394,9 +1394,12 @@ def dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the rate is a |sources|-key aggregation."""
     d = load_table(spark, sf_dir, "documents")
     pairs = ngram_jaccard_pairs(d)
+    # Both pair columns from ONE execution of the pair pipeline: a
+    # union's branches share no subtrees, so the old two-projection
+    # union re-ran the whole DF-capped inverted-index join per side
+    # (the dedup_containment lesson — same 2-element explode fix).
     flagged = (
-        pairs.select(F.col("doc1").alias("doc_id"))
-        .union(pairs.select(F.col("doc2").alias("doc_id")))
+        pairs.select(F.explode(F.array("doc1", "doc2")).alias("doc_id"))
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )

@@ -41,13 +41,17 @@ MAX_MEAN_TOKEN_LEN = 8.0
 PIPELINE_JACCARD = 0.5
 
 
-def quality_lang_flags(d: DataFrame) -> DataFrame:
+def quality_lang_flags(d: DataFrame, carry: tuple[str, ...] = ()) -> DataFrame:
     """Stage 1+2 of the curation pipeline as one codegen'd projection:
     (doc_id, source, text, n_tokens, q_ok, l_ok) — q_ok is the
     token-count / mean-token-length gate, l_ok additionally requires the
     stopword-argmax language to be 'en' (ties break in STOPWORDS order,
     no hits → 'und'). No shuffle; reused by pretrain_curation and
-    pipeline_incremental_refresh."""
+    pipeline_incremental_refresh. ``carry`` names extra input columns
+    to pass through unchanged — consumers that used to re-join their
+    own upstream just to re-attach a column they already had (doubling
+    the upstream subtree: a DataFrame consumed twice is planned twice)
+    carry it through instead."""
     n_chars = F.length("text").cast("long")
     n_tokens = F.size(F.split(F.trim("text"), r"\s+")).cast("long")
     mean_tok_len = (n_chars - n_tokens + 1) / n_tokens
@@ -56,6 +60,7 @@ def quality_lang_flags(d: DataFrame) -> DataFrame:
         "doc_id",
         "source",
         "text",
+        *carry,
         n_tokens.alias("n_tokens"),
         ((n_tokens >= MIN_TOKENS) & (mean_tok_len <= MAX_MEAN_TOKEN_LEN)).alias("q_ok"),
         *[h.alias(f"hits_{l}") for l, h in hits.items()],
@@ -219,9 +224,13 @@ def pipeline_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("status").isin("added", "changed")
     )
     delta = delta_keys.join(cur, "doc_id")  # text always from the CURRENT snapshot
-    flagged = quality_lang_flags(delta)
+    # status rides through the gate projection (carry) instead of a
+    # re-join against delta_keys, whose second consumption re-planned —
+    # and re-executed — the whole full-outer snapshot diff (5 document
+    # scans; 3 with the carry).
+    flagged = quality_lang_flags(delta, carry=("status",))
     return (
-        flagged.join(delta_keys.select("doc_id", "status"), "doc_id")
+        flagged
         .groupBy("source", "status")
         .agg(
             F.count(F.lit(1)).alias("n_delta"),
@@ -321,25 +330,23 @@ def pipeline_full_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = load_table(spark, sf_dir, "documents")
     prev, cur = _derived_snapshots(d)
-    # delta_keys is consumed twice (text re-attach + status re-attach)
-    # and flagged twice more (signature stage + survival report), so
-    # the un-barriered plan re-ran the full-outer snapshot diff 4x and
-    # the stopword gate 2x: 11 document scans. Both intermediates are
-    # exactly what a production refresh persists — the delta key list
-    # and the gated delta batch — so materialize each ONCE (eager:
-    # serialized at build time, no concurrent-stage race on an
-    # uncommitted lazy checkpoint). 4 document scans remain: two for
-    # the diff, one to re-attach delta text, one for the standing
-    # signature index.
-    delta_keys = (
-        snapshot_diff(prev, cur)
-        .filter(F.col("status").isin("added", "changed"))
-        .localCheckpoint(eager=True)
+    # flagged is consumed twice (signature stage + survival report) and
+    # used to re-join delta_keys just to re-attach status, so the
+    # un-barriered plan re-ran the full-outer snapshot diff 4x and the
+    # stopword gate 2x: 11 document scans. status now rides through the
+    # gate projection (carry) — delta_keys has ONE consumer and needs
+    # no barrier — and flagged, the gated delta batch a production
+    # refresh persists, is materialized ONCE (eager: serialized at
+    # build time, no concurrent-stage race on an uncommitted lazy
+    # checkpoint). 4 document scans remain: two for the diff, one to
+    # re-attach delta text, one for the standing signature index.
+    delta_keys = snapshot_diff(prev, cur).filter(
+        F.col("status").isin("added", "changed")
     )
     delta = delta_keys.join(cur, "doc_id")
-    flagged = quality_lang_flags(delta).join(
-        delta_keys.select("doc_id", "status"), "doc_id"
-    ).localCheckpoint(eager=True)
+    flagged = quality_lang_flags(delta, carry=("status",)).localCheckpoint(
+        eager=True
+    )
     gated = flagged.filter("l_ok").select("doc_id", "text")
     standing = minhash_band_sigs(prev)  # production: a stored index table
     dsigs = minhash_band_sigs(gated)
