@@ -103,75 +103,78 @@ _FAMILIES = {
     **_REAR,
 }
 
-# Tier 1 — CHANGED/NEW in r12:
-# multimodal_ppm_phash is NEW (real average-hash image dedup over
-# decoded P6 rasters — canonical 8×8 NN resample + strict-mean
-# threshold, closed-form SQL twin); leakage_safe_split gained the
-# n_approx_members visibility column (star-only coverage metric, both
-# engines) and now shares ONE materialized band table between its pair
-# stage and the metric; the embedding pair machinery was refactored
-# around lsh_band_table (every lsh consumer re-checked);
-# triangle_parts' degree orientation was extracted to orient_edges;
-# multimodal_decode_stub's empty-payload sum moment is now NULL (the
-# ADVICE latent-divergence fix).
+# Tier 1 — PLAN-CHANGED queries needing fresh driver evidence (r13):
+# the 13 queries whose physical plans the r12 optimization commits
+# changed AFTER this tier was last regenerated (so the driver's r12
+# 50-sample never saw their new plans — the r12 verdict's top item),
+# plus every query the r13 optimization round touches (components
+# family round 2, the checkpoint-materialization audit, the clustering/
+# pipeline construction-time fixes, embedding_top_pc job folding).
 _FRONT_CHANGED = [
-    "multimodal_ppm_phash",
-    "curation_leakage_safe_split",
-    "multimodal_decode_stub",
-    "dedup_embedding_lsh",
+    # r12 plan-changed, driver-unverified (VERDICT r12 item 1):
+    "text_bm25_search",
+    "sketch_cms_token_freq",
+    "sketch_cms_merge_shards",
+    "text_js_divergence",
+    "text_collocation_lift",
+    "rfm_segment_customers",
+    "assoc_rules_brands",
+    "similarity_knn_graph",
+    "similarity_nn_descent",
+    "similarity_graph_hubness",
+    "graph_kcore_parts",
+    "graph_label_propagation",
+    "pipeline_semdedup_prune",
+    # r13 touch set:
     "dedup_components",
     "dedup_cluster_sizes",
     "dedup_survivors_docs",
-    "graph_triangle_parts",
+    "curation_leakage_safe_split",
+    "semdedup_embeddings",
+    "cluster_embeddings_kmeans",
+    "embedding_top_pc",
+    "pipeline_full_refresh",
 ]
 
-# Tier 2 — evidence-freshness rotation, r12 batch: ALL 42 remaining
-# r8-evidence queries (computed from the cumulative CORRECTNESS_r01-r11
-# ledger at round open — after this round no live query's driver
-# evidence is older than r9).
+# Tier 2 — evidence-freshness rotation, r13 batch: the remaining
+# queries whose last driver-green round is r9 (computed from the
+# cumulative CORRECTNESS_r01-r12 ledger at round open), oldest tier
+# first. 32 such queries exist after tier 1 claims 8 of the r9 set;
+# the ~29 slots left in the driver's 50-query prefix cover all but the
+# tail three (noted in order here so any larger sample reaches them).
 _ROTATION_OLDEST = [
-    "curation_mixture_temperature",
-    "curation_quality_quantile",
-    "curation_token_budget",
-    "dedup_containment",
-    "dedup_incremental_minhash",
-    "dedup_rate_by_source",
-    "dedup_substring_spans",
-    "embedding_quantize_int8",
-    "embedding_random_projection",
-    "events_anomaly_zscore",
-    "events_gapfill_hourly",
-    "events_retention_cohorts",
-    "events_rolling_wau",
-    "events_user_paths",
-    "funnel_sessions",
-    "fuzzy_link_customer_supplier",
-    "heavy_hitters_tokens",
-    "multimodal_resize_stub",
-    "pipeline_full_refresh",
-    "pipeline_incremental_refresh",
-    "pipeline_incremental_stats",
-    "pipeline_pretrain_curation",
-    "profile_documents",
-    "q10_returned_revenue",
-    "q18_large_orders",
-    "q3_top_orders",
-    "q7_nation_volume",
-    "sessionize_events",
-    "sessionize_events_stitched",
-    "similarity_filtered_topk",
-    "similarity_hard_negatives",
-    "streaming_dedup_events",
-    "streaming_enrich_purchases",
-    "streaming_events_hourly",
-    "streaming_events_sliding",
-    "streaming_purchase_view_join",
-    "streaming_purchase_view_left",
-    "streaming_rollup_multires",
-    "streaming_sessionize",
-    "streaming_sessionize_native",
-    "text_char_entropy",
-    "text_shingle_novelty",
+    "agg_stats_by_brand",
+    "anti_join_customers",
+    "asof_join_purchase_view",
+    "attribution_last_touch",
+    "case_bucket_acctbal",
+    "cube_flag_status",
+    "embedding_label_drift",
+    "embedding_ood_score",
+    "grep_documents",
+    "matrix_multiply_synth",
+    "multimodal_phash_dedup",
+    "sample_bernoulli_docs",
+    "sample_stratified_sources",
+    "sample_topk_per_stratum",
+    "similarity_ann_pq",
+    "similarity_ann_rerank",
+    "snapshot_diff_documents",
+    "streaming_distinct_users",
+    "streaming_serving_upsert",
+    "streaming_topk_trending",
+    "text_chunk_documents",
+    "text_doc_fingerprint",
+    "text_inverted_index",
+    "text_lang_id",
+    "text_oov_rate",
+    "text_quality_score",
+    "text_tfidf_top_terms",
+    "text_token_stats",
+    "text_unigram_logprob",
+    "vertex_degree_lineitem",
+    "vocab_bpe_merges",
+    "wc_documents",
 ]
 
 ALL_QUERIES = {

@@ -358,6 +358,20 @@ def _canary_verdict(
 # of hand-editing the file. With a rolling window the outlier falls
 # out after FLOOR_WINDOW runs. Manual reset, should it ever be needed:
 # delete .bench_canary_floor.json and the next run self-calibrates.
+#
+# ... AND it is PINNED from below (r13, the r12 verdict's ask #5): on a
+# host that stays noisy for FLOOR_WINDOW runs, the rolling min itself
+# ratchets upward (measured 0.895 → 0.957 → 0.973 across r11→r12 as old
+# fast medians rotated out) and the contamination detector desensitizes
+# itself — the exact failure the floor exists to catch. The committed
+# ``pinned_floor_sec`` is the LONG-HORIZON minimum of clean run medians
+# (0.895, the minimum over every run median recorded in the r11-r12
+# floor-file history); the effective floor is min(rolling window,
+# pin), so a permanently-slow host keeps reading contaminated instead
+# of quietly re-baselining. The pin is a run MEDIAN, not an outlier
+# single batch, so the r8 burst-poisoning argument doesn't apply; if
+# the HARDWARE legitimately changes, re-pin by hand (it is a committed
+# file — the change is visible in review, not silent).
 FLOOR_WINDOW = 10
 
 
@@ -381,18 +395,46 @@ def _load_floor_history() -> list[float]:
     return []
 
 
+def _load_pinned_floor() -> float | None:
+    """The committed long-horizon floor pin (see FLOOR_WINDOW note).
+    Validated under the same identity keys as the rolling history —
+    a pin recorded for a different canary set / SF is meaningless."""
+    try:
+        data = json.loads(CANARY_FLOOR_PATH.read_text())
+        if (
+            data.get("queries") == CANARY_QUERIES
+            and data.get("sf_dir") == SF_DIR
+            and data.get("position") == "first"
+            and data.get("pinned_floor_sec") is not None
+        ):
+            return float(data["pinned_floor_sec"])
+    except (OSError, ValueError, KeyError, TypeError):
+        pass
+    return None
+
+
+def _effective_floor() -> float | None:
+    """min(rolling-window history, committed pin) — None only when
+    neither exists (first run ever self-calibrates)."""
+    history = _load_floor_history()
+    cands = ([min(history)] if history else [])
+    pinned = _load_pinned_floor()
+    if pinned is not None:
+        cands.append(pinned)
+    return min(cands) if cands else None
+
+
 def _store_floor_history(medians: list[float]) -> None:
     medians = medians[-FLOOR_WINDOW:]
+    pinned = _load_pinned_floor()
+    payload = {"queries": CANARY_QUERIES, "sf_dir": SF_DIR,
+               "position": "first", "stat": "run-median-rolling",
+               "medians": [round(m, 3) for m in medians],
+               "floor_sec": round(min(medians), 3)}
+    if pinned is not None:
+        payload["pinned_floor_sec"] = round(pinned, 3)
     try:
-        CANARY_FLOOR_PATH.write_text(
-            json.dumps(
-                {"queries": CANARY_QUERIES, "sf_dir": SF_DIR,
-                 "position": "first", "stat": "run-median-rolling",
-                 "medians": [round(m, 3) for m in medians],
-                 "floor_sec": round(min(medians), 3)}
-            )
-            + "\n"
-        )
+        CANARY_FLOOR_PATH.write_text(json.dumps(payload) + "\n")
     except OSError:
         pass  # read-only checkout: the canary still works within the run
 
@@ -515,7 +557,7 @@ def main() -> None:
     ]
 
     history = _load_floor_history()
-    stored_floor = min(history) if history else None
+    stored_floor = _effective_floor()
     floor, _, over = _canary_verdict(canaries, stored_floor, ends)
     # Retries are ONE-SIDED by design (only too-SLOW batches re-run;
     # keeping the lower-canary attempt is a mild downward bias on

@@ -173,14 +173,19 @@ def text_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     term, per-doc length, corpus avgdl).
 
     Plan shape: the query term set is a FIXED literal, so the per-doc
-    statistics pivot into columns — ONE tokenize pass + one
+    statistics pivot into columns — a tokenize pass + one
     groupBy(doc_id) produces (dl, tf_<term>...); the corpus statistics
     (n_docs, avgdl, every per-term df) collapse into a SINGLE 1-row
     aggregate of that table, broadcast back; scoring is then a pure
     projection per doc row (the old shape re-derived the (doc, term)
     tf table for each of its four consumers — 4-5 corpus tokenize
     passes — and shuffled per-(query, doc) contribution rows into a
-    scoring aggregation; all of that is gone). Top-K per query is a
+    scoring aggregation; all of that is gone). NOTE: per_doc is not
+    materialized, so the stats subtree re-derives it — the plan
+    tokenizes the corpus TWICE (stats aggregate + scoring projection),
+    down from 4-5; an eager barrier was measured slower at sf0.1
+    because the two passes overlap on idle cores (the r12
+    rejected-checkpoint note). Top-K per query is a
     rank window that Spark rewrites to WindowGroupLimit: every task
     keeps only K candidates per query BEFORE the exchange, so the
     final sort sees tasks×K rows, not the corpus (plan-pinned in

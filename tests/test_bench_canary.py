@@ -134,6 +134,48 @@ def test_floor_ages_out_an_anomalously_fast_run(tmp_path, monkeypatch):
     assert min(history) == 1.30  # 1.30/1.30 = 1.0 < tolerance: recovered
 
 
+def test_pinned_floor_caps_the_rolling_window(tmp_path, monkeypatch):
+    """r13 (the r12 verdict's ask #5): a noisy host that keeps the
+    rolling window above the long-horizon minimum must NOT desensitize
+    the detector — the effective floor is min(window, committed pin)."""
+    p = tmp_path / "floor.json"
+    monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
+    p.write_text(json.dumps({
+        "queries": bench.CANARY_QUERIES, "sf_dir": bench.SF_DIR,
+        "position": "first", "stat": "run-median-rolling",
+        "medians": [1.3, 1.35, 1.4], "floor_sec": 1.3,
+        "pinned_floor_sec": 0.9}))
+    assert bench._load_pinned_floor() == 0.9
+    assert bench._effective_floor() == 0.9  # pin wins over the window
+    # a run median of 1.3 reads contaminated against the pin
+    floor, ratio, _ = bench._canary_verdict(
+        [1.3, 1.32, 1.28], bench._effective_floor()
+    )
+    assert floor == 0.9
+    assert ratio > bench.CANARY_TOLERANCE
+
+
+def test_store_preserves_the_pin_across_runs(tmp_path, monkeypatch):
+    p = tmp_path / "floor.json"
+    monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
+    p.write_text(json.dumps({
+        "queries": bench.CANARY_QUERIES, "sf_dir": bench.SF_DIR,
+        "position": "first", "stat": "run-median-rolling",
+        "medians": [1.1], "floor_sec": 1.1, "pinned_floor_sec": 0.9}))
+    bench._store_floor_history(bench._load_floor_history() + [1.2])
+    data = json.loads(p.read_text())
+    assert data["pinned_floor_sec"] == 0.9
+    assert data["medians"] == [1.1, 1.2]
+
+
+def test_missing_pin_keeps_rolling_behavior(tmp_path, monkeypatch):
+    p = tmp_path / "floor.json"
+    monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
+    bench._store_floor_history([1.234, 1.31])
+    assert bench._load_pinned_floor() is None
+    assert bench._effective_floor() == 1.234  # min of the window alone
+
+
 def test_floor_migrates_pre_r8_single_value_file(tmp_path, monkeypatch):
     p = tmp_path / "floor.json"
     monkeypatch.setattr(bench, "CANARY_FLOOR_PATH", p)
