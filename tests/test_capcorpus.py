@@ -235,6 +235,7 @@ def semcap_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_semdedup_default_cap_engaged_value_parity(spark, semcap_dir):
     sdf, oracle = _run_registered(spark, semcap_dir, "semdedup_embeddings")
     duck = _duck_for(semcap_dir, tables=("embeddings",))
@@ -399,6 +400,7 @@ def _component_partition(pairs_df):
     return frozenset(frozenset(g) for g in groups.values())
 
 
+@pytest.mark.slow
 def test_leakage_split_adaptive_rebanding_on_hot_bucket(spark, knncap_dir):
     """r11: leakage_safe_split's pair stage uses ADAPTIVE RE-BANDING —
     on the 520-vector single-bucket corpus (where the SALTED cap
@@ -475,6 +477,7 @@ def megabucket_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_leakage_split_megabucket_bounded_and_zero_dropped(spark, megabucket_dir):
     """The r10 verdict's scale-killer: a near-constant mega-bucket.
     Adaptive re-banding must (a) bound the candidate count — linear
@@ -556,6 +559,7 @@ def megamix_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_leakage_split_megamix_all_branches_zero_dropped(spark, megamix_dir):
     """All three adaptive branches live in one corpus: the component
     partition still equals BOTH the uncapped-LSH form's and the exact
@@ -663,6 +667,7 @@ def deepcone_dir(tmp_path_factory):
     return d
 
 
+@pytest.mark.slow
 def test_refined_keeps_deep_cone_pairs_salting_loses(spark, deepcone_dir):
     """THE quantified safety argument for adaptive re-banding (r11,
     measured): a pair whose only collision is inside a mega-bucket is
@@ -696,6 +701,7 @@ def test_refined_keeps_deep_cone_pairs_salting_loses(spark, deepcone_dir):
     assert n_salted < 15, "salting unexpectedly kept every deep-cone pair"
 
 
+@pytest.mark.slow
 def test_anchor_star_catches_boundary_satellite(spark, tmp_path_factory):
     """Branch 4's reason to exist (r11, found by measurement): a
     satellite ABOVE the cosine threshold vs a mega-bucket's dominant

@@ -41,7 +41,11 @@ _DUP_QUERIES = [
     "dedup_cluster_sizes",         # histogram of one huge cluster
     "dedup_survivors_docs",        # keep-list under mass pruning
     "dedup_rate_by_source",        # crawlA is ~78% duplicate
-    "curation_leakage_safe_split", # adaptive re-banding star branch live
+    # adaptive re-banding star branch live — slow: the recursive
+    # refine-chain DuckDB oracle dominates (~1 min); the star branch
+    # stays value-covered by test_leakage_split_routes_core_whole and
+    # the default-gate oracle_parity sweep at sf0.001
+    pytest.param("curation_leakage_safe_split", marks=pytest.mark.slow),
     "similarity_knn_graph",        # knn cap live, rank ties broken
     "similarity_nn_descent",       # descent over the capped edge list
     "text_shingle_novelty",        # novelty ≈ 0 on the slab docs

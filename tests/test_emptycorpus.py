@@ -81,10 +81,13 @@ _EMPTY_SUBSET = [
     "similarity_knn_graph",        # banded ANN over zero vectors
     "text_vocab_coverage",         # the r10 NULL fan-out fix
     "text_fertility_by_lang",      # NULLIF strata
-    "curation_leakage_safe_split", # router over zero clusters
+    # router over zero clusters — slow: DuckDB PLANNING of the recursive
+    # refine-chain oracle alone runs ~1 min even on zero rows
+    pytest.param("curation_leakage_safe_split", marks=pytest.mark.slow),
     "multimodal_ppm_decode",       # mapInPandas over zero batches
     "multimodal_ppm_resize",       # r11 NN resample over zero batches
-    "embedding_top_pc",            # the EXISTS-guard fix
+    # the EXISTS-guard fix — slow: recursive power-iteration oracle
+    pytest.param("embedding_top_pc", marks=pytest.mark.slow),
     "events_hourly",               # time windows over zero events
     "streaming_events_hourly",     # streaming drain of an empty source
     "streaming_purchase_view_left",  # the None-cutoff crash fix

@@ -47,10 +47,26 @@ def _multiset(rows, col_order):
     )
 
 
+# Queries whose DuckDB oracle alone runs ~40-60 s at sf0.001 (recursive
+# power-iteration / refine-chain / Lloyd-unroll CTEs dominate; the Spark
+# side is seconds). Deselected from the default gate (pytest.ini) so a
+# full run fits the driver's verification budget; they stay fronted in
+# the queries() rotation tier, so the external correctness driver
+# oracle-checks them at sf0.01 every round, and `-m slow` runs them here.
+_SLOW_ORACLES = {
+    "embedding_top_pc",
+    "curation_leakage_safe_split",
+    "pipeline_semdedup_prune",
+}
+
+
 def _query_names():
     import __spark_entry__ as e
 
-    return sorted(e.oracle_sql().keys())
+    return [
+        pytest.param(n, marks=pytest.mark.slow) if n in _SLOW_ORACLES else n
+        for n in sorted(e.oracle_sql().keys())
+    ]
 
 
 @pytest.mark.parametrize("name", _query_names())

@@ -62,6 +62,7 @@ def _is_portable(type_str: str) -> bool:
     return False
 
 
+@pytest.mark.slow
 def test_every_oracle_schema_is_spark_portable(duck):
     oracles = entry.oracle_sql()
     assert oracles, "oracle_sql() returned nothing"

@@ -28,10 +28,20 @@ def _plan(df, mode: str = "formatted") -> str:
     return buf.getvalue()
 
 
+# Session-level memo of built query DataFrames: builders with
+# construction-time actions (iterative loops, eager checkpoints, pivot
+# probes) cost seconds each, and the plan tests only READ plans —
+# DataFrames are immutable, so every test in this module can share one
+# build per query instead of re-running those actions per test.
+_BUILT: dict[str, object] = {}
+
+
 def _q(spark, name):
     import __spark_entry__ as e
 
-    return e.queries()[name](spark, SF_SMALL)
+    if name not in _BUILT:
+        _BUILT[name] = e.queries()[name](spark, SF_SMALL)
+    return _BUILT[name]
 
 
 def test_q6_filters_reach_parquet_scan(spark):
@@ -304,10 +314,10 @@ def test_no_cartesian_product_anywhere(spark):
         "embedding_ood_score",
     }
     failures = []
-    for name, builder in e.queries().items():
+    for name in e.queries():
         if name.startswith("streaming_"):
             continue
-        plan = _plan(builder(spark, SF_SMALL), "extended")
+        plan = _plan(_q(spark, name), "extended")
         if "CartesianProduct" in plan:
             failures.append((name, "CartesianProduct"))
         if "BroadcastNestedLoopJoin" in plan and name not in allowed_bnlj:

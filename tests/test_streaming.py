@@ -61,6 +61,7 @@ def test_hourly_stream_equals_batch(spark, events_parquet):
     assert got == want
 
 
+@pytest.mark.slow
 def test_sessionize_stream_runs(spark, events_parquet):
     """Stateful sessionization: drains, emits per-user sessions, event
     totals reconcile with the input."""

@@ -255,6 +255,7 @@ def test_frame_sample_counts(spark):
         assert sorted(r["frame_idx"] for r in rows) == list(range(len(rows)))
 
 
+@pytest.mark.slow
 def test_cli_compact(tmp_path, spark):
     """CLI compact subcommand end-to-end via a subprocess (the
     maintenance op a scheduler would invoke)."""
@@ -285,6 +286,7 @@ def test_cli_compact(tmp_path, spark):
     assert len(back.inputFiles()) < 16
 
 
+@pytest.mark.slow
 def test_cli_zorder(tmp_path, spark):
     """CLI zorder subcommand end-to-end via a subprocess (the OPTIMIZE
     ZORDER maintenance analog on plain directories)."""
