@@ -175,7 +175,20 @@ def kmeans_assignments(
     becomes necessary when that single row approaches the broadcast /
     row-size comfort zone (~tens of MB, K ≈ 10⁵ at this dim)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.select("vec_id", _quantize(F.col("embedding")).alias("qv"))
+    # r13: materialize the quantized corpus ONCE. Every Lloyd round's
+    # eager centroid job and the final assignment each re-ran the
+    # parquet scan + 64-element quantize transform (iters+1 corpus
+    # scans); one eager localCheckpoint serves them all from the block
+    # manager. Eager, not lazy: round 1's centroid seed (the vec_id<k
+    # filter feeding the broadcast carr) and its main stage would both
+    # materialize a lazy mark concurrently. Measured (interleaved A/B
+    # at sf0.1, semdedup_embeddings end-to-end): 7.7/3.4/3.4 s →
+    # 3.1/3.1/2.3 s with this + the eager assign ckpt, identical pair
+    # sets. The ckpt is the staged quantized-embedding artifact a
+    # production pipeline persists anyway.
+    q = emb.select(
+        "vec_id", _quantize(F.col("embedding")).alias("qv")
+    ).localCheckpoint(eager=True)
     cents = q.filter(F.col("vec_id") < k).select(
         F.col("vec_id").cast("int").alias("cluster"), F.col("qv").alias("cv")
     )
@@ -287,10 +300,13 @@ def semdedup_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assignments(spark, sf_dir)
         .select("vec_id", "cluster")
-        # lazy: plan-only consumers (plan lint, .explain) shouldn't pay
-        # the Lloyd run at DataFrame-construction time; the first real
-        # action materializes it once and both join sides reuse it.
-        .localCheckpoint(eager=False)
+        # eager (r13, measured): the pair stage consumes assign three
+        # ways (both id-only join sides + the broadcast(sizes) future in
+        # _subsplit); materializing the 12-byte/vector table up front
+        # beat the lazy mark on every interleaved A/B rep at sf0.1
+        # (see kmeans_assignments). Construction-time cost is one Lloyd
+        # run — paid once per build, memoized by the plan-test cache.
+        .localCheckpoint(eager=True)
     )
     return _semdedup_pairs(emb, assign)
 
@@ -527,10 +543,12 @@ def pipeline_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     assign = (
         kmeans_assignments(spark, sf_dir)
         .select("vec_id", "cluster")
-        # lazy: plan-only consumers (plan lint, .explain) shouldn't pay
-        # the Lloyd run at DataFrame-construction time; the first real
-        # action materializes it once and both join sides reuse it.
-        .localCheckpoint(eager=False)
+        # eager (r13, measured — see semdedup_embeddings): three-way
+        # consumption (pair-stage join sides + broadcast(sizes)), and
+        # the eager pair ckpt below forces the Lloyd run at
+        # construction anyway, so eagerness here adds no new
+        # construction cost for this query.
+        .localCheckpoint(eager=True)
     )
     emb = load_table(spark, sf_dir, "embeddings")
     # The pair stage (within-cluster self-join + full-width cosine) is

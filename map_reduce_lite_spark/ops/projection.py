@@ -745,8 +745,17 @@ def embedding_top_pc(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.transform(F.array_sort("ps"), lambda st: st["wd"]).alias("warr")
             )
         )
+        # eager=False (r13, the graph-family job fold): PC_ITERS is a
+        # constant and the query has ONE terminal action, so lazy marks
+        # keep lineage truncated while folding the 3 per-round
+        # materialization jobs into the terminal action (each round's
+        # 1-row v materializes inside the next round's broadcast
+        # future, serially — rounds depend on each other, no
+        # concurrent-consumer race). Interleaved A/B at sf0.1 (4 reps):
+        # eager 8.2/5.5/3.4/3.9 s vs lazy 4.6/4.4/4.3/3.3 s, identical
+        # loadings on every rep.
         vdf = packed.select(F.expr(norm_expr).alias("v")).localCheckpoint(
-            eager=True
+            eager=False
         )
     return vdf.select(F.posexplode("v").alias("pos", "loading")).select(
         (F.col("pos") + 1).cast("int").alias("dim"),

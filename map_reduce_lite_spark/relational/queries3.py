@@ -590,10 +590,16 @@ def rfm_segment_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: dims is consumed SEVEN times (the join spine plus each
         # _bucket's histogram and total), and every consumer re-ran the
         # orders scan + per-customer agg (78-Exchange, 28-scan plan).
-        # One lazy materialization of the narrow (4 ints/customer)
-        # table; every later pass is a rollup of it. Same
-        # staged-artifact story at 100 TB: per-customer RFM dims are
-        # built once per snapshot, histograms are derived.
+        # One materialization of the narrow (4 ints/customer) table;
+        # every later pass is a rollup of it. Same staged-artifact
+        # story at 100 TB: per-customer RFM dims are built once per
+        # snapshot, histograms are derived. eager=False, MEASURED
+        # (r13): the broadcast consumers (F.broadcast(total) in
+        # _bucket) do NOT re-create the merge_shards race — the block
+        # manager's per-partition locking serializes concurrent
+        # materialization of a lazy localCheckpoint. 7-rep spread at
+        # sf0.1: lazy 0.96-1.36 warm, no outlier; eager 1.36-1.95
+        # (the extra serialized job). Lazy kept.
         .localCheckpoint(eager=False)
     )
 
@@ -722,8 +728,13 @@ def assoc_rules_brands(spark: SparkSession, sf_dir: str) -> DataFrame:
         # r12: consumed four times (both self-join sides, margins, the
         # basket total) and Spark does not share common subtrees — the
         # lineitem⋈part+distinct pipeline executed 6× across the query
-        # (28-scan plan). One lazy materialization; narrow (int, char)
-        # rows, far cheaper than six recomputes at any scale.
+        # (28-scan plan). One materialization; narrow (int, char) rows,
+        # far cheaper than six recomputes at any scale. eager=False,
+        # MEASURED (r13): despite the three broadcast consumers (ma,
+        # mb, total), 7-rep sf0.1 spread shows no lazy-ckpt race
+        # (block-manager partition locking serializes concurrent
+        # materialization): lazy 1.71-1.84 warm, eager 1.85-2.55.
+        # Lazy kept.
         .localCheckpoint(eager=False)
     )
     a, b = baskets.alias("a"), baskets.alias("b")
